@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (see TESTDATA.md).
+  *
+  * Every operator query receives `(spark, sfDir)` and reads only these
+  * parquet tables, so the DuckDB oracle sees byte-identical inputs.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events table stores TIMESTAMP(NANOS) parquet, which Spark only
+    // reads as long (spark.sql.legacy.parquet.nanosAsLong=true — set in
+    // Session.configure). All values are microsecond-aligned, so integer
+    // division to micros is lossless (`div`, not `/`: a double roundtrip
+    // of an epoch-ns long loses precision).
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case (d, _) => d
+    }
+  }
+
+  /** Register all tables as temp views so `spark.sql` parity queries work. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,12 @@
+package graft.ops
+
+/** All declared operator queries — the coverage surface the driver's
+  * correctness gate and bench iterate over. */
+object Registry {
+  val specs: Seq[QuerySpec] =
+    RelationalOps.specs ++ PipelineOps.specs ++ FunctionOps.specs ++
+      TextOps.specs ++ VectorOps.specs
+
+  require(specs.map(_.name).distinct.size == specs.size,
+    "duplicate query names in Registry")
+}

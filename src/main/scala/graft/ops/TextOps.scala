@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.dedup.Dedup
+import graft.functions.Text
+
+/** Text-analysis + dedup operators over the `documents` table —
+  * the training-data-pipeline surface (SURVEY.md §7.1 step 9).
+  */
+object TextOps {
+
+  /** Token counting per document, rolled up per language — exact ints. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .withColumn("n_tokens", Text.tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(sum("n_tokens").as("total_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  /** Quality scoring signals per document (all exact integers). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_words"),
+        Text.vocabHits(col("text"), Seq("the", "a")).as("n_stopwords"),
+        Text.charCount(col("text")).as("len_chars"),
+        Text.nonSpaceChars(col("text")).as("len_nonspace"))
+      .orderBy("doc_id")
+
+  /** Marker-word language identification; output = lang x guess confusion
+    * counts (deterministic argmax with first-wins tie-break). */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Seq("en" -> "the", "de" -> "table", "fr" -> "data", "es" -> "value")
+    load(spark, dir, "documents")
+      .withColumn("guess", Text.langGuess(col("text"), markers))
+      .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "guess")
+  }
+
+  /** Rolling-hash document fingerprint (first 64 chars, poly-31 mod 1e9+7). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"), Text.fingerprint(col("text"), 64).as("fp"))
+      .orderBy("doc_id")
+
+  /** Exact n-gram Jaccard near-dup pairs, blocked by (lang, source). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        Text.wordShingles(col("text"), 3).as("sh"))
+    val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.2)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash-LSH near-dup candidates (Spark-native hashes — rows-only
+    * check here; ScalaTest verifies recall against exact Jaccard). */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(load(spark, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.2)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs (Spark-native hashes — rows-only check). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(load(spark, dir, "documents"), "text", "doc_id",
+        maxDist = 10)
+      .orderBy("id_a", "id_b")
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_text_tokens", textTokens, Some(
+      """SELECT lang, sum(n) AS total_tokens, min(n) AS min_tokens,
+        |max(n) AS max_tokens, count(*) AS n_docs
+        |FROM (SELECT lang,
+        |  len(list_filter(regexp_split_to_array(text, ' +'), w -> w != ''))::BIGINT AS n
+        |  FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin), "text/tokens"),
+    QuerySpec("q_text_quality", textQuality, Some(
+      """SELECT doc_id,
+        |len(list_filter(regexp_split_to_array(text, ' +'), w -> w != '')) AS n_words,
+        |len(list_filter(regexp_split_to_array(text, ' +'), w -> w = 'the' OR w = 'a')) AS n_stopwords,
+        |length(text) AS len_chars,
+        |length(replace(text, ' ', '')) AS len_nonspace
+        |FROM documents ORDER BY doc_id""".stripMargin), "text/quality"),
+    QuerySpec("q_text_langid", textLangid, Some(
+      """WITH s AS (SELECT lang,
+        |  len(list_filter(regexp_split_to_array(text, ' +'), w -> w = 'the')) AS s_en,
+        |  len(list_filter(regexp_split_to_array(text, ' +'), w -> w = 'table')) AS s_de,
+        |  len(list_filter(regexp_split_to_array(text, ' +'), w -> w = 'data')) AS s_fr,
+        |  len(list_filter(regexp_split_to_array(text, ' +'), w -> w = 'value')) AS s_es
+        |  FROM documents)
+        |SELECT lang, CASE
+        |  WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+        |  WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+        |  WHEN s_fr >= s_es THEN 'fr'
+        |  ELSE 'es' END AS guess, count(*) AS n
+        |FROM s GROUP BY lang, guess ORDER BY lang, guess""".stripMargin), "text/langid"),
+    QuerySpec("q_text_fingerprint", textFingerprint, Some(
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT), list_transform(
+        |    list_filter(regexp_split_to_array(substr(text, 1, 64), ''), c -> c != ''),
+        |    c -> CAST(ascii(c) AS BIGINT))),
+        |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin), "text/fingerprint"),
+    QuerySpec("q_dedup_ngram_jaccard", dedupNgramJaccard, Some(
+      """WITH d AS (SELECT doc_id, lang, source, sh FROM (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |    list_filter(regexp_split_to_array(text, ' +'), x -> x != '') AS w
+        |    FROM documents) t0) t1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh)) /
+        |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+        |  AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) /
+        |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin), "dedup/ngram-jaccard"),
+    QuerySpec("q_dedup_minhash_lsh", dedupMinhashLsh, None, "dedup/minhash-lsh"),
+    QuerySpec("q_dedup_simhash", dedupSimhash, None, "dedup/simhash"),
+  )
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.dedup.Dedup
+import graft.similarity.Ann
+
+/** Similarity search + embedding dedup over the `embeddings` table. */
+object VectorOps {
+
+  /** Brute-force exact cosine top-3 for a small query set (ids < 8). */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 3)
+      .orderBy("qid", "rank")
+  }
+
+  /** LSH-bucketed approximate top-3 (Spark-native planes; rows-only check,
+    * recall vs brute force asserted in ScalaTest). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    Ann.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 3, dim = 64, nBits = 6)
+      .orderBy("qid", "rank")
+  }
+
+  /** Embedding near-dup pairs: cosine >= 0.9 within the same label block. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(load(spark, dir, "embeddings"),
+        "embedding", "vec_id", "label", threshold = 0.9)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_ann_brute_force", annBruteForce, Some(
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor, embedding::DOUBLE[] AS cv FROM embeddings)
+        |SELECT qid, rank, neighbor FROM (
+        |  SELECT qid, neighbor, row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, neighbor ASC) AS rank
+        |  FROM q JOIN c ON neighbor != qid) t
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin), "similarity/ann-brute"),
+    QuerySpec("q_ann_lsh", annLsh, None, "similarity/ann-lsh"),
+    QuerySpec("q_dedup_embedding", dedupEmbedding, Some(
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin), "dedup/embedding-cosine"),
+  )
+}
