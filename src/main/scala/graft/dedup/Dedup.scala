@@ -23,9 +23,9 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("__h")
 
-  /** MinHash signature: for each of `numHashes` permutations
-    * h_i(x) = (a_i * xxhash64(x) + b_i) mod p, take the min over the
-    * document's shingles. Deterministic seeds. */
+  /** MinHash signature as a single column expression (small-array use;
+    * prefer [[minhashSignatures]] for corpus-scale work — this variant
+    * re-hashes every shingle once per permutation). */
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
     val p = 2038074743L // prime; h,a < p so a*h+b < 2^38 — no ANSI overflow
     val perms = (0 until numHashes).map { i =>
@@ -38,6 +38,62 @@ object Dedup {
     array(perms: _*)
   }
 
+  /** Distinct word-n-gram shingles as flat (id, h) rows, h = 64-bit hash.
+    *
+    * Fully whole-stage-codegen shape: explode tokens with position, window
+    * `lead` to line up the n-gram, multi-arg xxhash64 — no interpreted
+    * higher-order lambdas and no intermediate concat'd shingle strings
+    * (an order of magnitude faster per doc, and the flat-rows form is
+    * exactly what MinHash aggregation and relational set-intersection
+    * want at corpus scale). */
+  def shingleRows(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " +")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"w$k"))
+    toks.select((Seq(col("id"), col("w").as("w0")) ++ leads): _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("id"), xxhash64((0 until n).map(k => col(s"w$k")): _*).as("h"))
+      .distinct()
+  }
+
+  /** MinHash signatures from flat (id, h) shingle rows: each shingle is
+    * hashed once, the numHashes affine permutations are cheap integer
+    * transforms, and the per-permutation min partial-aggregates map-side
+    * before the shuffle on doc id — the shape that scales to 100 TB. */
+  def minhashSignatures(rows: DataFrame, numHashes: Int): DataFrame = {
+    val p = 2038074743L
+    val hashed = rows.select(col("id"), pmod(col("h"), lit(p)).as("h"))
+    val minCols = (0 until numHashes).map { i =>
+      val a = 1L + 2L * i
+      val b = 40503L * (i + 1) % p
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    hashed.groupBy("id").agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Exact pairwise Jaccard from flat shingle rows, relationally:
+    * |A∩B| = count of matching hashes per candidate pair (join on h),
+    * |A|,|B| from per-doc counts. Pairs with empty intersection never
+    * materialize — exactly what a >0 threshold wants. `cand` must have
+    * columns (id_a, id_b). */
+  def jaccardForPairs(cand: DataFrame, rows: DataFrame): DataFrame = {
+    val sizes = rows.groupBy("id").agg(count(lit(1)).as("sz"))
+    cand.join(rows.toDF("id_a", "h"), Seq("id_a"))
+      .join(rows.toDF("id_b", "h"), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+      .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni") / (col("sz_a") + col("sz_b") - col("ni"))).as("jaccard"))
+  }
+
   /** MinHash + LSH near-dup candidate pairs: band the signature, shuffle
     * on (band index, band hash), join within buckets, then verify with
     * exact Jaccard over shingles. Output: (id_a, id_b, jaccard) with
@@ -46,27 +102,23 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val base = docs.select(col(idCol).as("id"),
-        Text.wordShingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val rows = shingleRows(docs, textCol, idCol, shingleSize)
 
-    val banded = base.select(col("id"), col("sh"),
+    // Band only (id, band, bucket) — don't drag shingle sets through the
+    // LSH shuffle; dedupe candidate pairs BEFORE the verify join.
+    val banded = minhashSignatures(rows, numHashes)
+      .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .select(col("id"), col("sh"), col("pos").as("band"),
-        hash(col("col")).as("bucket"))
-
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+      .repartition(col("band"), col("bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
-      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b").distinct()
+
+    jaccardForPairs(cand, rows).filter(col("jaccard") >= threshold)
   }
 
   /** SimHash: 64-bit signature = sign of per-bit weighted sums of token
@@ -86,12 +138,27 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash signatures via explode + partial-aggregated bit sums — same
+    * scale rationale as [[minhashSignatures]]: one hash per token, 64
+    * conditional-sum aggregates, map-side combine before the id shuffle. */
+  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$bit"))
+    hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(bit =>
+          when(col(s"b$bit") >= 0, lit(1L << bit)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+  }
+
   /** SimHash near-dup pairs within hamming distance `maxDist`, candidates
     * generated by matching any of 4 16-bit signature quarters. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
-      simhash(Text.tokens(col(textCol))).as("sig"))
+    val base = simhashSignatures(docs, textCol, idCol)
     val quarters = base.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -109,11 +176,18 @@ object Dedup {
     * here; at scale an LSH hyperplane bucket). */
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // Hoist per-row norms out of the pairwise compute: |v| is evaluated
+    // once per vector instead of once per pair. cos = dot/(na*nb) is the
+    // bit-identical computation to Vectors.cosine.
+    val withNorm = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).as("v"), Vectors.norm(col(vecCol)).as("nv"))
+    val a = withNorm.select(col("blk"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nv").as("n_a"))
+    val b = withNorm.select(col("blk"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nv").as("n_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Vectors.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -40,6 +40,20 @@ object Text {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Shingle sets hashed to 64-bit ints: same cardinalities as
+    * [[wordShingles]] (collisions are ~2^-64), but set intersection runs
+    * on longs instead of strings — the representation to carry through
+    * pairwise-verify joins at corpus scale. The n tokens are hashed
+    * directly (multi-arg xxhash64) — no intermediate concat'd strings,
+    * which dominate the cost of the interpreted higher-order transform. */
+  def hashedShingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        xxhash64((0 until n).map(k => element_at(w, i + k)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Deterministic rolling polynomial fingerprint over the first
     * `prefixLen` characters: fold (acc*31 + codepoint) mod 1e9+7.
     * Engine-portable (same result in any SQL engine with a list fold).

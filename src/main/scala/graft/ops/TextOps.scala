@@ -49,18 +49,29 @@ object TextOps {
       .select(col("doc_id"), Text.fingerprint(col("text"), 64).as("fp"))
       .orderBy("doc_id")
 
-  /** Exact n-gram Jaccard near-dup pairs, blocked by (lang, source). */
+  /** Exact n-gram Jaccard near-dup pairs, blocked by (lang, source).
+    *
+    * Computed relationally from flat (id, hash) shingle rows: the
+    * intersection join on (block, shingle-hash) only materializes pairs
+    * that SHARE a shingle — the dense block cross-product (and its
+    * array_intersect per pair) never exists. Pairs with an empty
+    * intersection have Jaccard 0 and can't pass a positive threshold,
+    * so the output is identical to the oracle's pairwise definition. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"),
-        Text.wordShingles(col("text"), 3).as("sh"))
-    val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "source"))
+    val docs = load(spark, dir, "documents")
+    val rows = Dedup.shingleRows(docs, "text", "doc_id", 3)
+      .join(docs.select(col("doc_id").as("id"), col("lang"), col("source")), Seq("id"))
+    val sizes = rows.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = rows.toDF("id_a", "h", "lang", "source")
+    val b = rows.toDF("id_b", "h", "lang", "source")
+    a.join(b, Seq("lang", "source", "h"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+      .join(sizes.toDF("id_a", "sz_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sz_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni") / (col("sz_a") + col("sz_b") - col("ni"))).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-      .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
 
