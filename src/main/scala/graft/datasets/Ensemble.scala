@@ -1,0 +1,150 @@
+package graft.datasets
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Geo
+
+/** Ensemble-forecast-track operations over long-format track points
+  * (model, init, annual_id, ens, ens_name, hour, lat, lon, wind, mslp) —
+  * the Spark rewrite of the reference's xarray module
+  * (tcdb/etl/syntracks.py). Long format end to end; the dense 2-D
+  * ensemble×step grid is only a pivoted VIEW at the edge (SURVEY.md §7.3).
+  */
+object Ensemble {
+
+  /** W5 — dense time-spine alignment (syntracks.py:107-127): for each
+    * (model, init) generate the full 6-hourly valid grid × every ensemble
+    * member, left-join observed points; missing steps stay null. */
+  def denseGrid(tracks: DataFrame, numEns: Int, maxStep: Int,
+      resHours: Int = 6): DataFrame = {
+    val spine = tracks.select("model", "init").distinct()
+      .withColumn("hour",
+        explode(sequence(lit(0), lit(maxStep), lit(resHours))))
+      .withColumn("ens", explode(sequence(lit(1), lit(numEns))))
+      .withColumn("valid",
+        col("init") + col("hour") * expr("interval 1 hour"))
+    spine.join(tracks, Seq("model", "init", "ens", "hour"), "left_outer")
+  }
+
+  /** A7/consensus — most_common with Counter semantics
+    * (syntracks.py:194-200): max count wins, ties resolved by first
+    * occurrence (min ens) for determinism. */
+  def mostCommon(tracks: DataFrame, field: String): DataFrame =
+    tracks.filter(col(field).isNotNull)
+      .groupBy("model", "init", field)
+      .agg(count(lit(1)).as("c"), min("ens").as("first_ens"))
+      .groupBy("model", "init")
+      .agg(min(struct((-col("c")).as("nc"), col("first_ens"),
+        col(field).as("v"))).getField("v").as(field))
+
+  /** A9/W4 — ensemble mean member (syntracks.py:152-191): average the
+    * non-deterministic members (1..numEns-2) per step, round to 3
+    * decimals, and append as member numEns+1 named ENS_MEAN. */
+  def withEnsMean(tracks: DataFrame, numEns: Int): DataFrame = {
+    val mean = tracks
+      .filter(col("ens").between(1, numEns - 2))
+      .groupBy("model", "init", "annual_id", "hour")
+      .agg(
+        round(avg("lat"), 3).as("lat"), round(avg("lon"), 3).as("lon"),
+        round(avg("wind"), 3).as("wind"), round(avg("mslp"), 3).as("mslp"))
+      .withColumn("ens", lit(numEns + 1))
+      .withColumn("ens_name", lit("ENS_MEAN"))
+    tracks.unionByName(mean.select(tracks.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** Median variant of the synthetic member (syntracks.py:162-163). */
+  def withEnsMedian(tracks: DataFrame, numEns: Int): DataFrame = {
+    val med = tracks
+      .filter(col("ens").between(1, numEns - 2))
+      .groupBy("model", "init", "annual_id", "hour")
+      .agg(
+        round(median(col("lat")), 3).as("lat"),
+        round(median(col("lon")), 3).as("lon"),
+        round(median(col("wind")), 3).as("wind"),
+        round(median(col("mslp")), 3).as("mslp"))
+      .withColumn("ens", lit(numEns + 1))
+      .withColumn("ens_name", lit("ENS_MEDIAN"))
+    tracks.unionByName(med.select(tracks.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** J7 — track claiming (syntracks.py:281-375): assign unclaimed tracks
+    * (annual_id = 0, identified by (ens, track_no) — a tracker may emit
+    * several tracks per ensemble member) to invests when the track's
+    * FIRST step is close enough in time (< timeThresholdDays from the
+    * invest's valid time) and space (<= distThresholdNm great-circle),
+    * preferring the track with the most steps per (invest, ens). A track
+    * claimed by several invests goes to the lowest annual id
+    * (deterministic stand-in for the reference's iteration order).
+    *
+    * `invests`: (inv_annual_id, inv_name, inv_valid, inv_lat, inv_lon).
+    * Returns tracks with claimed annual ids / names applied.
+    */
+  def claimTracks(tracks: DataFrame, invests: DataFrame,
+      distThresholdNm: Double = 310.0,
+      timeThresholdDays: Double = 1.5): DataFrame = {
+    val firstSteps = tracks.filter(col("lat").isNotNull)
+      .groupBy("model", "init", "ens", "track_no")
+      .agg(
+        min(struct(col("hour"), col("lat").as("lat0"), col("lon").as("lon0")))
+          .getField("lat0").as("lat0"),
+        min(struct(col("hour"), col("lat").as("x"), col("lon").as("lon0")))
+          .getField("lon0").as("lon0"),
+        min(col("hour")).as("hour0"),
+        count(lit(1)).as("n_steps"),
+        first(col("annual_id")).as("annual_id"))
+
+    val unassigned = firstSteps.filter(col("annual_id") === 0)
+      .withColumn("valid0", col("init") + col("hour0") * expr("interval 1 hour"))
+
+    val candidates = unassigned.crossJoin(broadcast(invests))
+      .filter((unix_timestamp(col("valid0")) - unix_timestamp(col("inv_valid")))
+        < (timeThresholdDays * 86400).toLong)
+      .withColumn("dist", Geo.greatCircle(col("lat0"), col("lon0"),
+        col("inv_lat"), col("inv_lon"), "nm"))
+      .filter(col("dist") <= distThresholdNm)
+
+    // longest track wins per (invest, ens), ties → lowest track_no …
+    val perInvest = Window.partitionBy("model", "init", "inv_annual_id", "ens")
+      .orderBy(col("n_steps").desc, col("track_no").asc)
+    // … then one invest per track (lowest annual id)
+    val perTrack = Window.partitionBy("model", "init", "ens", "track_no")
+      .orderBy(col("inv_annual_id").asc)
+    val claims = candidates
+      .withColumn("rn", row_number().over(perInvest)).filter(col("rn") === 1)
+      .withColumn("rt", row_number().over(perTrack)).filter(col("rt") === 1)
+      .select(col("model"), col("init"), col("ens"), col("track_no"),
+        col("inv_annual_id"), col("inv_name"))
+
+    val joined = tracks.join(claims, Seq("model", "init", "ens", "track_no"),
+      "left_outer")
+      .withColumn("__claimed",
+        col("annual_id") === 0 && col("inv_annual_id").isNotNull)
+      .withColumn("annual_id",
+        when(col("__claimed"), col("inv_annual_id")).otherwise(col("annual_id")))
+    // the reference stamps the invest's name on the claimed track
+    // (syntracks.py:373-374) — applied when the column exists
+    val named = if (tracks.columns.contains("storm_name"))
+      joined.withColumn("storm_name",
+        when(col("__claimed"), col("inv_name")).otherwise(col("storm_name")))
+    else joined
+    named.drop("inv_annual_id", "inv_name", "__claimed")
+  }
+
+  /** Wide view at the edge: one row per (model, init, ens) with per-step
+    * arrays ordered by hour — the xarray-grid shape for export. */
+  def toWide(tracks: DataFrame): DataFrame =
+    tracks
+      .groupBy("model", "init", "ens", "ens_name", "annual_id")
+      .agg(
+        array_sort(collect_list(struct(col("hour"), col("lat"), col("lon"),
+          col("wind"), col("mslp")))).as("pts"))
+      .select(col("model"), col("init"), col("ens"), col("ens_name"),
+        col("annual_id"),
+        transform(col("pts"), p => p.getField("hour")).as("hours"),
+        transform(col("pts"), p => p.getField("lat")).as("lats"),
+        transform(col("pts"), p => p.getField("lon")).as("lons"),
+        transform(col("pts"), p => p.getField("wind")).as("winds"),
+        transform(col("pts"), p => p.getField("mslp")).as("mslps"))
+}

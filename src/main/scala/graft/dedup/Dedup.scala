@@ -67,10 +67,14 @@ object Dedup {
     * before the shuffle on doc id — the shape that scales to 100 TB. */
   def minhashSignatures(rows: DataFrame, numHashes: Int): DataFrame = {
     val p = 2038074743L
+    // deterministic, well-mixed permutation constants — tiny sequential
+    // multipliers (1,3,5,…) correlate the permutations and break the
+    // banding estimator
+    val rnd = new scala.util.Random(0x5eed)
     val hashed = rows.select(col("id"), pmod(col("h"), lit(p)).as("h"))
     val minCols = (0 until numHashes).map { i =>
-      val a = 1L + 2L * i
-      val b = 40503L * (i + 1) % p
+      val a = 1L + rnd.nextLong(p - 1)
+      val b = rnd.nextLong(p)
       min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
     }
     hashed.groupBy("id").agg(minCols.head, minCols.tail: _*)

@@ -1,0 +1,191 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Atcf, Validators}
+import graft.schema.Schemas
+
+/** ATCF a-deck/b-deck/tcvitals parsing as declarative Spark plans
+  * (SURVEY.md §2.1 S1–S5).
+  *
+  * Shape: `spark.read.text` (gzip transparent) → comma split → ragged-row
+  * filter/pad (rows <18 fields dropped, short rows padded with nulls via
+  * OOB-null `get`) → positional projection → typed decode. All columnar,
+  * codegen'd, partition-parallel — a 100 TB landing dir parses exactly
+  * like one file.
+  *
+  * Reference semantics: tcdb/etl/atcf.py:19-171 (parse), :227-250
+  * (ragged normalizer), scripts/download_parse_tcvitals.py (tcvitals).
+  */
+object AtcfParser {
+
+  /** Read raw deck lines, tagging each row with its source file name. */
+  def readDeckLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.textFile(path).toDF("value")
+      .withColumn("file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+
+  /** Split + ragged-normalize + positionally project `cols`; keeps `file`. */
+  private def project(lines: DataFrame, cols: Seq[String]): DataFrame = {
+    val parts = split(col("value"), ",")
+    val projected = cols.zipWithIndex.map { case (name, i) =>
+      get(parts, lit(i)).as(name) // 0-based, null when out of bounds
+    }
+    lines
+      .filter(size(split(col("value"), ",")) >= 18) // tcdb/etl/atcf.py:245
+      .select((col("file") +: projected): _*)
+  }
+
+  /** Typed decode shared by both decks. */
+  private def decode(df: DataFrame, numericCols: Seq[String],
+      allCols: Seq[String]): DataFrame = {
+    val decoded = df
+      .withColumn("datetime", Atcf.parseAtcfDatetime(col("datetime")))
+      .withColumn("lat", Atcf.atcfLat(col("lat")))
+      .withColumn("lon", Atcf.atcfLon(col("lon")))
+      .withColumn("snum", trim(col("snum")).cast("int"))
+      .withColumn("tau", trim(col("tau")).cast("int"))
+      .withColumn("rad", Atcf.numOrNull(col("rad")))
+    val withNums = numericCols.foldLeft(decoded)((d, c) =>
+      d.withColumn(c, Atcf.numOrNull(col(c))))
+    val strCols = allCols.filterNot(c =>
+      (numericCols ++ Seq("datetime", "lat", "lon", "snum", "tau", "rad")).contains(c))
+    strCols.foldLeft(withNums)((d, c) => d.withColumn(c, Atcf.strOrNull(col(c))))
+  }
+
+  /** S1 — a-deck (forecast aids): 17 positional columns. */
+  def parseADeck(lines: DataFrame): DataFrame =
+    decode(project(lines, Schemas.aDeckColumns),
+      Schemas.aDeckNumeric, Schemas.aDeckColumns)
+
+  /** S2/S3 — b-deck (best track): 36 positional columns, ragged rows. */
+  def parseBDeck(lines: DataFrame): DataFrame =
+    decode(project(lines, Schemas.bDeckColumns),
+      Schemas.bDeckNumeric, Schemas.bDeckColumns)
+
+  /** S5 — tcvitals: whitespace-delimited, multi-sentinel NA. */
+  def parseTcvitals(lines: DataFrame): DataFrame = {
+    val parts = split(regexp_replace(trim(col("value")), " +", ","), ",")
+    val projected = Schemas.tcvitalsColumns.zipWithIndex.map { case (name, i) =>
+      get(parts, lit(i)).as(name)
+    }
+    val df = lines.select(projected: _*)
+    Schemas.tcvitalsColumns.foldLeft(df)((d, c) =>
+      d.withColumn(c,
+        when(col(c).isin(Schemas.tcvitalsNa: _*), lit(null)).otherwise(col(c))))
+  }
+
+  // ------------------------------------------------------------- summaries
+
+  /** File-name metadata: `b{basin}{nn}{season}.dat` → (basin, nhc_number,
+    * season) — tcdb/models/database.py:40-43. */
+  private def fileMeta(df: DataFrame): DataFrame = df
+    .withColumn("file_basin", upper(substring(col("file"), 2, 2)))
+    .withColumn("file_nhc_number", substring(col("file"), 4, 2).cast("int"))
+    .withColumn("file_season",
+      regexp_extract(col("file"), "^.(..)(..)([0-9]{4})", 3).cast("int"))
+
+  /** Per-file storm summary — the set-based `toStormDict`
+    * (tcdb/etl/atcf.py:289-337). One aggregation pass per file; "last row"
+    * becomes max-by event time (b-decks are chronologically ordered).
+    */
+  def stormSummaries(bdeck: DataFrame): DataFrame = {
+    val rowKey = struct(col("datetime"), coalesce(col("rad"), lit(0.0)))
+    val grouped = fileMeta(bdeck)
+      .groupBy("file", "file_basin", "file_nhc_number", "file_season")
+      .agg(
+        max("vmax").as("vmax_max"),
+        min(struct(rowKey.as("k"), col("basin").as("v"))).getField("v").as("basin_first"),
+        max(struct(rowKey.as("k"), col("snum").as("v"))).getField("v").as("snum_last"),
+        max(struct(rowKey.as("k"), col("subregion").as("v"))).getField("v").as("subregion_last"),
+        max(struct(rowKey.as("k"), col("stormname").as("v"))).getField("v").as("name_last"),
+        // mode of stormname with pandas' tie-break (lexicographic min):
+        // max count, then min value — computed distributed-safe below.
+        min(struct(col("datetime").as("k"), col("lat").as("v"))).getField("v").as("lat_first"),
+        min(struct(col("datetime").as("k"), col("lon").as("v"))).getField("v").as("lon_first"),
+        min("datetime").as("start_date"),
+        max("datetime").as("end_date"))
+
+    val nameMode = bdeck.filter(col("stormname").isNotNull)
+      .groupBy("file", "stormname").agg(count(lit(1)).as("c"))
+      .groupBy("file")
+      .agg(max(struct(col("c"), col("stormname").as("v")))
+        .getField("v").as("name_mode"))
+
+    val org = when(lower(col("basin_first")).isin("al", "ep", "cp"), "NHC")
+      .otherwise("JTWC")
+    val stormType = Atcf.stormType(col("vmax_max"), col("basin_first"))
+    val rawName = coalesce(col("name_last"), col("name_mode"))
+
+    grouped.join(nameMode, Seq("file"), "left_outer")
+      .withColumn("nhc_number", col("snum_last"))
+      .withColumn("region", col("basin_first"))
+      .withColumn("season", col("file_season"))
+      .withColumn("name",
+        when(col("nhc_number") >= 70,
+          Atcf.investName(org, col("nhc_number"), col("subregion_last")))
+        .otherwise(concat(stormType, lit("-"), initcap(lower(rawName)))))
+      .withColumn("nhc_id",
+        Atcf.nhcId(col("region"), col("nhc_number"), col("season")))
+      .withColumn("start_lat", Validators.validateLatitude(col("lat_first")))
+      .withColumn("start_lon", Validators.validateLongitude(col("lon_first")))
+      .select("file", "region", "nhc_number", "nhc_id", "season",
+        "start_date", "end_date", "name", "start_lat", "start_lon")
+  }
+
+  /** Radial quadrant pivot for one threshold (tcdb/etl/atcf.py:418-427):
+    * rXX_qq = the quadrant value of the row whose RAD == rad, as int. */
+  private def radial(rad: Int, quad: String): Column =
+    max(when(col("rad") === rad,
+      Validators.validateDistance(col(quad)))).cast("int").as(s"r${rad}_$quad")
+
+  /** Per-datetime observation rows with the full r34/r50/r64 pivot —
+    * set-based `observationDictFromDataFrame` (tcdb/etl/atcf.py:340-385).
+    */
+  def observations(bdeck: DataFrame): DataFrame = {
+    val first = (c: String) =>
+      min(struct(coalesce(col("rad"), lit(0.0)).as("k"), col(c).as("v")))
+        .getField("v").as(c)
+    bdeck.groupBy(col("file"), col("datetime").as("datetime_utc"))
+      .agg(
+        first("lat"), first("lon"), first("vmax"), first("mslp"),
+        first("pouter"), first("roci"), first("rmw"),
+        radial(34, "ne"), radial(34, "se"), radial(34, "sw"), radial(34, "nw"),
+        radial(50, "ne"), radial(50, "se"), radial(50, "sw"), radial(50, "nw"),
+        radial(64, "ne"), radial(64, "se"), radial(64, "sw"), radial(64, "nw"))
+      .select(col("file"), col("datetime_utc"),
+        Validators.validateLatitude(col("lat")).as("latitude"),
+        Validators.validateLongitude(col("lon")).as("longitude"),
+        Validators.validateVelocity(col("vmax")).as("intensity_kts"),
+        Validators.validatePressure(col("mslp")).as("mslp_mb"),
+        col("r34_ne"), col("r34_se"), col("r34_sw"), col("r34_nw"),
+        col("r50_ne"), col("r50_se"), col("r50_sw"), col("r50_nw"),
+        col("r64_ne"), col("r64_se"), col("r64_sw"), col("r64_nw"),
+        Validators.validatePressure(col("pouter")).as("pouter_mb"),
+        Validators.validateDistance(col("roci")).as("router_nmi"),
+        Validators.validateDistance(col("rmw")).as("rmw_nmi"))
+  }
+
+  /** Forecast steps from an a-deck: one row per (init, model, hour) with
+    * the radial pivot — set-based per-TAU upsert loop
+    * (tcdb/etl/atcf_forecasts.py:119-131, atcf.py:388-415). */
+  def forecastSteps(adeck: DataFrame): DataFrame = {
+    val first = (c: String) =>
+      min(struct(coalesce(col("rad"), lit(0.0)).as("k"), col(c).as("v")))
+        .getField("v").as(c)
+    fileMeta(adeck)
+      .groupBy(col("file"), col("file_basin").as("region"),
+        col("file_nhc_number").as("nhc_number"),
+        col("file_season").as("season"),
+        col("datetime").as("datetime_utc"), col("tech").as("model"),
+        col("tau").as("hour"))
+      .agg(first("lat"), first("lon"), first("vmax"), first("mslp"))
+      .select(col("file"), col("region"), col("nhc_number"), col("season"),
+        col("datetime_utc"), col("model"),
+        Validators.validateForecastStep(col("hour")).cast("int").as("hour"),
+        Validators.validateLatitude(col("lat")).as("latitude"),
+        Validators.validateLongitude(col("lon")).as("longitude"),
+        Validators.validateVelocity(col("vmax")).as("intensity_kts"),
+        Validators.validatePressure(col("mslp")).as("mslp_mb"))
+  }
+}

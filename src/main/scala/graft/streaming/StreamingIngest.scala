@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.{Pipelines, Store}
+
+/** Structured Streaming variants of the ingest semantics (SURVEY.md §2.8).
+  *
+  * T1 file-source ingest, T2 watermark late-data policy, T5 idempotent
+  * foreachBatch MERGE, T8 tumbling 6-hour cycles. The batch pipelines
+  * remain the semantic core; streaming wraps them per micro-batch, which
+  * is exactly the reference's cron cadence made continuous.
+  */
+object StreamingIngest {
+
+  /** T1/T5 — continuous b-deck ingest: watch a landing dir, run the full
+    * batch resolution+upsert per micro-batch (exactly-once effects via
+    * natural-key MERGE idempotence). */
+  def bdeckStream(spark: SparkSession, landing: String, store: Store,
+      checkpoint: String, now: () => Timestamp): StreamingQuery =
+    spark.readStream.textFile(landing).toDF("value")
+      .withColumn("file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect() // micro-batch of file lines: small
+        if (rows.nonEmpty) {
+          val spark = batch.sparkSession
+          // materialize the micro-batch so the (heavily branching)
+          // resolution plan doesn't re-read the streaming source per branch
+          val lines = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toSeq), batch.schema)
+          val bdeck = graft.parse.AtcfParser.parseBDeck(lines)
+          val ts = now()
+          val summaries = graft.parse.AtcfParser.stormSummaries(bdeck)
+          val storms = graft.resolve.StormResolver.resolve(
+            store.read("storms", graft.schema.Schemas.storms),
+            summaries, ts, Pipelines.runId("STORMS_STREAM", ts))
+          store.write("storms", storms.withColumn("last_update", lit(ts)))
+        }
+        ()
+      }
+      .start()
+
+  /** T2/T8 — windowed event-time aggregation with a 48 h watermark over
+    * observation events: counts + peak intensity per 6 h cycle. */
+  def cycleAggStream(obs: DataFrame): DataFrame =
+    obs
+      .withWatermark("datetime_utc", "48 hours")
+      .groupBy(window(col("datetime_utc"), "6 hours").getField("start").as("cycle"),
+        col("nhc_id"))
+      .agg(count(lit(1)).as("n_obs"), max("intensity_kts").as("peak_kts"))
+
+  /** T3 — stateful Active→Archive transition as a streaming aggregation:
+    * latest observation per storm, status derived on read. */
+  def statusStream(obs: DataFrame): DataFrame =
+    obs.withWatermark("datetime_utc", "48 hours")
+      .groupBy(col("nhc_id"))
+      .agg(max("datetime_utc").as("last_obs"))
+}

@@ -1,0 +1,90 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.similarity.Ann
+
+class DedupAnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and once"), // near-dup of 1
+    (3L, "completely different words about spark catalyst optimizer plans"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical payloads (S13)") {
+    val out = Dedup.exact(docs, "text", "doc_id").orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("shingleRows counts distinct n-grams") {
+    val rows = Dedup.shingleRows(docs, "text", "doc_id", 3)
+    val sizes = rows.groupBy("id").count().orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1: 12 tokens -> 10 shingles, "again and again" dup-free? all distinct
+    assert(sizes.toMap.apply(1L) == 10)
+    assert(sizes.toMap.apply(3L) == 6)
+  }
+
+  test("jaccardForPairs matches hand-computed value") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val rows = Dedup.shingleRows(docs, "text", "doc_id", 3)
+    val j = Dedup.jaccardForPairs(pairs, rows).collect()(0).getAs[Double]("jaccard")
+    // docs 1,2 share 9 of their 10+10 shingles -> 9/11
+    assert(math.abs(j - 9.0 / 11.0) < 1e-12)
+  }
+
+  test("minhashLsh finds near-dup and exact-dup pairs, skips distinct docs") {
+    val out = Dedup.minhashLsh(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 4L))) // exact dup always collides
+    assert(out.contains((1L, 2L)) || out.contains((2L, 4L))) // near dup
+    assert(!out.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs distance 0, distinct docs far (dedup)") {
+    val sigs = Dedup.simhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("embedding near-dup within blocks (cosine threshold)") {
+    val emb = Seq(
+      (1L, 0, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Seq(0.99f, 0.1f, 0.0f)),  // near 1
+      (3L, 0, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (4L, 1, Seq(1.0f, 0.0f, 0.0f)))   // same dir, other block
+      .toDF("vec_id", "label", "embedding")
+    val out = Dedup.embeddingNearDup(emb, "embedding", "vec_id", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("ANN brute force returns exact neighbors; LSH recalls them") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(30)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val emb = base.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact = Ann.bruteForceTopK(emb, queries, k = 5)
+    assert(exact.groupBy("qid").count().collect().forall(_.getLong(1) == 5))
+    // rank 1 neighbor must have the max cosine — cross-check one query
+    val approx = Ann.lshTopK(emb, queries, k = 5, dim = 16, nBits = 4)
+    val exactSet = exact.filter(col("qid") === 0).collect()
+      .map(_.getAs[Long]("neighbor")).toSet
+    val approxSet = approx.filter(col("qid") === 0).collect()
+      .map(_.getAs[Long]("neighbor")).toSet
+    assert(approxSet.subsetOf(exactSet) || approxSet.intersect(exactSet).nonEmpty)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.parse.Fixtures
+import graft.pipeline.Store
+import graft.schema.Schemas
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val now = Timestamp.valueOf("2022-09-28 18:00:00")
+
+  test("T1/T5 streaming bdeck ingest matches the batch result") {
+    val landing = Files.createTempDirectory("s_landing")
+    val storeDir = Files.createTempDirectory("s_store")
+    val ckpt = Files.createTempDirectory("s_ckpt")
+    Files.write(landing.resolve("bal092022.dat"),
+      Seq(Fixtures.bdeck("2022092800", 34),
+        Fixtures.bdeck("2022092806", 34, vmax = 110))
+        .mkString("\n").getBytes)
+    val store = new Store(spark, storeDir.toString)
+
+    val q = StreamingIngest.bdeckStream(spark, landing.toString, store,
+      ckpt.toString, () => now)
+    q.awaitTermination(60000)
+
+    val storms = store.read("storms", Schemas.storms).collect()
+    assert(storms.length == 1)
+    assert(storms(0).getAs[String]("nhc_id") == "AL092022")
+    assert(storms(0).getAs[Int]("annual_id") == 1)
+
+    // second micro-batch: new file claims next annual id (stateful resume)
+    Files.write(landing.resolve("bal912022.dat"),
+      Seq(Fixtures.bdeck("2022092812", 34, snum = 91, name = "INVEST",
+        lat = "150N", lon = "400W")).mkString("\n").getBytes)
+    val q2 = StreamingIngest.bdeckStream(spark, landing.toString, store,
+      ckpt.toString, () => now)
+    q2.awaitTermination(60000)
+    val after = store.read("storms", Schemas.storms).orderBy("nhc_number").collect()
+    assert(after.map(_.getAs[Int]("annual_id")).toSeq == Seq(1, 2))
+  }
+
+  test("T2/T8 windowed cycle aggregation equals the batch computation") {
+    val obs = Seq(
+      ("AL092022", "2022-09-28 00:15:00", 100.0),
+      ("AL092022", "2022-09-28 05:59:00", 105.0),
+      ("AL092022", "2022-09-28 06:01:00", 110.0))
+      .map { case (id, t, k) => (id, Timestamp.valueOf(t), k) }
+      .toDF("nhc_id", "datetime_utc", "intensity_kts")
+    val out = StreamingIngest.cycleAggStream(obs)
+      .orderBy("cycle").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_obs") == 2 &&
+      out(0).getAs[Double]("peak_kts") == 105.0)
+    assert(out(1).getAs[Double]("peak_kts") == 110.0)
+  }
+}
