@@ -106,7 +106,10 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val rows = shingleRows(docs, textCol, idCol, shingleSize)
+    // Materialize the shingle rows once: they feed four plan branches
+    // (signatures, both verify sides, sizes) which would otherwise each
+    // recompute the tokenize+window pipeline.
+    val rows = shingleRows(docs, textCol, idCol, shingleSize).localCheckpoint()
 
     // Band only (id, band, bucket) — don't drag shingle sets through the
     // LSH shuffle; dedupe candidate pairs BEFORE the verify join.

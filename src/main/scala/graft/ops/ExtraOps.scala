@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.load
+import graft.merge.Merge
+
+/** Remaining SURVEY.md §2 operators surfaced through the gate. */
+object ExtraOps {
+
+  /** A14/F20 — MERGE action rollup with field-wise change detection:
+    * inserted / updated / unchanged / untouched counts. */
+  def mergeStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val existing = o.filter(col("o_orderkey") % 3 === 0)
+    val incoming = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 4 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    Merge.mergeStats(existing, incoming, Seq("o_orderkey"))
+      .orderBy("action")
+  }
+
+  /** A9/W4 — ensemble-mean synthetic member: average members 1..n-2 per
+    * step, round to 3, append as member 99 (syntracks.py:152-191 shape
+    * over the lineitem "ensemble" = l_linenumber 1..7). */
+  def ensMeanMember(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val members = li.groupBy(col("l_returnflag"), col("l_linenumber").as("member"))
+      .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avg_qty"))
+      .withColumn("avg_qty", round(col("avg_qty"), 3))
+    // synthetic mean member over members 1..5 (n=7 -> exclude 6,7)
+    val mean = li.filter(col("l_linenumber").between(1, 5))
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1)), 3).as("avg_qty"))
+      .withColumn("member", lit(99))
+    members.unionByName(mean.select("l_returnflag", "member", "avg_qty"))
+      .orderBy("l_returnflag", "member")
+  }
+
+  /** S10 — JSON document export (to_json over struct); JSON text layout
+    * is engine-specific → rows-only check, content asserted in specs. */
+  def jsonExport(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("ts").as("last_ts"))
+      .select(col("user_id"),
+        to_json(struct(col("user_id"), col("n"), col("last_ts"))).as("doc"))
+      .orderBy("user_id")
+
+  /** Approximate distinct (HLL) — free with the engine; approx values
+    * are engine-specific → rows-only check plus exact-bound assertion
+    * in specs. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_merge_stats", mergeStats, Some(
+      """WITH existing AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |incoming AS (SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT CASE WHEN e.o_orderkey IS NULL THEN 'inserted'
+        |  WHEN i.o_orderkey IS NULL THEN 'untouched'
+        |  WHEN e.o_orderstatus IS DISTINCT FROM i.o_orderstatus
+        |    OR e.o_totalprice IS DISTINCT FROM i.o_totalprice THEN 'updated'
+        |  ELSE 'unchanged' END AS action, count(*) AS n
+        |FROM existing e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey
+        |GROUP BY 1 ORDER BY action""".stripMargin), "A14/F20"),
+    QuerySpec("q_ens_mean_member", ensMeanMember, Some(
+      """SELECT l_returnflag, member, avg_qty FROM (
+        |  SELECT l_returnflag, l_linenumber AS member,
+        |    round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 3) AS avg_qty
+        |  FROM lineitem GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT l_returnflag, 99 AS member,
+        |    round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 3) AS avg_qty
+        |  FROM lineitem WHERE l_linenumber BETWEEN 1 AND 5 GROUP BY 1) t
+        |ORDER BY l_returnflag, member""".stripMargin), "A9/W4"),
+    QuerySpec("q_json_export", jsonExport, None, "S10/F18"),
+    QuerySpec("q_approx_distinct", approxDistinct, None, "approx/HLL"),
+  )
+}
