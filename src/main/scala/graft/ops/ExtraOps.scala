@@ -63,7 +63,25 @@ object ExtraOps {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** F9 via the native codegen'd Catalyst expression — same oracle as the
+    * composed-Column q_fn_great_circle (the two are bit-identical). */
+  def greatCircleNative(spark: SparkSession, dir: String): DataFrame = {
+    val gc = graft.functions.expressions.GreatCircleDistance
+    val c = load(spark, dir, "customer")
+    val lat1 = (col("c_custkey") % 120) / 2.0 - 30.0
+    val lon1 = (col("c_custkey") % 300) / 2.0 - 75.0
+    val lat2 = lat1 + ((col("c_custkey") % 7) - 3)
+    val lon2 = lon1 + ((col("c_custkey") % 11) - 5)
+    c.select(col("c_custkey"),
+        round(gc.greatCircleNative(lat1, lon1, lat2, lon2, "nm"), 3).as("dist_nm"),
+        round(gc.greatCircleNative(lat1, lon1, lat2, lon2, "km"), 3).as("dist_km"))
+      .orderBy("c_custkey")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_fn_great_circle_native", greatCircleNative,
+      FunctionOps.specs.find(_.name == "q_fn_great_circle").get.oracle,
+      "F9/native-expr"),
     QuerySpec("q_merge_stats", mergeStats, Some(
       """WITH existing AS (SELECT o_orderkey, o_orderstatus, o_totalprice
         |  FROM orders WHERE o_orderkey % 3 = 0),

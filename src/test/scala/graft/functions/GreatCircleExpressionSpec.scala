@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.expressions.GreatCircleDistance
+
+class GreatCircleExpressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val pts = (1 to 500).map { i =>
+    ((i % 120) / 2.0 - 30.0, (i % 300) / 2.0 - 75.0,
+      (i % 110) / 2.0 - 25.0, (i % 250) / 2.0 - 60.0)
+  }.toDF("lat1", "lon1", "lat2", "lon2")
+
+  test("native expression is bit-identical to the composed Column form") {
+    val diff = pts.select(
+      GreatCircleDistance.greatCircleNative(
+        col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("native"),
+      Geo.greatCircle(col("lat1"), col("lon1"), col("lat2"), col("lon2"), "nm")
+        .as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(diff == 0)
+  }
+
+  test("nulls propagate") {
+    val r = Seq((Some(1.0), None: Option[Double]))
+      .toDF("a", "b")
+      .select(GreatCircleDistance.greatCircleNative(
+        col("a"), col("b"), col("a"), col("a")))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("SQL registration works end-to-end") {
+    GreatCircleDistance.register(spark)
+    pts.createOrReplaceTempView("gc_pts")
+    val n = spark.sql(
+      """SELECT great_circle(lat1, lon1, lat2, lon2) AS d FROM gc_pts
+        |WHERE great_circle(lat1, lon1, lat2, lon2) >= 0""".stripMargin).count()
+    assert(n == 500)
+  }
+
+  test("interpreted eval path (codegen fallback) agrees") {
+    // force the interpreted path via eval on the expression itself
+    val e = GreatCircleDistance(
+      org.apache.spark.sql.catalyst.expressions.Literal(25.76),
+      org.apache.spark.sql.catalyst.expressions.Literal(-80.19),
+      org.apache.spark.sql.catalyst.expressions.Literal(23.11),
+      org.apache.spark.sql.catalyst.expressions.Literal(-82.37))
+    val v = e.eval(null).asInstanceOf[Double]
+    assert(math.abs(v - 198.6) < 2.0)
+  }
+}
