@@ -32,7 +32,19 @@ object VectorOps {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
 
+  /** IVF approximate top-3: k-means coarse quantizer + nProbe cells
+    * (Spark-native clustering — rows-only check; recall vs brute force
+    * asserted in IvfSkewSpec). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val index = graft.similarity.Ivf.build(emb, k = 16)
+    graft.similarity.Ivf.topK(index, emb.filter(col("vec_id") < 8),
+        k = 3, nProbe = 4)
+      .orderBy("qid", "rank")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_ann_ivf", annIvf, None, "similarity/ann-ivf"),
     QuerySpec("q_ann_brute_force", annBruteForce, Some(
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
         |  FROM embeddings WHERE vec_id < 8),

@@ -1,0 +1,68 @@
+package graft.similarity
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.{Vector, Vectors => MlVectors}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** IVF (inverted-file) approximate nearest-neighbor search: a k-means
+  * coarse quantizer assigns every corpus vector to its nearest centroid
+  * (one narrow pass), queries probe their `nProbe` closest cells, and
+  * exact cosine re-ranks within the probed cells.
+  *
+  * Scale shape: the corpus is partitioned by cell once and reused across
+  * query batches; a query touches nProbe/k of the corpus. Training runs
+  * on a (deterministic, seeded) sample — at 100 TB you fit the quantizer
+  * on a fraction and assign with one map-side pass.
+  */
+object Ivf {
+
+  case class Index(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
+
+  /** Fit the coarse quantizer and assign each vector to its cell. */
+  def build(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L): Index = {
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).as("emb"),
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+      .fit(vecs.select("features"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    val assigned = model.transform(vecs)
+      .select(col("id"), col("emb"), col("prediction").as("cell"))
+      .repartition(col("cell"))
+    Index(centroids, assigned)
+  }
+
+  /** Top-k cosine neighbors probing the query's nProbe nearest cells. */
+  def topK(index: Index, queries: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.toSeq.toDF("cell", "centroid")
+
+    // nearest nProbe cells per query (tiny cross product: |q| x k cells)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val cellRank = Window.partitionBy("qid")
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cdist", Vectors.l2sq(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(cellRank))
+      .filter(col("rn") <= nProbe)
+      .select("qid", "qv", "cell")
+
+    val w = Window.partitionBy("qid")
+      .orderBy(round(col("cos"), 6).desc, col("id").asc)
+    index.assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ops.Skew
+
+class IvfSkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("IVF top-k recalls brute-force neighbors with enough probes") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val index = Ivf.build(emb, k = 8)
+    assert(index.centroids.length == 8)
+
+    val exact = Ann.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+    // probing ALL cells must equal brute force exactly
+    val full = Ivf.topK(index, queries, k = 5, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+    assert(full == exact)
+    // probing 3/8 cells keeps decent recall
+    val approx = Ivf.topK(index, queries, k = 5, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor"))).toSet
+    assert(approx.intersect(exact).size >= exact.size / 2)
+  }
+
+  test("salted join matches plain join results") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "v") // key 1 is hot
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).orderBy("v")
+      .select("k", "v", "name").collect().toSeq
+    val salted = Skew.saltedJoin(big, small, Seq("k"), salt = 8)
+      .orderBy("v").select("k", "v", "name").collect().toSeq
+    assert(salted == plain)
+    val saltedBy = Skew.saltedJoinBy(big, small, Seq("k"),
+      Seq(col("v")), salt = 8).orderBy("v")
+      .select("k", "v", "name").collect().toSeq
+    assert(saltedBy == plain)
+  }
+}
