@@ -23,21 +23,6 @@ object Dedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("__h")
 
-  /** MinHash signature as a single column expression (small-array use;
-    * prefer [[minhashSignatures]] for corpus-scale work — this variant
-    * re-hashes every shingle once per permutation). */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val p = 2038074743L // prime; h,a < p so a*h+b < 2^38 — no ANSI overflow
-    val perms = (0 until numHashes).map { i =>
-      val a = 1L + 2L * i // odd multipliers
-      val b = 40503L * (i + 1) % p
-      aggregate(
-        transform(shingles, s => pmod(pmod(xxhash64(s), lit(p)) * a + b, lit(p))),
-        lit(Long.MaxValue), (acc, x) => least(acc, x))
-    }
-    array(perms: _*)
-  }
-
   /** Distinct word-n-gram shingles as flat (id, h) rows, h = 64-bit hash.
     *
     * Fully whole-stage-codegen shape: explode tokens with position, window
@@ -126,20 +111,6 @@ object Dedup {
       .select("id_a", "id_b").distinct()
 
     jaccardForPairs(cand, rows).filter(col("jaccard") >= threshold)
-  }
-
-  /** SimHash: 64-bit signature = sign of per-bit weighted sums of token
-    * hashes. Near-dups = pairs whose signatures differ in few bits;
-    * candidates bucketed by signature quarters (any exact-quarter match
-    * covers hamming distance <= 3 x quarter misses). */
-  def simhash(tokens: Column): Column = {
-    val bits: Seq[Column] = (0 until 64).map { bit =>
-      val contrib = aggregate(
-        transform(tokens, t => when(shiftright(xxhash64(t), bit).bitwiseAND(1) === 1, 1).otherwise(-1)),
-        lit(0), (acc, x) => acc + x)
-      when(contrib >= 0, lit(1L << bit)).otherwise(0L)
-    }
-    bits.reduce(_.bitwiseOR(_))
   }
 
   /** Hamming distance between two 64-bit signatures. */

@@ -75,6 +75,15 @@ object AtcfParser {
         when(col(c).isin(Schemas.tcvitalsNa: _*), lit(null)).otherwise(col(c))))
   }
 
+  /** P9 — date-membership probe (tcdb/etl/atcf.py:253-286): does any row
+    * in the deck carry this init time? EXISTS via limit(1). */
+  def containsDate(lines: DataFrame, dateTime: java.sql.Timestamp): Boolean = {
+    val parts = split(col("value"), ",")
+    lines
+      .filter(Atcf.parseAtcfDatetime(get(parts, lit(2))) === lit(dateTime))
+      .limit(1).count() > 0
+  }
+
   // ------------------------------------------------------------- summaries
 
   /** File-name metadata: `b{basin}{nn}{season}.dat` → (basin, nhc_number,

@@ -109,4 +109,16 @@ class EnsembleSpec extends AnyFunSuite {
     assert(w.getSeq[Int](w.fieldIndex("hours")).toSeq == Seq(0, 12))
     assert(w.getSeq[Double](w.fieldIndex("winds")).toSeq == Seq(50.0, 60.0))
   }
+
+  test("withEnsMedian appends a median member") {
+    val t = tracks(Seq(
+      pt(1, 0, 10.0, -80.0, 40, 990), pt(2, 0, 20.0, -81.0, 50, 980),
+      pt(3, 0, 99.0, -99.0, 99, 900), pt(4, 0, 99.0, -99.0, 99, 900),
+      pt(5, 0, 99.0, -99.0, 99, 900))).drop("track_no")
+    // numEns=5 -> median over members 1..3
+    val med = Ensemble.withEnsMedian(t, numEns = 5)
+      .filter(col("ens") === 6).collect()(0)
+    assert(med.getAs[String]("ens_name") == "ENS_MEDIAN")
+    assert(med.getAs[Double]("lat") == 20.0)
+  }
 }

@@ -114,4 +114,27 @@ class AtcfParserSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("roci_km")))   // -999
     assert(r.isNullAt(r.fieldIndex("rmw_km")))    // -99
   }
+
+  test("gzip decks parse transparently (S4)") {
+    val dir = java.nio.file.Files.createTempDirectory("gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(dir.resolve("bal092022.dat.gz").toFile))
+    gz.write(Seq(bdeck("2022092800", 34), bdeck("2022092806", 34))
+      .mkString("\n").getBytes)
+    gz.close()
+    val df = AtcfParser.parseBDeck(
+      AtcfParser.readDeckLines(spark, dir.toString))
+    assert(df.count() == 2)
+    assert(df.select("file").distinct().collect()(0).getString(0)
+      == "bal092022.dat.gz")
+  }
+
+  test("containsDate probes for an init time (P9)") {
+    val lines = Seq(bdeck("2022092800", 34), bdeck("2022092806", 34))
+      .map(l => (l, "f")).toDF("value", "file")
+    assert(AtcfParser.containsDate(lines,
+      java.sql.Timestamp.valueOf("2022-09-28 06:00:00")))
+    assert(!AtcfParser.containsDate(lines,
+      java.sql.Timestamp.valueOf("2022-09-29 00:00:00")))
+  }
 }
