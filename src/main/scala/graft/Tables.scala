@@ -18,11 +18,13 @@ object Tables {
     // Session.configure). All values are microsecond-aligned, so integer
     // division to micros is lossless (`div`, not `/`: a double roundtrip
     // of an epoch-ns long loses precision).
+    // NTZ keeps every downstream timestamp naive-UTC end to end (parquet
+    // written isAdjustedToUTC=false), matching the oracle engine exactly.
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-        d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+        d.withColumn("ts", org.apache.spark.sql.functions
+          .expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
       case (d, _) => d
     }
   }

@@ -34,9 +34,10 @@ object Atcf {
       .otherwise(mag)
   }
 
-  /** `"2022092800"` (yyyyMMddHH) -> timestamp; session TZ is pinned UTC. */
+  /** `"2022092800"` (yyyyMMddHH) -> naive-UTC timestamp (NTZ; the
+    * reference strips time zones deliberately, tcdb/etl/atcf.py:71-72). */
   def parseAtcfDatetime(c: Column): Column =
-    to_timestamp(trim(c), "yyyyMMddHH")
+    to_timestamp(trim(c), "yyyyMMddHH").cast("timestamp_ntz")
 
   /** trim, empty-string -> null, cast to double (the reference's NaN). */
   def numOrNull(c: Column): Column =
@@ -73,10 +74,11 @@ object Atcf {
       coalesce(subregion, lit("")))
 
   /** Floor a timestamp to the enclosing 6-hourly forecast cycle
-    * (00/06/12/18Z).
+    * (00/06/12/18Z). NTZ in, NTZ out (naive-UTC end to end).
     */
   def cycleFloor(ts: Column): Column =
     timestamp_seconds(floor(unix_timestamp(ts) / 21600L) * 21600L)
+      .cast("timestamp_ntz")
 
   /** `valid = init + hour` forecast-step valid time. */
   def validTime(init: Column, hours: Column): Column =

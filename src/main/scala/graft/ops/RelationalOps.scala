@@ -280,7 +280,9 @@ object RelationalOps {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     load(spark, dir, "events")
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("gap_ms", unix_millis(col("ts")) - unix_millis(col("prev_ts")))
+      .withColumn("gap_ms",
+        unix_millis(col("ts").cast("timestamp")) -
+          unix_millis(col("prev_ts").cast("timestamp")))
       .select(col("event_id"), col("user_id"), col("gap_ms"))
       .orderBy("event_id")
   }
@@ -290,7 +292,7 @@ object RelationalOps {
     * tcdb/etl/syntracks.py:107-127). */
   def windowSpine(spark: SparkSession, dir: String): DataFrame = {
     val spine = spark.range(1).select(explode(expr(
-      "sequence(timestamp'1995-01-01 00:00:00', timestamp'2001-08-01 00:00:00', interval 1 month)"))
+      "sequence(timestamp_ntz'1995-01-01 00:00:00', timestamp_ntz'2001-08-01 00:00:00', interval 1 month)"))
       .as("month"))
     val monthly = load(spark, dir, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))

@@ -25,9 +25,9 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("parseAtcfDatetime handles yyyyMMddHH (atcf.py:71)") {
-    assert(one[java.sql.Timestamp](
+    assert(one[java.time.LocalDateTime](
       Atcf.parseAtcfDatetime(lit("2022092806")))
-      == java.sql.Timestamp.valueOf("2022-09-28 06:00:00"))
+      == java.time.LocalDateTime.parse("2022-09-28T06:00"))
   }
 
   test("storm type covers all basin regimes (utils.py:71-121)") {

@@ -39,15 +39,15 @@ class AtcfParserSpec extends AnyFunSuite {
     val df = AtcfParser.parseBDeck(bdeckDf("bal092022.dat", lines))
     assert(df.count() == 3)
     val r = df.orderBy("datetime").collect()(0)
-    assert(r.getAs[java.sql.Timestamp]("datetime")
-      == java.sql.Timestamp.valueOf("2022-09-28 00:00:00"))
+    assert(r.getAs[java.time.LocalDateTime]("datetime")
+      == java.time.LocalDateTime.parse("2022-09-28T00:00"))
     assert(r.getAs[Double]("lat") == 26.8)
     assert(r.getAs[Double]("lon") == -82.3)
     assert(r.getAs[Double]("vmax") == 105.0)
     assert(r.getAs[String]("stormname") == "IAN")
     // ragged row: missing tail columns land as nulls
     val ragged = df.filter(col("datetime") ===
-      java.sql.Timestamp.valueOf("2022-09-28 12:00:00")).collect()(0)
+      lit("2022-09-28 12:00:00").cast("timestamp_ntz")).collect()(0)
     assert(ragged.isNullAt(ragged.fieldIndex("stormname")))
   }
 
@@ -61,10 +61,10 @@ class AtcfParserSpec extends AnyFunSuite {
     assert(s.getAs[Int]("nhc_number") == 9)
     assert(s.getAs[Int]("season") == 2022)
     assert(s.getAs[String]("name") == "HU-Ian") // peak 105 kts -> HU
-    assert(s.getAs[java.sql.Timestamp]("start_date")
-      == java.sql.Timestamp.valueOf("2022-09-28 00:00:00"))
-    assert(s.getAs[java.sql.Timestamp]("end_date")
-      == java.sql.Timestamp.valueOf("2022-09-28 12:00:00"))
+    assert(s.getAs[java.time.LocalDateTime]("start_date")
+      == java.time.LocalDateTime.parse("2022-09-28T00:00"))
+    assert(s.getAs[java.time.LocalDateTime]("end_date")
+      == java.time.LocalDateTime.parse("2022-09-28T12:00"))
     assert(s.getAs[Double]("start_lat") == 26.8)
   }
 
