@@ -88,7 +88,16 @@ object TextOps {
         maxDist = 10)
       .orderBy("id_a", "id_b")
 
+  /** End-to-end dedup grouping: exact-first representatives, LSH near-dup
+    * edges, transitive-closure group ids (engine-native hashing —
+    * rows-only; semantics asserted in DedupAnnSpec). */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupGroups(load(spark, dir, "documents"), "text", "doc_id",
+        threshold = 0.2)
+      .orderBy("doc_id")
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_dedup_groups", dedupGroups, None, "dedup/groups"),
     QuerySpec("q_text_tokens", textTokens, Some(
       """SELECT lang, sum(n) AS total_tokens, min(n) AS min_tokens,
         |max(n) AS max_tokens, count(*) AS n_docs

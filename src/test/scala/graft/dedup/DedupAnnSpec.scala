@@ -87,4 +87,24 @@ class DedupAnnSpec extends AnyFunSuite {
       .map(_.getAs[Long]("neighbor")).toSet
     assert(approxSet.subsetOf(exactSet) || approxSet.intersect(exactSet).nonEmpty)
   }
+
+  test("nearDupGroups: exact-first grouping with transitive closure") {
+    // 1,4 exact dups; 2 near-dup of 1; 3 distinct; 5-7 a duplicate-heavy
+    // cluster (all identical); 8 near-dup chain to 5 via shared prefix
+    val heavy = Seq(
+      (5L, "spark shuffles partition data across the cluster by key hash"),
+      (6L, "spark shuffles partition data across the cluster by key hash"),
+      (7L, "spark shuffles partition data across the cluster by key hash"),
+      (8L, "spark shuffles partition data across the cluster by key hashes"))
+      .toDF("doc_id", "text")
+    val all = docs.union(heavy)
+    val groups = Dedup.nearDupGroups(all, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == 8)
+    assert(groups(4L) == groups(1L)) // exact dup collapses
+    assert(groups(2L) == groups(1L)) // near dup joins the cluster
+    assert(groups(3L) == 3L)         // distinct doc stays alone
+    assert(groups(6L) == groups(5L) && groups(7L) == groups(5L))
+    assert(groups(8L) == groups(5L)) // transitive via representative
+  }
 }
