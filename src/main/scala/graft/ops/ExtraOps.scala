@@ -78,7 +78,22 @@ object ExtraOps {
       .orderBy("c_custkey")
   }
 
+  /** F18 — structured JSON parsing with a declared schema (from_json →
+    * typed struct field), the inverse of the to_json sink. */
+  def fnFromJson(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(col("k")).as("n_parsed"))
+      .orderBy("event_type")
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_fn_from_json", fnFromJson, Some(
+      """SELECT event_type,
+        |sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        |count(*) AS n_parsed FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin), "F18/from_json"),
     QuerySpec("q_fn_great_circle_native", greatCircleNative,
       FunctionOps.specs.find(_.name == "q_fn_great_circle").get.oracle,
       "F9/native-expr"),
