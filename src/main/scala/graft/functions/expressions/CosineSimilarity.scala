@@ -1,0 +1,89 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd cosine similarity over two numeric arrays: one fused
+  * Java loop accumulating dot/|a|²/|b|² per row, replacing three
+  * interpreted higher-order folds (the hot path of pairwise embedding
+  * dedup — SURVEY.md §2.9 escalation rule: compose built-ins, then a
+  * custom Expression).
+  *
+  * Accumulation order matches `Vectors.cosine` exactly (left-to-right
+  * double adds of double-widened products; dot / (√na · √nb)), so the two
+  * forms are bit-identical.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  private def elemType(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def get(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType  => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = get(a, i, ta); val y = get(b, i, tb)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def getter(arr: String, i: String, t: DataType) = t match {
+        case FloatType  => s"(double) $arr.getFloat($i)"
+        case DoubleType => s"$arr.getDouble($i)"
+      }
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getter(a, i, elemType(left))};
+         |  double $y = ${getter(b, i, elemType(right))};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  def cosineNative(a: Column, b: Column): Column =
+    Shims.column(CosineSimilarity(Shims.expression(a), Shims.expression(b)))
+}

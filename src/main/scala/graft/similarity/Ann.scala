@@ -27,7 +27,7 @@ object Ann {
     val w = Window.partitionBy("qid")
       .orderBy(round(col("cos"), 6).desc, col("neighbor").asc)
     c.join(broadcast(q), col("neighbor") =!= col("qid"))
-      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("cos", graft.functions.expressions.CosineSimilarity.cosineNative(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor"))
@@ -54,7 +54,7 @@ object Ann {
       .orderBy(round(col("cos"), 6).desc, col("neighbor").asc)
     c.join(broadcast(q), Seq("bkt"))
       .filter(col("neighbor") =!= col("qid"))
-      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("cos", graft.functions.expressions.CosineSimilarity.cosineNative(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor"))

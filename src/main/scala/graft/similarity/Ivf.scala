@@ -60,7 +60,7 @@ object Ivf {
       .orderBy(round(col("cos"), 6).desc, col("id").asc)
     index.assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("qid"))
-      .withColumn("cos", Vectors.cosine(col("qv"), col("emb")))
+      .withColumn("cos", graft.functions.expressions.CosineSimilarity.cosineNative(col("qv"), col("emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor"))

@@ -53,4 +53,27 @@ class GreatCircleExpressionSpec extends AnyFunSuite {
     val v = e.eval(null).asInstanceOf[Double]
     assert(math.abs(v - 198.6) < 2.0)
   }
+
+  test("cosine native expression is bit-identical to the composed fold") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("ia") < col("ib") && col("ib") <= col("ia") + 3)
+    val diff = pairs.select(
+        graft.functions.expressions.CosineSimilarity
+          .cosineNative(col("va"), col("vb")).as("native"),
+        Vectors.cosine(col("va"), col("vb")).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(diff == 0)
+  }
+
+  test("cosine native rejects non-array inputs") {
+    val err = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b").select(
+        graft.functions.expressions.CosineSimilarity
+          .cosineNative(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array")
+      || err.getMessage.contains("DATATYPE"))
+  }
 }
