@@ -113,4 +113,34 @@ class PipelineSpec extends AnyFunSuite {
       allowedModels = Seq("OFCL", "HWRF"))
     assert(store.read("steps", Schemas.steps).count() == 3)
   }
+
+  test("maintenance: archive stale storms, expire old invests with cascade") {
+    val landing = tmpDir("landing_m")
+    val storeDir = tmpDir("store_m")
+    val store = new Store(spark, storeDir.toString)
+    writeLanding(landing, "bal092022.dat", Seq(
+      Fixtures.bdeck("2022092800", 34), Fixtures.bdeck("2022092812", 34)))
+    writeLanding(landing, "bal912022.dat", Seq(
+      Fixtures.bdeck("2022092806", 34, snum = 91, name = "INVEST",
+        lat = "150N", lon = "400W")))
+    Pipelines.runBdeck(spark, landing.toString, store, now)
+    assert(store.read("storms", Schemas.storms).count() == 2)
+
+    // a day later: both stale -> archived
+    val later = Timestamp.valueOf("2022-09-30 00:00:00")
+    Maintenance.archiveStale(store, later, hours = 24)
+    val statuses = store.read("storms", Schemas.storms)
+      .collect().map(r => r.getAs[String]("nhc_id") -> r.getAs[String]("status")).toMap
+    assert(statuses.values.forall(_ == "Archive"))
+
+    // 31 days later: the invest expires, its observations cascade away
+    val muchLater = Timestamp.valueOf("2022-10-29 00:00:00")
+    Maintenance.expireInvests(store, muchLater, days = 30)
+    val ids = store.read("storms", Schemas.storms)
+      .collect().map(_.getAs[String]("nhc_id")).toSet
+    assert(ids == Set("AL092022")) // named storm kept
+    val obsIds = store.read("observations", Schemas.observations)
+      .select("nhc_id").distinct().collect().map(_.getString(0)).toSet
+    assert(obsIds == Set("AL092022"))
+  }
 }
