@@ -59,8 +59,10 @@ object TextOps {
     * so the output is identical to the oracle's pairwise definition. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
+    // materialize once: sizes + both join sides reuse these rows
     val rows = Dedup.shingleRows(docs, "text", "doc_id", 3)
       .join(docs.select(col("doc_id").as("id"), col("lang"), col("source")), Seq("id"))
+      .localCheckpoint()
     val sizes = rows.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = rows.toDF("id_a", "h", "lang", "source")
     val b = rows.toDF("id_b", "h", "lang", "source")
