@@ -16,21 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Atcf {
 
-  /** `"271N"` -> 27.1, `"271S"` -> -27.1 (tenths of a degree + hemisphere). */
+  /** `"271N"` -> 27.1, `"271S"` -> -27.1 (tenths of a degree + hemisphere).
+    * `+ 0.0` on the negated branch normalizes `"0S"` to 0.0, not -0.0. */
   def atcfLat(c: Column): Column = {
     val t   = trim(c)
     val mag = t.substr(lit(1), length(t) - 1).cast("double") / 10.0
     when(t.isNull, lit(null).cast("double"))
       .when(t.endsWith("N"), mag)
-      .otherwise(-mag)
+      .otherwise(-mag + lit(0.0))
   }
 
-  /** `"829W"` -> -82.9, `"829E"` -> 82.9. */
+  /** `"829W"` -> -82.9, `"829E"` -> 82.9 (`"0W"` -> 0.0, not -0.0). */
   def atcfLon(c: Column): Column = {
     val t   = trim(c)
     val mag = t.substr(lit(1), length(t) - 1).cast("double") / 10.0
     when(t.isNull, lit(null).cast("double"))
-      .when(t.endsWith("W"), -mag)
+      .when(t.endsWith("W"), -mag + lit(0.0))
       .otherwise(mag)
   }
 
@@ -72,6 +73,17 @@ object Atcf {
   def investName(org: Column, nhcNumber: Column, subregion: Column): Column =
     concat(upper(org), lit("-"), lpad(nhcNumber.cast("string"), 2, "0"),
       coalesce(subregion, lit("")))
+
+  /** ASCII title case matching Python `str.title()` (tcdb/etl/atcf.py:310):
+    * capitalize the first letter after ANY non-letter boundary, so
+    * `"ONE-E"` -> `"One-E"` where `initcap` (whitespace-split only) would
+    * give `"One-e"`. Split keeps delimiters via a lookbehind on non-letters.
+    */
+  def titleCase(c: Column): Column =
+    array_join(
+      transform(split(lower(c), "(?<=[^a-z])"), t =>
+        concat(upper(substring(t, 1, 1)), substring(t, 2, Int.MaxValue))),
+      "")
 
   /** Floor a timestamp to the enclosing 6-hourly forecast cycle
     * (00/06/12/18Z). NTZ in, NTZ out (naive-UTC end to end).

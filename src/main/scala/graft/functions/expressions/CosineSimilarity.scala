@@ -15,7 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Accumulation order matches `Vectors.cosine` exactly (left-to-right
   * double adds of double-widened products; dot / (√na · √nb)), so the two
-  * forms are bit-identical.
+  * forms are bit-identical — including the null contract: mismatched
+  * lengths or a null element yield NULL, same as the composed
+  * `zip_with`-based form (which null-pads the shorter array).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -42,14 +44,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case DoubleType => a.getDouble(i)
   }
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = get(a, i, ta); val y = get(b, i, tb)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -68,14 +74,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${getter(a, i, elemType(left))};
-         |  double $y = ${getter(b, i, elemType(right))};
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = ${getter(a, i, elemType(left))};
+         |    double $y = ${getter(b, i, elemType(right))};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

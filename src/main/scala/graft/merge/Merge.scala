@@ -34,10 +34,13 @@ object Merge {
     val hasIncoming = col(s"__inc_${keys.head}").isNotNull
     val hasExisting = col(keys.head).isNotNull
     // Guard only applies when both sides are present; inserts always pass.
+    // SQL comparison semantics: a NULL guard comparison (either side's
+    // guarded column is null on a matched row) REJECTS the update, exactly
+    // like `incoming.m >= existing.m` inside a WHERE/CASE.
     val guard: Column = monotonicCol
       .map(m => !hasExisting || col(s"__inc_$m") >= col(m))
       .getOrElse(lit(true))
-    val takeIncoming = hasIncoming && coalesce(guard, lit(true))
+    val takeIncoming = hasIncoming && coalesce(guard, lit(false))
 
     val keyCols = keys.map(k => coalesce(col(k), col(s"__inc_$k")).as(k))
     val valCols = dataCols.map(c =>

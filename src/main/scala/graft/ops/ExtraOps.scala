@@ -91,7 +91,7 @@ object ExtraOps {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_fn_from_json", fnFromJson, Some(
       """SELECT event_type,
-        |sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        |CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |count(*) AS n_parsed FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin), "F18/from_json"),
     QuerySpec("q_fn_great_circle_native", greatCircleNative,

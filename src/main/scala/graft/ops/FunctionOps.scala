@@ -207,7 +207,7 @@ object FunctionOps {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin), "F15"),
     QuerySpec("q_fn_extract_numeric", fnExtractNumeric, Some(
       """SELECT event_type,
-        |sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        |CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |count(*) AS n FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin), "F18"),
   )

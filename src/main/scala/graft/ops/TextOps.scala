@@ -101,7 +101,7 @@ object TextOps {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_dedup_groups", dedupGroups, None, "dedup/groups"),
     QuerySpec("q_text_tokens", textTokens, Some(
-      """SELECT lang, sum(n) AS total_tokens, min(n) AS min_tokens,
+      """SELECT lang, CAST(sum(n) AS BIGINT) AS total_tokens, min(n) AS min_tokens,
         |max(n) AS max_tokens, count(*) AS n_docs
         |FROM (SELECT lang,
         |  len(list_filter(regexp_split_to_array(text, ' +'), w -> w != ''))::BIGINT AS n

@@ -115,10 +115,12 @@ object AtcfParser {
         min("datetime").as("start_date"),
         max("datetime").as("end_date"))
 
+    // pandas mode() tie-break = lexicographic MIN name (values sorted asc):
+    // min over (-count, name) picks max count, then min name on ties.
     val nameMode = bdeck.filter(col("stormname").isNotNull)
       .groupBy("file", "stormname").agg(count(lit(1)).as("c"))
       .groupBy("file")
-      .agg(max(struct(col("c"), col("stormname").as("v")))
+      .agg(min(struct((-col("c")).as("nc"), col("stormname").as("v")))
         .getField("v").as("name_mode"))
 
     val org = when(lower(col("basin_first")).isin("al", "ep", "cp"), "NHC")
@@ -133,7 +135,7 @@ object AtcfParser {
       .withColumn("name",
         when(col("nhc_number") >= 70,
           Atcf.investName(org, col("nhc_number"), col("subregion_last")))
-        .otherwise(concat(stormType, lit("-"), initcap(lower(rawName)))))
+        .otherwise(concat(stormType, lit("-"), Atcf.titleCase(rawName))))
       .withColumn("nhc_id",
         Atcf.nhcId(col("region"), col("nhc_number"), col("season")))
       .withColumn("start_lat", Validators.validateLatitude(col("lat_first")))
