@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.load
+
+/** OLAP surface beyond the reference's own queries — outer joins, set
+  * operations, grouping sets, exact percentiles, the full rank family,
+  * and gap-based sessionization. The reference never needs these
+  * (SURVEY.md §2.3 "no outer joins", §2.4 "no grouping sets"), but an
+  * engine a reference user switches to should have the standard
+  * relational algebra complete — and each op here is shuffle-planned the
+  * way a 100 TB deployment needs (partial aggregation below the exchange,
+  * broadcast dims, single window pass per partition spec).
+  *
+  * Determinism conventions (QuerySpec scaladoc): DECIMAL sums, total
+  * tie-breaks, explicit NULLS FIRST to match Spark's ascending default.
+  */
+object OlapOps {
+
+  /** Left-outer dim→fact join with null-preserving counts: customers with
+    * zero orders stay (count(o_orderkey) skips nulls, count(*) doesn't). */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+    val o = load(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_nationkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).cast("long")
+          .as("n_childless"))
+      .orderBy("c_nationkey")
+  }
+
+  /** EXCEPT — customers that never ordered (distinct set semantics). */
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer").select(col("c_custkey").as("k"))
+      .except(load(spark, dir, "orders").select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  /** INTERSECT — part keys present in both lineitem halves. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    li.filter(col("l_orderkey") % 2 === 0).select(col("l_partkey").as("k"))
+      .intersect(
+        li.filter(col("l_orderkey") % 2 === 1).select(col("l_partkey").as("k")))
+      .orderBy("k")
+  }
+
+  /** ROLLUP over (returnflag, linestatus) with grouping indicators —
+    * subtotals and grand total in one pass (partial-agg friendly). */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over (orderpriority-prefix, orderstatus). */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .withColumn("pri", substring(col("o_orderpriority"), 1, 1))
+      .cube("pri", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        grouping(col("pri")).as("g_p"),
+        grouping(col("o_orderstatus")).as("g_s"))
+      .orderBy(col("g_p"), col("g_s"),
+        col("pri").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  /** Exact continuous percentiles. l_quantity is integer-valued, so the
+    * linear interpolation at .25/.5/.75 lands on exact binary fractions —
+    * bit-identical across engines regardless of interpolation formula. */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75"))
+      .orderBy("l_returnflag")
+
+  /** Rank family in one window pass: rank, dense_rank, percent_rank,
+    * ntile, cume_dist — all over a TOTAL order (tie-break o_orderkey). */
+  def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.select(col("o_orderpriority"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  /** Gap-based sessionization (the batch shape of streaming session
+    * windows): a new session starts when a user's inter-event gap exceeds
+    * 30 minutes; session id = running count of starts. One shuffle on
+    * user_id serves both window passes AND the final rollup — the
+    * partitioning is reused, exactly the plan wanted at 100 TB. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // gap test compares full-precision timestamps (interval arithmetic),
+    // never truncated epoch seconds — ts carries microseconds.
+    load(spark, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** String-function surface: levenshtein, translate, replace, lpad,
+    * repeat, reverse — all codegen'd built-ins, same semantics in DuckDB. */
+  def fnStrings(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "nation")
+      .select(col("n_nationkey"),
+        levenshtein(col("n_name"), lit("UNITED STATES")).as("lev"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("tr"),
+        regexp_replace(col("n_name"), "[^A-Z]", "_").as("re"),
+        lpad(col("n_name"), 20, ".").as("pad"),
+        reverse(col("n_name")).as("rev"))
+      .orderBy("n_nationkey")
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_join_outer", joinOuter, Some(
+      """SELECT c_nationkey, count(o_orderkey) AS n_orders, count(*) AS n_rows,
+        |CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_childless
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin), "join/outer"),
+    QuerySpec("q_set_except", setExcept, Some(
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin), "set/except"),
+    QuerySpec("q_set_intersect", setIntersect, Some(
+      """SELECT l_partkey AS k FROM lineitem WHERE l_orderkey % 2 = 0
+        |INTERSECT SELECT l_partkey AS k FROM lineitem WHERE l_orderkey % 2 = 1
+        |ORDER BY k""".stripMargin), "set/intersect"),
+    QuerySpec("q_agg_rollup", aggRollup, Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      "agg/rollup"),
+    QuerySpec("q_agg_cube", aggCube, Some(
+      """SELECT substr(o_orderpriority, 1, 1) AS pri, o_orderstatus, count(*) AS n,
+        |CAST(GROUPING(substr(o_orderpriority, 1, 1)) AS INT) AS g_p,
+        |CAST(GROUPING(o_orderstatus) AS INT) AS g_s
+        |FROM orders GROUP BY CUBE(substr(o_orderpriority, 1, 1), o_orderstatus)
+        |ORDER BY g_p, g_s, pri NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+      "agg/cube"),
+    QuerySpec("q_agg_percentiles", aggPercentiles, Some(
+      """SELECT l_returnflag,
+        |quantile_cont(l_quantity, 0.25) AS p25,
+        |quantile_cont(l_quantity, 0.5) AS p50,
+        |quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "agg/percentile"),
+    QuerySpec("q_window_ranks", windowRanks, Some(
+      """SELECT o_orderpriority, o_orderkey,
+        |rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |percent_rank() OVER w AS prnk,
+        |CAST(ntile(4) OVER w AS INT) AS quartile, cume_dist() OVER w AS cd
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, rnk""".stripMargin), "window/ranks"),
+    QuerySpec("q_sessionize", sessionize, Some(
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |  CASE WHEN prev_ts IS NULL
+        |         OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |i AS (SELECT user_id, ts, CAST(SUM(new_session) OVER (
+        |  PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |min(ts) AS session_start, max(ts) AS session_end
+        |FROM i GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin), "window/sessionize"),
+    QuerySpec("q_fn_strings", fnStrings, Some(
+      """SELECT n_nationkey,
+        |levenshtein(n_name, 'UNITED STATES') AS lev,
+        |translate(n_name, 'AEIOU', 'aeiou') AS tr,
+        |regexp_replace(n_name, '[^A-Z]', '_', 'g') AS re,
+        |lpad(n_name, 20, '.') AS pad,
+        |reverse(n_name) AS rev
+        |FROM nation ORDER BY n_nationkey""".stripMargin), "fn/strings"),
+  )
+}

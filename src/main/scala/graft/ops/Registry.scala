@@ -5,7 +5,7 @@ package graft.ops
 object Registry {
   val specs: Seq[QuerySpec] =
     RelationalOps.specs ++ PipelineOps.specs ++ FunctionOps.specs ++
-      TextOps.specs ++ VectorOps.specs ++ ExtraOps.specs
+      TextOps.specs ++ VectorOps.specs ++ ExtraOps.specs ++ OlapOps.specs
 
   require(specs.map(_.name).distinct.size == specs.size,
     "duplicate query names in Registry")

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class OlapOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize splits on >30min gaps per user, not across users") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (2L, 10L, ts("2024-01-01 00:20:00")), // 20min gap -> same session
+      (3L, 10L, ts("2024-01-01 01:00:00")), // 40min gap -> new session
+      (4L, 20L, ts("2024-01-01 00:25:00"))  // other user -> own session 1
+    ).toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = ev
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sessions == Set((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
+  }
+
+  test("exactly a 30min gap does NOT start a new session (strict >)") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:30:00"))
+    ).toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val n = ev
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .agg(sum("new_session")).collect()(0).getLong(0)
+    assert(n == 1L)
+  }
+
+  test("rollup emits detail + subtotal + grand total rows") {
+    val df = Seq(("A", "x", 1), ("A", "y", 2), ("B", "x", 3))
+      .toDF("g1", "g2", "v")
+    val out = df.rollup("g1", "g2")
+      .agg(sum("v").as("s"), grouping(col("g1")).as("gg1"), grouping(col("g2")).as("gg2"))
+      .collect()
+    assert(out.length == 6) // 3 detail + 2 subtotal + 1 grand
+    val grand = out.find(r => r.getAs[Any]("gg1").toString == "1").get
+    assert(grand.getAs[Long]("s") == 6L)
+  }
+
+  test("except/intersect have set (distinct) semantics") {
+    val a = Seq(1, 1, 2, 3).toDF("k")
+    val b = Seq(2, 2, 4).toDF("k")
+    assert(a.except(b).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    assert(a.intersect(b).collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+}
