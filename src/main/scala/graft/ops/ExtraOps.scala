@@ -78,6 +78,21 @@ object ExtraOps {
       .orderBy("c_custkey")
   }
 
+  /** W3/O3 at scale — top-k per group through the custom Catalyst
+    * operator (graft.plans.TopKPerGroup): bounded per-group heaps before
+    * AND after the hash exchange, so the shuffle carries at most
+    * groups×k rows per map partition instead of the whole fact table.
+    * Total tie-break (orderkey, linenumber) keeps the result exact. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perGroup(
+        load(spark, dir, "lineitem"),
+        Seq(col("l_returnflag")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc),
+        k = 3)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+
   /** F18 — structured JSON parsing with a declared schema (from_json →
     * typed struct field), the inverse of the to_json sink. */
   def fnFromJson(spark: SparkSession, dir: String): DataFrame =
@@ -121,6 +136,14 @@ object ExtraOps {
         |    round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 3) AS avg_qty
         |  FROM lineitem WHERE l_linenumber BETWEEN 1 AND 5 GROUP BY 1) t
         |ORDER BY l_returnflag, member""".stripMargin), "A9/W4"),
+    QuerySpec("q_topk_per_group", topkPerGroup, Some(
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem) t WHERE rn <= 3
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin),
+      "W3/O3 custom plan"),
     QuerySpec("q_json_export", jsonExport, None, "S10/F18"),
     QuerySpec("q_approx_distinct", approxDistinct, None, "approx/HLL"),
   )

@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TopKPerGroupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def data = {
+    val rows = for (i <- 1 to 500) yield (i % 7, (i * 37) % 101, i)
+    rows.toDF("g", "v", "id").repartition(8) // multiple input partitions
+  }
+
+  private def windowTopK(k: Int) = {
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    data.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  test("matches the window row_number() <= k formulation exactly") {
+    val native = TopK.perGroup(data, Seq(col("g")), Seq(col("v").desc, col("id").asc), 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val viaWindow = windowTopK(5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(native == viaWindow)
+    assert(native.size == 35) // 7 groups x 5
+  }
+
+  test("k larger than group size returns whole groups, once each") {
+    val small = Seq((1, 10, 1), (1, 20, 2), (2, 30, 3)).toDF("g", "v", "id")
+    val out = TopK.perGroup(small, Seq(col("g")), Seq(col("v").desc, col("id").asc), 100)
+      .collect()
+    assert(out.length == 3)
+  }
+
+  test("empty group = global top-k (AllTuples distribution)") {
+    val out = TopK.perGroup(data, Seq.empty, Seq(col("v").desc, col("id").asc), 3)
+      .collect().map(_.getInt(2)).toSet
+    val expected = data.orderBy(col("v").desc, col("id").asc).limit(3)
+      .collect().map(_.getInt(2)).toSet
+    assert(out == expected)
+  }
+
+  test("plans as partial -> exchange -> final (map-side shuffle reduction)") {
+    val plan = TopK.perGroup(data, Seq(col("g")), Seq(col("v").desc), 5)
+      .queryExecution.executedPlan.toString()
+    assert("TopKPerGroup".r.findAllIn(plan).size == 2,
+      s"expected partial+final TopKPerGroupExec in:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), s"expected hash exchange in:\n$plan")
+    // partial must be BELOW the exchange: shuffle reads <= groups*k rows
+    val idxFinal = plan.indexOf("TopKPerGroup")
+    val idxExchange = plan.indexOf("Exchange hashpartitioning")
+    val idxPartial = plan.indexOf("TopKPerGroup", idxExchange)
+    assert(idxFinal < idxExchange && idxExchange < idxPartial)
+  }
+
+  test("duplicate order values keep deterministic winners via tie-break") {
+    val ties = Seq((1, 5, 1), (1, 5, 2), (1, 5, 3), (1, 4, 4)).toDF("g", "v", "id")
+    val out = TopK.perGroup(ties, Seq(col("g")), Seq(col("v").desc, col("id").asc), 2)
+      .collect().map(_.getInt(2)).toSet
+    assert(out == Set(1, 2)) // v ties broken by smallest id
+  }
+}
