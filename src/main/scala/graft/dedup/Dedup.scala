@@ -181,29 +181,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
 
-    // min-label propagation to a fixpoint (bounded)
-    var labels = repDocs.select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    // Min-label propagation to a fixpoint (bounded) — but ONLY over the
+    // edge-connected subgraph: a node with no near-dup edge can never
+    // change label, and edge-touched nodes are a vanishing fraction of
+    // the corpus at any scale. Isolated representatives join back with
+    // label = own id at the end (one left join, no iteration cost).
     val undirected = edges.union(edges.select(col("id_b"), col("id_a")))
       .toDF("id", "nbr").localCheckpoint()
+    var labels = undirected.select(col("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
+      // one checkpoint per iteration carries (label, old) so the
+      // convergence probe is a scan of the materialized frame, not a join
       val nbrMin = undirected
         .join(labels.toDF("nbr", "nbr_label"), Seq("nbr"))
         .groupBy("id").agg(min("nbr_label").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      val next = labels.join(nbrMin, Seq("id"))
+        .select(col("id"), least(col("label"), col("nbr_min")).as("label"),
+          col("label").as("old"))
         .localCheckpoint()
-      converged = next.join(labels.toDF("id", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select("id", "label")
       i += 1
     }
 
-    docToRep.join(labels.toDF("rep", "group_id"), Seq("rep"))
-      .select(col("id").as(idCol), col("group_id"))
+    docToRep
+      .join(labels.toDF("rep", "group_id"), Seq("rep"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("group_id"), col("rep")).as("group_id"))
   }
 
   /** Embedding near-dup: cosine >= threshold within a blocking key (label

@@ -23,14 +23,23 @@ object Ivf {
 
   case class Index(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
 
-  /** Fit the coarse quantizer and assign each vector to its cell. */
+  /** Fit the coarse quantizer and assign each vector to its cell.
+    *
+    * The quantizer trains on a deterministic id-strided subsample capped
+    * at `trainCap` vectors (a coarse quantizer only needs the density
+    * shape, not every point) — at 100 TB the fit reads a sliver while
+    * assignment stays one full map-side pass. */
   def build(corpus: DataFrame, k: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding", seed: Long = 42L): Index = {
+      vecCol: String = "embedding", seed: Long = 42L,
+      trainCap: Long = 4096L): Index = {
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).as("emb"),
       array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
-      .fit(vecs.select("features"))
+    val n = vecs.count()
+    val stride = math.max(1L, n / trainCap)
+    val train = vecs.filter(pmod(col("id"), lit(stride)) === 0)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(8).setTol(1e-3)
+      .fit(train.select("features"))
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
     val assigned = model.transform(vecs)
