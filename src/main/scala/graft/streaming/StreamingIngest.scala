@@ -62,4 +62,29 @@ object StreamingIngest {
     obs.withWatermark("datetime_utc", "48 hours")
       .groupBy(col("nhc_id"))
       .agg(max("datetime_utc").as("last_obs"))
+
+  /** S13 streaming — content-hash dedup across micro-batches: drop a row
+    * if its payload hash was already seen within the watermark horizon
+    * (state TTL bounds the hash set; the batch path's byte-identical
+    * file skip, tcdb/pipeline/fs_utils.py:10-21, made continuous). */
+  def dedupStream(lines: DataFrame, tsCol: String,
+      watermark: String = "48 hours"): DataFrame =
+    lines.withColumn("__h", sha2(col("value"), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
+  /** Session windows, streaming-native: the built-in `session_window`
+    * gap-merge (same 30-minute inactivity semantics as the batch
+    * `OlapOps.sessionize` lag/cumsum form — equivalence asserted in
+    * StreamingSessionSpec). State closes once the watermark passes the
+    * session end, so memory is bounded by live sessions only. */
+  def sessionStream(events: DataFrame, tsCol: String, userCol: String,
+      gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
 }
