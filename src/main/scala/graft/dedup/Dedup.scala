@@ -50,16 +50,25 @@ object Dedup {
     * hashed once, the numHashes affine permutations are cheap integer
     * transforms, and the per-permutation min partial-aggregates map-side
     * before the shuffle on doc id — the shape that scales to 100 TB. */
-  def minhashSignatures(rows: DataFrame, numHashes: Int): DataFrame = {
-    val p = 2038074743L
-    // deterministic, well-mixed permutation constants — tiny sequential
-    // multipliers (1,3,5,…) correlate the permutations and break the
-    // banding estimator
+  /** The MinHash prime field and affine permutation constants —
+    * deterministic and public so a differential oracle can replay the
+    * exact permutations in another engine. Well-mixed constants matter:
+    * tiny sequential multipliers (1,3,5,…) correlate the permutations
+    * and break the banding estimator. */
+  val minhashPrime: Long = 2038074743L
+  def minhashPerms(numHashes: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(0x5eed)
+    (0 until numHashes).map { _ =>
+      val a = 1L + rnd.nextLong(minhashPrime - 1)
+      val b = rnd.nextLong(minhashPrime)
+      (a, b)
+    }
+  }
+
+  def minhashSignatures(rows: DataFrame, numHashes: Int): DataFrame = {
+    val p = minhashPrime
     val hashed = rows.select(col("id"), pmod(col("h"), lit(p)).as("h"))
-    val minCols = (0 until numHashes).map { i =>
-      val a = 1L + rnd.nextLong(p - 1)
-      val b = rnd.nextLong(p)
+    val minCols = minhashPerms(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
     }
     hashed.groupBy("id").agg(minCols.head, minCols.tail: _*)
@@ -117,29 +126,44 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash signatures via explode + partial-aggregated bit sums — same
-    * scale rationale as [[minhashSignatures]]: one hash per token, 64
-    * conditional-sum aggregates, map-side combine before the id shuffle. */
-  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * scale rationale as [[minhashSignatures]]: one hash per token, nBits
+    * conditional-sum aggregates, map-side combine before the id shuffle.
+    *
+    * `tokenHash` defaults to xxhash64 (fast path); pass an
+    * engine-portable hash (e.g. md5-derived, [[md5Hash60]]) to make the
+    * whole pipeline reproducible in any SQL engine for differential
+    * testing. */
+  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      tokenHash: Column => Column = xxhash64(_), nBits: Int = 64): DataFrame = {
     val hashed = docs
       .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(bit =>
+      .select(col("id"), tokenHash(col("t")).as("h"))
+    val bitSums = (0 until nBits).map(bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$bit"))
     hashed.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(bit =>
+        (0 until nBits).map(bit =>
           when(col(s"b$bit") >= 0, lit(1L << bit)).otherwise(0L))
           .reduce(_.bitwiseOR(_)).as("sig"))
   }
 
+  /** Low 60 bits of md5 as a long — portable across engines (same value
+    * from DuckDB's `CAST('0x' || substr(md5(t),2,15) AS BIGINT)`); 60
+    * bits keeps the unsigned hex inside a signed long under ANSI mode. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 2, 15), 16, 10).cast("long")
+
   /** SimHash near-dup pairs within hamming distance `maxDist`, candidates
-    * generated by matching any of 4 16-bit signature quarters. */
+    * generated by matching any of 4 signature quarters. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3): DataFrame = {
-    val base = simhashSignatures(docs, textCol, idCol)
+      maxDist: Int = 3,
+      tokenHash: Column => Column = xxhash64(_), nBits: Int = 64): DataFrame = {
+    val qBits = nBits / 4
+    val qMask = (1L << qBits) - 1
+    val base = simhashSignatures(docs, textCol, idCol, tokenHash, nBits)
     val quarters = base.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(q =>
-        shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("sig"), q * qBits).bitwiseAND(qMask)): _*)))
       .select(col("id"), col("sig"), col("pos").as("q"), col("col").as("qhash"))
     val a = quarters.select(col("q"), col("qhash"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = quarters.select(col("q"), col("qhash"), col("id").as("id_b"), col("sig").as("sig_b"))

@@ -90,6 +90,116 @@ object TextOps {
         maxDist = 10)
       .orderBy("id_a", "id_b")
 
+  /** SimHash with the engine-portable md5-derived 60-bit token hash: the
+    * SAME pipeline (bit sums, quarter banding, hamming threshold) but
+    * every hash reproducible in DuckDB — upgrading SimHash from a
+    * rows-only check to a full differential of the algorithm. */
+  def dedupSimhashPortable(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(load(spark, dir, "documents"), "text", "doc_id",
+        maxDist = 10, tokenHash = Dedup.md5Hash60, nBits = 60)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash-LSH with every stage engine-portable: md5-derived shingle
+    * hashes, the published affine permutations, banding by the literal
+    * 4-value band slice (array-equality join, no engine-specific bucket
+    * hash), exact Jaccard verify — the full LSH pipeline as a strict
+    * differential against DuckDB. The production `dedupMinhashLsh` keeps
+    * the faster xxhash64 + murmur-bucket path (rows-only check). */
+  def dedupMinhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    val numHashes = 32; val bands = 8; val rpb = numHashes / bands
+    val docs = load(spark, dir, "documents")
+    val rows = docs
+      .select(col("doc_id").as("id"),
+        explode(graft.functions.Text.wordShingles(col("text"), 3)).as("sh"))
+      .select(col("id"), Dedup.md5Hash60(col("sh")).as("h"))
+      .distinct().localCheckpoint()
+    val banded = Dedup.minhashSignatures(rows, numHashes)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          slice(col("sig"), b * rpb + 1, lit(rpb)))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bsig"))
+    val cand = banded.toDF("id_a", "band", "bsig")
+      .join(banded.toDF("id_b", "band", "bsig"), Seq("band", "bsig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    Dedup.jaccardForPairs(cand, rows)
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB replica of the portable MinHash-LSH — generated SQL replaying
+    * the exact permutation constants and band slices. */
+  private val minhashPortableOracle: String = {
+    val p = Dedup.minhashPrime
+    val perms = Dedup.minhashPerms(32)
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $p) AS m$i" }.mkString(",\n  ")
+    val bandSelects = (0 until 8).map { q =>
+      val ms = (0 until 4).map(r => s"m${q * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $q AS qi, [$ms] AS bs FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, ' +'), x -> x != '') AS w
+       |  FROM documents),
+       |sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
+       |    list_distinct(list_transform(generate_series(1, len(w) - 2),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+       |    ELSE [] END) AS s
+       |  FROM w),
+       |hd AS (SELECT DISTINCT doc_id,
+       |    CAST('0x' || substr(md5(s), 2, 15) AS BIGINT) % $p AS h
+       |  FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $minCols
+       |  FROM hd GROUP BY doc_id),
+       |band AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM band a JOIN band b ON a.qi = b.qi AND a.bs = b.bs
+       |    AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM hd GROUP BY doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+       |  FROM cand c
+       |  JOIN hd x ON x.doc_id = c.id_a
+       |  JOIN hd y ON y.doc_id = c.id_b AND y.h = x.h
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT i.id_a, i.id_b,
+       |  i.ni / (sa.sz + sb.sz - i.ni) AS jaccard
+       |FROM inter i
+       |JOIN sz sa ON sa.doc_id = i.id_a
+       |JOIN sz sb ON sb.doc_id = i.id_b
+       |WHERE i.ni / (sa.sz + sb.sz - i.ni) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replica of the portable SimHash — generated SQL: 60 bit-sum
+    * aggregates, sign bits reassembled, 15-bit quarter banding, hamming
+    * via bit_count(xor). */
+  private val simhashPortableOracle: String = {
+    val bitSums = (0 until 60).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n  ")
+    val sigSum = (0 until 60).map(i =>
+      s"(CASE WHEN b$i >= 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, ' +'),
+       |    w -> w != '')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 2, 15) AS BIGINT) AS h
+       |  FROM toks),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigSum AS sig FROM bits),
+       |q AS (SELECT doc_id, sig, qi, (sig >> (qi * 15)) & 32767 AS qh
+       |  FROM sig, (VALUES (0), (1), (2), (3)) AS v(qi)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sig, b.sig)) AS dist
+       |  FROM q a JOIN q b ON a.qi = b.qi AND a.qh = b.qh
+       |    AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM pairs
+       |WHERE dist <= 10 ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** End-to-end dedup grouping: exact-first representatives, LSH near-dup
     * edges, transitive-closure group ids (engine-native hashing —
     * rows-only; semantics asserted in DedupAnnSpec). */
@@ -153,5 +263,9 @@ object TextOps {
         |ORDER BY id_a, id_b""".stripMargin), "dedup/ngram-jaccard"),
     QuerySpec("q_dedup_minhash_lsh", dedupMinhashLsh, None, "dedup/minhash-lsh"),
     QuerySpec("q_dedup_simhash", dedupSimhash, None, "dedup/simhash"),
+    QuerySpec("q_dedup_simhash_portable", dedupSimhashPortable,
+      Some(simhashPortableOracle), "dedup/simhash-differential"),
+    QuerySpec("q_dedup_minhash_portable", dedupMinhashPortable,
+      Some(minhashPortableOracle), "dedup/minhash-differential"),
   )
 }
