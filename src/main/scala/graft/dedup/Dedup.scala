@@ -122,6 +122,31 @@ object Dedup {
     jaccardForPairs(cand, rows).filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash-LSH with every stage engine-portable (md5-60 shingle hashes,
+    * published permutations, banding by the literal band-slice array
+    * instead of an engine bucket hash) — same pipeline as [[minhashLsh]],
+    * reproducible in any SQL engine for differential testing. */
+  def minhashLshPortable(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rpb = numHashes / bands
+    val rows = docs
+      .select(col(idCol).as("id"),
+        explode(Text.wordShingles(col(textCol), shingleSize)).as("sh"))
+      .select(col("id"), md5Hash60(col("sh")).as("h"))
+      .distinct().localCheckpoint()
+    val banded = minhashSignatures(rows, numHashes)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          slice(col("sig"), b * rpb + 1, lit(rpb)))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bsig"))
+    val cand = banded.toDF("id_a", "band", "bsig")
+      .join(banded.toDF("id_b", "band", "bsig"), Seq("band", "bsig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardForPairs(cand, rows).filter(col("jaccard") >= threshold)
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -189,7 +214,8 @@ object Dedup {
     */
   def nearDupGroups(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, maxIter: Int = 5): DataFrame = {
+      threshold: Double = 0.5, maxIter: Int = 5,
+      portableEdges: Boolean = false): DataFrame = {
     val hashed = docs.select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("__h", sha2(col("t"), 256))
     val repOf = hashed
@@ -200,8 +226,12 @@ object Dedup {
       .join(docToRep.filter(col("id") === col("rep")).select("id"), Seq("id"))
 
     // near-dup edges between distinct representatives
-    val edges = minhashLsh(repDocs, "t", "id", shingleSize, numHashes,
-        bands, threshold)
+    val edges = (if (portableEdges)
+        minhashLshPortable(repDocs, "t", "id", shingleSize, numHashes,
+          bands, threshold)
+      else
+        minhashLsh(repDocs, "t", "id", shingleSize, numHashes,
+          bands, threshold))
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
 

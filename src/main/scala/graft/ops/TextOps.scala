@@ -105,31 +105,29 @@ object TextOps {
     * hash), exact Jaccard verify — the full LSH pipeline as a strict
     * differential against DuckDB. The production `dedupMinhashLsh` keeps
     * the faster xxhash64 + murmur-bucket path (rows-only check). */
-  def dedupMinhashPortable(spark: SparkSession, dir: String): DataFrame = {
-    val numHashes = 32; val bands = 8; val rpb = numHashes / bands
-    val docs = load(spark, dir, "documents")
-    val rows = docs
-      .select(col("doc_id").as("id"),
-        explode(graft.functions.Text.wordShingles(col("text"), 3)).as("sh"))
-      .select(col("id"), Dedup.md5Hash60(col("sh")).as("h"))
-      .distinct().localCheckpoint()
-    val banded = Dedup.minhashSignatures(rows, numHashes)
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          slice(col("sig"), b * rpb + 1, lit(rpb)))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bsig"))
-    val cand = banded.toDF("id_a", "band", "bsig")
-      .join(banded.toDF("id_b", "band", "bsig"), Seq("band", "bsig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    Dedup.jaccardForPairs(cand, rows)
-      .filter(col("jaccard") >= 0.2)
+  def dedupMinhashPortable(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPortable(load(spark, dir, "documents"), "text", "doc_id",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.2)
       .orderBy("id_a", "id_b")
-  }
 
-  /** DuckDB replica of the portable MinHash-LSH — generated SQL replaying
-    * the exact permutation constants and band slices. */
-  private val minhashPortableOracle: String = {
+  /** The END-TO-END dedup-grouping deliverable, exactly oracled: exact
+    * sha256 representatives → portable MinHash-LSH edges → transitive-
+    * closure group ids, replayed in DuckDB with a recursive CTE over the
+    * same edges. Verifies the whole pipeline a training-data run would
+    * consume, not just one stage. */
+  def dedupGroupsPortable(spark: SparkSession, dir: String): DataFrame =
+    // maxIter 20: min-label propagation needs up-to-diameter iterations
+    // and the oracle computes the TRUE closure; convergence exits early
+    // on real (small-diameter) dedup clusters, so the bound is free.
+    Dedup.nearDupGroups(load(spark, dir, "documents"), "text", "doc_id",
+        threshold = 0.2, maxIter = 20, portableEdges = true)
+      .orderBy("doc_id")
+
+  /** CTE chain replaying the portable MinHash-LSH over source relation
+    * `src` — the exact permutation constants and band slices, ending in
+    * `pairs(id_a, id_b, jaccard)` at threshold 0.2. Shared by the
+    * pair-level and end-to-end-groups oracles. */
+  private def minhashCtes(src: String): String = {
     val p = Dedup.minhashPrime
     val perms = Dedup.minhashPerms(32)
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
@@ -138,9 +136,9 @@ object TextOps {
       val ms = (0 until 4).map(r => s"m${q * 4 + r}").mkString(", ")
       s"SELECT doc_id, $q AS qi, [$ms] AS bs FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH w AS (SELECT doc_id,
+    s"""w AS (SELECT doc_id,
        |    list_filter(regexp_split_to_array(text, ' +'), x -> x != '') AS w
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
@@ -162,15 +160,40 @@ object TextOps {
        |  FROM cand c
        |  JOIN hd x ON x.doc_id = c.id_a
        |  JOIN hd y ON y.doc_id = c.id_b AND y.h = x.h
-       |  GROUP BY c.id_a, c.id_b)
-       |SELECT i.id_a, i.id_b,
-       |  i.ni / (sa.sz + sb.sz - i.ni) AS jaccard
-       |FROM inter i
-       |JOIN sz sa ON sa.doc_id = i.id_a
-       |JOIN sz sb ON sb.doc_id = i.id_b
-       |WHERE i.ni / (sa.sz + sb.sz - i.ni) >= 0.2
-       |ORDER BY id_a, id_b""".stripMargin
+       |  GROUP BY c.id_a, c.id_b),
+       |pairs AS (SELECT i.id_a, i.id_b,
+       |    i.ni / (sa.sz + sb.sz - i.ni) AS jaccard
+       |  FROM inter i
+       |  JOIN sz sa ON sa.doc_id = i.id_a
+       |  JOIN sz sb ON sb.doc_id = i.id_b
+       |  WHERE i.ni / (sa.sz + sb.sz - i.ni) >= 0.2)""".stripMargin
   }
+
+  /** DuckDB replica of the portable MinHash-LSH pairs. */
+  private val minhashPortableOracle: String =
+    s"""WITH ${minhashCtes("documents")}
+       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB replica of the END-TO-END grouping: sha256 representatives,
+    * portable LSH edges, transitive closure via a recursive CTE (the TRUE
+    * fixpoint the Spark propagation must reach). */
+  private val groupsPortableOracle: String =
+    s"""WITH RECURSIVE
+       |repmap AS (SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY sha256(text)) AS rep
+       |  FROM documents),
+       |repdocs AS (SELECT d.doc_id, d.text FROM documents d
+       |  JOIN repmap r ON d.doc_id = r.doc_id AND r.doc_id = r.rep),
+       |${minhashCtes("repdocs")},
+       |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM repdocs
+       |  UNION
+       |  SELECT e.id, r.label FROM edges e JOIN reach r ON r.id = e.nbr),
+       |labels AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id)
+       |SELECT rm.doc_id, l.group_id FROM repmap rm
+       |JOIN labels l ON l.id = rm.rep ORDER BY doc_id""".stripMargin
 
   /** DuckDB replica of the portable SimHash — generated SQL: 60 bit-sum
     * aggregates, sign bits reassembled, 15-bit quarter banding, hamming
@@ -267,5 +290,7 @@ object TextOps {
       Some(simhashPortableOracle), "dedup/simhash-differential"),
     QuerySpec("q_dedup_minhash_portable", dedupMinhashPortable,
       Some(minhashPortableOracle), "dedup/minhash-differential"),
+    QuerySpec("q_dedup_groups_portable", dedupGroupsPortable,
+      Some(groupsPortableOracle), "dedup/groups-differential"),
   )
 }
