@@ -43,6 +43,36 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** DuckDB replica of the LSH path: the SAME seeded hyperplanes (embedded
+    * as double literals — Java Double.toString round-trips exactly), the
+    * same left-to-right dot-product fold (list_reduce is a plain left
+    * fold, and 0.0 + x == x exactly, so the init makes no difference),
+    * bucket join, and round-6 cosine re-rank. Upgrades ANN-LSH from a
+    * rows-only check to a full differential. */
+  private val annLshOracle: String = {
+    val rnd = new scala.util.Random(42)
+    val planes = Seq.fill(6)(Seq.fill(64)(rnd.nextGaussian()))
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"""(CASE WHEN list_reduce(
+         |      list_transform(generate_series(1, 64), j -> v[j] * ($lst)[j]),
+         |      (a, x) -> a + x) >= 0
+         |    THEN 1::BIGINT ELSE 0::BIGINT END << $i)""".stripMargin
+    }.mkString(" +\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  $bucketExpr AS bkt
+       |  FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, bkt FROM b WHERE vec_id < 8),
+       |cand AS (SELECT q.qid, c.vec_id AS neighbor,
+       |    round(list_cosine_similarity(q.qv, c.v), 6) AS cos
+       |  FROM q JOIN b c ON c.bkt = q.bkt AND c.vec_id != q.qid)
+       |SELECT qid, CAST(rank AS INT) AS rank, neighbor FROM (
+       |  SELECT qid, neighbor, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, neighbor ASC) AS rank FROM cand) t
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_ann_ivf", annIvf, None, "similarity/ann-ivf"),
     QuerySpec("q_ann_brute_force", annBruteForce, Some(
@@ -54,7 +84,7 @@ object VectorOps {
         |    ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, neighbor ASC) AS rank
         |  FROM q JOIN c ON neighbor != qid) t
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin), "similarity/ann-brute"),
-    QuerySpec("q_ann_lsh", annLsh, None, "similarity/ann-lsh"),
+    QuerySpec("q_ann_lsh", annLsh, Some(annLshOracle), "similarity/ann-lsh"),
     QuerySpec("q_dedup_embedding", dedupEmbedding, Some(
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
