@@ -122,6 +122,27 @@ object Dedup {
     jaccardForPairs(cand, rows).filter(col("jaccard") >= threshold)
   }
 
+  /** Distinct shingle STRINGS as flat (id, sh) rows — same relational
+    * explode + window-lead shape as [[shingleRows]] (whole-stage codegen,
+    * no interpreted array lambdas), emitting the space-joined n-gram
+    * string instead of its xxhash64. The portable-hash pipelines md5 the
+    * string, so the text itself must survive to the hash. */
+  def shingleStringRows(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " +")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"w$k"))
+    toks.select((Seq(col("id"), col("w").as("w0")) ++ leads): _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("sh"))
+      .distinct()
+  }
+
   /** MinHash-LSH with every stage engine-portable (md5-60 shingle hashes,
     * published permutations, banding by the literal band-slice array
     * instead of an engine bucket hash) — same pipeline as [[minhashLsh]],
@@ -130,9 +151,7 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rpb = numHashes / bands
-    val rows = docs
-      .select(col(idCol).as("id"),
-        explode(Text.wordShingles(col(textCol), shingleSize)).as("sh"))
+    val rows = shingleStringRows(docs, textCol, idCol, shingleSize)
       .select(col("id"), md5Hash60(col("sh")).as("h"))
       .distinct().localCheckpoint()
     val banded = minhashSignatures(rows, numHashes)
