@@ -48,7 +48,9 @@ object ScaleProbe {
 
     val probes = Seq("q_agg_pricing_summary", "q_join_5way",
       "q_window_running", "q_join_asof", "q_agg_count_distinct",
-      "q_dedup_simhash", "q_text_tokens", "q_merge_upsert")
+      "q_dedup_simhash", "q_text_tokens", "q_merge_upsert",
+      "q_topk_per_group", "q_sessionize", "q_agg_rollup",
+      "q_dedup_groups_portable")
     probes.foreach { name =>
       val fn = SparkEntry.queries(name)
       def time(dir: String): Double = {
