@@ -5,12 +5,14 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, EqualTo, Expression, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.IntegerType
 
 /** Whole-operator top-k-per-group as a custom Catalyst plan — the one
   * place the SURVEY escalation rule (§2.9: compose built-ins → custom
@@ -55,6 +57,49 @@ object TopKStrategy extends SparkStrategy {
       TopKPerGroupExec(g, o, k, isFinal = true, partial) :: Nil
     case _ => Nil
   }
+}
+
+/** Optimizer rewrite: `Filter(row_number <= k)` directly above a Window
+  * computing ONLY that row_number becomes the same plan with
+  * [[TopKPerGroup]] injected below the Window — so the standard
+  * `.withColumn("rn", row_number().over(w)).filter($"rn" <= k)` idiom
+  * gets the bounded-heap shuffle shape without the caller knowing the
+  * custom operator exists. The Window stays (its output, including the
+  * rank column, is unchanged — recomputing row_number over ≤ k rows per
+  * group is noise); only its input shrinks from the full fact table to
+  * the per-partition top-k survivors.
+  *
+  * Guards: exactly one window expression (any second expression would
+  * see truncated partitions), a non-empty order, k ≤ `maxK` (the heap
+  * holds k rows per group in executor memory), and no double-rewrite.
+  */
+object TopKRewriteRule extends Rule[LogicalPlan] {
+  val maxK = 1000
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+          ps, os, child, _))
+        if os.nonEmpty && !child.isInstanceOf[TopKPerGroup] =>
+      extractK(cond, alias.toAttribute) match {
+        case Some(k) if k > 0 && k <= maxK =>
+          f.copy(child = w.copy(child = TopKPerGroup(ps, os, k, child)))
+        case _ => f
+      }
+  }
+
+  private def extractK(cond: Expression, rn: Attribute): Option[Int] =
+    cond match {
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+        if a.semanticEquals(rn) => Some(k)
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+        if a.semanticEquals(rn) => Some(k - 1)
+      case EqualTo(a: Attribute, Literal(k: Int, IntegerType))
+        if k == 1 && a.semanticEquals(rn) => Some(1)
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
+        if a.semanticEquals(rn) => Some(k)
+      case _ => None
+    }
 }
 
 /** Physical bounded-heap top-k per group. The partial phase accepts any
@@ -113,14 +158,18 @@ case class TopKPerGroupExec(
 object TopK {
 
   /** For `SparkSession.Builder.withExtensions` (Session.configure). */
-  val extensions: SparkSessionExtensions => Unit =
-    _.injectPlannerStrategy(_ => TopKStrategy)
+  val extensions: SparkSessionExtensions => Unit = { e =>
+    e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => TopKRewriteRule)
+  }
 
   /** Idempotent runtime registration for already-built sessions. */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraStrategies.contains(TopKStrategy))
       exp.extraStrategies = TopKStrategy +: exp.extraStrategies
+    if (!exp.extraOptimizations.contains(TopKRewriteRule))
+      exp.extraOptimizations = TopKRewriteRule +: exp.extraOptimizations
   }
 
   /** Top `k` rows of `df` per `groupCols` group under `orderCols` (use

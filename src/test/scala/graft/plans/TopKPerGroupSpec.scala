@@ -57,6 +57,43 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(idxFinal < idxExchange && idxExchange < idxPartial)
   }
 
+  test("optimizer rule rewrites row_number()<=k filters to TopKPerGroup") {
+    val plan = windowTopK(5).queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerGroup"),
+      s"expected auto-rewrite to TopKPerGroup in:\n$plan")
+    // results are identical to the un-rewritten semantics (rank() over a
+    // total order == row_number, and rank() is NOT rewritten)
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val viaRank = data.withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val rewritten = windowTopK(5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(rewritten == viaRank)
+  }
+
+  test("optimizer rule leaves multi-expression windows and big k alone") {
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val multi = data
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lg", lag("v", 1).over(w))
+      .filter(col("rn") <= 5)
+    assert(!multi.queryExecution.executedPlan.toString().contains("TopKPerGroup"))
+    val bigK = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopKRewriteRule.maxK + 1)
+    assert(!bigK.queryExecution.executedPlan.toString().contains("TopKPerGroup"))
+  }
+
+  test("keeps the rank column correct after rewrite") {
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val out = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .orderBy("g", "rn").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq == Seq(1, 2))
+    }
+  }
+
   test("duplicate order values keep deterministic winners via tie-break") {
     val ties = Seq((1, 5, 1), (1, 5, 2), (1, 5, 3), (1, 4, 4)).toDF("g", "v", "id")
     val out = TopK.perGroup(ties, Seq(col("g")), Seq(col("v").desc, col("id").asc), 2)
