@@ -11,8 +11,11 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.executedPlan.toString()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // collect() on THIS Dataset so its own AQE plan finalizes (a write
+      // clones the plan and would leave this one isFinalPlan=false)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
       def count(s: String) = plan.sliding(s.length).count(_ == s)
       val joins = Seq("BroadcastHashJoin", "SortMergeJoin",
         "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
@@ -21,7 +24,8 @@ object PlanAudit {
       val pushed = count("PushedFilters: [")
       val pushedEmpty = count("PushedFilters: []")
       val exchanges = count("Exchange ")
-      val wsc = count("WholeStageCodegen")
+      // codegen'd operators print with a "*(stageId)" prefix in the tree
+      val wsc = count("*(")
       println(f"$name%-28s joins[$joins] pushed=${pushed - pushedEmpty}/$pushed " +
         f"exchanges=$exchanges codegenSpans=$wsc")
     }
