@@ -122,6 +122,24 @@ object OlapOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Skew-salted dimension join, oracled against the plain join: the big
+    * side sprays each hot key over 8 salt replicas (deterministic spray
+    * from row content, so retries re-land identically) and the small side
+    * replicates — result is identical row-for-row to the unsalted join,
+    * which is exactly what the oracle asserts. */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .withColumnRenamed("l_partkey", "p_partkey")
+    val part = load(spark, dir, "part").select("p_partkey", "p_brand")
+    Skew.saltedJoinBy(li, part, Seq("p_partkey"),
+        sprayCols = Seq(col("l_orderkey"), col("l_linenumber")), salt = 8,
+        joinType = "inner")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty"))
+      .orderBy("p_brand")
+  }
+
   /** String-function surface: levenshtein, translate, replace, lpad,
     * repeat, reverse — all codegen'd built-ins, same semantics in DuckDB. */
   def fnStrings(spark: SparkSession, dir: String): DataFrame =
@@ -194,6 +212,11 @@ object OlapOps {
         |min(ts) AS session_start, max(ts) AS session_end
         |FROM i GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin), "window/sessionize"),
+    QuerySpec("q_join_salted", joinSalted, Some(
+      """SELECT p_brand, count(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin), "skew/salted-join"),
     QuerySpec("q_fn_strings", fnStrings, Some(
       """SELECT n_nationkey,
         |levenshtein(n_name, 'UNITED STATES') AS lev,

@@ -114,6 +114,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.read("steps", Schemas.steps).count() == 3)
   }
 
+  test("store layout gives partition pruning on (region, season) predicates") {
+    val storeDir = tmpDir("store_prune")
+    val store = new Store(spark, storeDir.toString)
+    import spark.implicits._
+    val storms = Seq(
+      ("AL092022", "AL", 2022, "Ian"), ("AL012021", "AL", 2021, "Ana"),
+      ("EP052022", "EP", 2022, "Estelle"))
+      .toDF("nhc_id", "region", "season", "name")
+    store.write("storms_p", storms)
+    val pruned = spark.read.parquet(store.path("storms_p"))
+      .filter(col("region") === "AL" && col("season") === 2022)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters in:\n$plan")
+    assert(plan.contains("region") && plan.contains("season"),
+      s"partition predicates not pushed to directory pruning in:\n$plan")
+    // the pruned scan must not read the 2021/EP directories
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("region=AL") && f.contains("season=2022")),
+      s"scan read non-matching partitions: ${files.mkString(", ")}")
+  }
+
   test("maintenance: archive stale storms, expire old invests with cascade") {
     val landing = tmpDir("landing_m")
     val storeDir = tmpDir("store_m")
