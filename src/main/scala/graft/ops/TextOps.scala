@@ -231,7 +231,52 @@ object TextOps {
         threshold = 0.2)
       .orderBy("doc_id")
 
+  /** The end-to-end corpus-curation pipeline a training-data run actually
+    * executes: near-dup removal (keep each cluster's representative) →
+    * quality gate (minimum token count) → per-language corpus stats.
+    * Every stage is engine-portable, so the WHOLE pipeline diffs against
+    * one composed DuckDB query. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val groups = Dedup.nearDupGroups(docs, "text", "doc_id",
+      threshold = 0.2, maxIter = 20, portableEdges = true)
+    val survivors = groups.filter(col("group_id") === col("doc_id"))
+      .select("doc_id")
+    docs.join(survivors, Seq("doc_id"))
+      .withColumn("n_tokens", Text.tokenCount(col("text")))
+      .filter(col("n_tokens") >= 5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  private val curationOracle: String =
+    s"""WITH RECURSIVE
+       |repmap AS (SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY sha256(text)) AS rep
+       |  FROM documents),
+       |repdocs AS (SELECT d.doc_id, d.text FROM documents d
+       |  JOIN repmap r ON d.doc_id = r.doc_id AND r.doc_id = r.rep),
+       |${minhashCtes("repdocs")},
+       |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM repdocs
+       |  UNION
+       |  SELECT e.id, r.label FROM edges e JOIN reach r ON r.id = e.nbr),
+       |labels AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+       |surv AS (SELECT rm.doc_id FROM repmap rm
+       |  JOIN labels l ON l.id = rm.rep WHERE l.group_id = rm.doc_id),
+       |tok AS (SELECT doc_id, lang,
+       |    len(list_filter(regexp_split_to_array(text, ' +'), w -> w != '')) AS n
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+       |FROM tok JOIN surv USING (doc_id) WHERE n >= 5
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_curation_pipeline", curationPipeline,
+      Some(curationOracle), "curation/end-to-end"),
     QuerySpec("q_dedup_groups", dedupGroups, None, "dedup/groups"),
     QuerySpec("q_text_tokens", textTokens, Some(
       """SELECT lang, CAST(sum(n) AS BIGINT) AS total_tokens, min(n) AS min_tokens,
