@@ -31,8 +31,13 @@ object Dedup {
     * (an order of magnitude faster per doc, and the flat-rows form is
     * exactly what MinHash aggregation and relational set-intersection
     * want at corpus scale). */
-  def shingleRows(docs: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame = {
+  /** Shared shingling core: one row per n-gram occurrence with the n
+    * aligned token columns w0..w(n-1) — explode + window lead, fully
+    * whole-stage codegen. The fast path and the portable path are two
+    * PROJECTIONS of this one pipeline, so their tokenization can never
+    * drift apart. */
+  private def shingleTokenRows(docs: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col(idCol).as("id"),
@@ -42,9 +47,13 @@ object Dedup {
     val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"w$k"))
     toks.select((Seq(col("id"), col("w").as("w0")) ++ leads): _*)
       .filter(col(s"w${n - 1}").isNotNull)
+  }
+
+  def shingleRows(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    shingleTokenRows(docs, textCol, idCol, n)
       .select(col("id"), xxhash64((0 until n).map(k => col(s"w$k")): _*).as("h"))
       .distinct()
-  }
 
   /** MinHash signatures from flat (id, h) shingle rows: each shingle is
     * hashed once, the numHashes affine permutations are cheap integer
@@ -128,20 +137,11 @@ object Dedup {
     * string instead of its xxhash64. The portable-hash pipelines md5 the
     * string, so the text itself must survive to the hash. */
   def shingleStringRows(docs: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), " +")).as(Seq("pos", "w")))
-      .filter(col("w") =!= "")
-    val w = Window.partitionBy("id").orderBy("pos")
-    val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"w$k"))
-    toks.select((Seq(col("id"), col("w").as("w0")) ++ leads): _*)
-      .filter(col(s"w${n - 1}").isNotNull)
+      n: Int): DataFrame =
+    shingleTokenRows(docs, textCol, idCol, n)
       .select(col("id"),
         concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("sh"))
       .distinct()
-  }
 
   /** MinHash-LSH with every stage engine-portable (md5-60 shingle hashes,
     * published permutations, banding by the literal band-slice array

@@ -34,11 +34,14 @@ object Merge {
     val hasIncoming = col(s"__inc_${keys.head}").isNotNull
     val hasExisting = col(keys.head).isNotNull
     // Guard only applies when both sides are present; inserts always pass.
-    // SQL comparison semantics: a NULL guard comparison (either side's
-    // guarded column is null on a matched row) REJECTS the update, exactly
-    // like `incoming.m >= existing.m` inside a WHERE/CASE.
+    // NULL semantics: an EXISTING null guard value is no baseline to
+    // regress, so the update is accepted (otherwise a row that first
+    // landed undated could never be corrected); an INCOMING null compared
+    // against a non-null existing value rejects, like `incoming.m >=
+    // existing.m` in a WHERE/CASE — never wipe a dated value with an
+    // undated one.
     val guard: Column = monotonicCol
-      .map(m => !hasExisting || col(s"__inc_$m") >= col(m))
+      .map(m => !hasExisting || col(m).isNull || col(s"__inc_$m") >= col(m))
       .getOrElse(lit(true))
     val takeIncoming = hasIncoming && coalesce(guard, lit(false))
 

@@ -100,15 +100,18 @@ object OlapOps {
   }
 
   /** Gap-based sessionization (the batch shape of streaming session
-    * windows): a new session starts when a user's inter-event gap exceeds
-    * 30 minutes; session id = running count of starts. One shuffle on
+    * windows): a new session starts when a user's inter-event gap EXCEEDS
+    * 30 minutes — strict `>`, verified empirically against the
+    * engine-native `session_window`, which merges an event landing
+    * exactly at start+gap into the running session (adjacent windows
+    * coalesce). Session id = running count of starts. One shuffle on
     * user_id serves both window passes AND the final rollup — the
     * partitioning is reused, exactly the plan wanted at 100 TB. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionizeEvents(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     // gap test compares full-precision timestamps (interval arithmetic),
     // never truncated epoch seconds — ts carries microseconds.
-    load(spark, dir, "events")
+    events
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -119,8 +122,11 @@ object OlapOps {
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         min("ts").as("session_start"), max("ts").as("session_end"))
-      .orderBy("user_id", "session_id")
   }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeEvents(load(spark, dir, "events"))
+      .orderBy("user_id", "session_id")
 
   /** Skew-salted dimension join, oracled against the plain join: the big
     * side sprays each hot key over 8 salt replicas (deterministic spray
@@ -200,12 +206,12 @@ object OlapOps {
       """WITH g AS (SELECT user_id, ts, event_id,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events),
-        |s AS (SELECT user_id, ts,
+        |s AS (SELECT user_id, ts, event_id,
         |  CASE WHEN prev_ts IS NULL
         |         OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
         |  FROM g),
         |i AS (SELECT user_id, ts, CAST(SUM(new_session) OVER (
-        |  PARTITION BY user_id ORDER BY ts
+        |  PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM s)
         |SELECT user_id, session_id, count(*) AS n_events,

@@ -115,10 +115,12 @@ object PipelineOps {
         |  o_totalprice - 1000.0 AS o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
         |merged AS (SELECT
         |  CASE WHEN i.o_orderkey IS NOT NULL
-        |         AND (e.o_orderkey IS NULL OR i.o_totalprice >= e.o_totalprice)
+        |         AND (e.o_orderkey IS NULL OR e.o_totalprice IS NULL
+        |              OR i.o_totalprice >= e.o_totalprice)
         |       THEN i.o_orderstatus ELSE e.o_orderstatus END AS o_orderstatus,
         |  CASE WHEN i.o_orderkey IS NOT NULL
-        |         AND (e.o_orderkey IS NULL OR i.o_totalprice >= e.o_totalprice)
+        |         AND (e.o_orderkey IS NULL OR e.o_totalprice IS NULL
+        |              OR i.o_totalprice >= e.o_totalprice)
         |       THEN i.o_totalprice ELSE e.o_totalprice END AS o_totalprice
         |  FROM existing e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey)
         |SELECT o_orderstatus, count(*) AS n,

@@ -130,8 +130,12 @@ object TextOps {
   private def minhashCtes(src: String): String = {
     val p = Dedup.minhashPrime
     val perms = Dedup.minhashPerms(32)
+    // mod p ONLY inside the permutation (matching minhashSignatures);
+    // sizes/intersections must use the RAW 60-bit hash — a mod-p
+    // collision between distinct shingles would otherwise shrink the
+    // oracle's set cardinalities while Spark's stay exact.
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      s"min((h * $a + $b) % $p) AS m$i" }.mkString(",\n  ")
+      s"min(((h % $p) * $a + $b) % $p) AS m$i" }.mkString(",\n  ")
     val bandSelects = (0 until 8).map { q =>
       val ms = (0 until 4).map(r => s"m${q * 4 + r}").mkString(", ")
       s"SELECT doc_id, $q AS qi, [$ms] AS bs FROM sig"
@@ -145,7 +149,7 @@ object TextOps {
        |    ELSE [] END) AS s
        |  FROM w),
        |hd AS (SELECT DISTINCT doc_id,
-       |    CAST('0x' || substr(md5(s), 2, 15) AS BIGINT) % $p AS h
+       |    CAST('0x' || substr(md5(s), 2, 15) AS BIGINT) AS h
        |  FROM sh),
        |sig AS (SELECT doc_id,
        |  $minCols

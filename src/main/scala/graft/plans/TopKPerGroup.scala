@@ -27,8 +27,12 @@ import org.apache.spark.sql.types.IntegerType
   *
   * At 100 TB the partial phase caps shuffle volume at (groups × k) rows
   * per map partition instead of the full fact table, and nothing sorts —
-  * heap maintenance is O(n log k) with k-row memory per group, no spill
-  * pressure. Result rows are emitted unordered (top-k is a set); callers
+  * heap maintenance is O(n log k) with k-row memory per group. Partial-
+  * phase memory grows with distinct groups per map partition, so beyond
+  * a group-count cap additional keys' rows stream through unheaped
+  * (graceful degradation to the plain shuffle, not an OOM); the final
+  * phase holds groups/numPartitions keys — the memory class of a hash
+  * aggregate. Result rows are emitted unordered (top-k is a set); callers
   * wanting ranked output sort the ≤ groups×k survivors, which is free by
   * comparison.
   *
@@ -123,6 +127,7 @@ case class TopKPerGroupExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val (g, o, attrs, kk) = (groupExprs, order, child.output, k)
+    val fin = isFinal
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, attrs)
       val ord = GenerateOrdering.generate(o, attrs)
@@ -133,20 +138,37 @@ case class TopKPerGroupExec(
         override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      // Memory backstop for the PARTIAL phase: the heap map grows with
+      // DISTINCT GROUPS PER MAP PARTITION, which at high group
+      // cardinality approaches the whole key space. Since the partial
+      // phase is only a shuffle-volume optimization (the final phase
+      // re-filters everything it receives), rows of keys beyond the cap
+      // pass through unheaped instead of growing the map — graceful
+      // degradation to the plain shuffle, never an OOM. The final phase
+      // holds groups/numPartitions keys (same memory class as a hash
+      // aggregate) and must filter exactly, so it takes no cap.
+      val maxGroups = if (fin) Int.MaxValue else 1 << 17
+      // rows of over-cap keys stream straight through (no buffering);
+      // heap contents follow once the input is exhausted (++ is by-name)
+      val streamed = iter.flatMap { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
-          heaps.put(key.copy(), heap) // projection reuses its buffer: copy
-        }
-        if (heap.size < kk) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+        if (heap == null && heaps.size() >= maxGroups) {
+          Iterator.single(row)
+        } else {
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
+            heaps.put(key.copy(), heap) // projection reuses its buffer: copy
+          }
+          if (heap.size < kk) heap.add(row.copy())
+          else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll(); heap.add(row.copy())
+          }
+          Iterator.empty
         }
       }
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      streamed ++
+        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 

@@ -37,7 +37,12 @@ object Ivf {
       array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
     val n = vecs.count()
     val stride = math.max(1L, n / trainCap)
-    val train = vecs.filter(pmod(col("id"), lit(stride)) === 0)
+    // sample on a HASH of the id, not the id itself: structured id
+    // spaces (all-odd, shared factors with the stride) would otherwise
+    // starve — or empty — the training set
+    val train =
+      if (stride == 1L) vecs
+      else vecs.filter(pmod(hash(col("id")), lit(stride)) === 0)
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(8).setTol(1e-3)
       .fit(train.select("features"))
     val centroids = model.clusterCenters.zipWithIndex

@@ -24,8 +24,9 @@ object PlanAudit {
       val pushed = count("PushedFilters: [")
       val pushedEmpty = count("PushedFilters: []")
       val exchanges = count("Exchange ")
-      // codegen'd operators print with a "*(stageId)" prefix in the tree
-      val wsc = count("*(")
+      // codegen'd operators print "*(stageId)" — count DISTINCT stages
+      val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size
       println(f"$name%-28s joins[$joins] pushed=${pushed - pushedEmpty}/$pushed " +
         f"exchanges=$exchanges codegenSpans=$wsc")
     }

@@ -39,6 +39,19 @@ class MergeSpec extends AnyFunSuite {
       == Seq((1L, "a", 10.0), (2L, "n", 1.0)))
   }
 
+  test("monotonic guard NULL semantics: null existing accepts, null incoming rejects") {
+    val existing = Seq((1L, "a", Option.empty[Double]), (2L, "b", Some(10.0)))
+      .toDF("k", "s", "v")
+    val incoming = Seq((1L, "X", Some(5.0)), (2L, "Y", Option.empty[Double]))
+      .toDF("k", "s", "v")
+    val out = Merge.upsert(existing, incoming, Seq("k"), Some("v"))
+      .orderBy("k").collect()
+    // k=1: existing v NULL = no baseline to regress -> update lands
+    assert(out(0).getString(1) == "X" && out(0).getDouble(2) == 5.0)
+    // k=2: incoming v NULL vs dated existing -> rejected, row untouched
+    assert(out(1).getString(1) == "b" && out(1).getDouble(2) == 10.0)
+  }
+
   test("mergeStats counts inserted/updated/unchanged (A14)") {
     val existing = tbl((1L, "a", 1.0), (2L, "b", 2.0), (4L, "d", 4.0))
     val incoming = tbl((1L, "a", 1.0), (2L, "B", 2.0), (3L, "c", 3.0))

@@ -11,43 +11,30 @@ class OlapOpsSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
-  test("sessionize splits on >30min gaps per user, not across users") {
-    val ev = Seq(
-      (1L, 10L, ts("2024-01-01 00:00:00")),
-      (2L, 10L, ts("2024-01-01 00:20:00")), // 20min gap -> same session
-      (3L, 10L, ts("2024-01-01 01:00:00")), // 40min gap -> new session
-      (4L, 20L, ts("2024-01-01 00:25:00"))  // other user -> own session 1
-    ).toDF("event_id", "user_id", "ts")
+  private def eventsDf(rows: Seq[(Long, Long, java.sql.Timestamp)]) =
+    rows.toDF("event_id", "user_id", "ts")
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
-    val sessions = ev
-      .withColumn("prev_ts", lag("ts", 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
-      .withColumn("session_id", sum("new_session").over(
-        w.rowsBetween(Long.MinValue, 0)))
-      .groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("sessionize splits on >30min gaps per user, not across users") {
+    val sessions = OlapOps.sessionizeEvents(eventsDf(Seq(
+        (1L, 10L, ts("2024-01-01 00:00:00")),
+        (2L, 10L, ts("2024-01-01 00:20:00")), // 20min gap -> same session
+        (3L, 10L, ts("2024-01-01 01:00:00")), // 40min gap -> new session
+        (4L, 20L, ts("2024-01-01 00:25:00"))))) // other user -> own session
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_events"))).toSet
     assert(sessions == Set((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
   }
 
-  test("exactly a 30min gap does NOT start a new session (strict >)") {
-    val ev = Seq(
-      (1L, 1L, ts("2024-01-01 00:00:00")),
-      (2L, 1L, ts("2024-01-01 00:30:00"))
-    ).toDF("event_id", "user_id", "ts")
-      .withColumn("ts", col("ts").cast("timestamp_ntz"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
-    val n = ev
-      .withColumn("prev_ts", lag("ts", 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
-      .agg(sum("new_session")).collect()(0).getLong(0)
-    assert(n == 1L)
+  test("exactly a 30min gap does NOT split (matches session_window merging)") {
+    // session_window coalesces adjacent windows: an event exactly at
+    // start+gap extends the session (verified in StreamingSessionSpec),
+    // so the batch rule is strict >
+    val out = OlapOps.sessionizeEvents(eventsDf(Seq(
+        (1L, 1L, ts("2024-01-01 00:00:00")),
+        (2L, 1L, ts("2024-01-01 00:30:00")))))
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n_events") == 2L)
   }
 
   test("rollup emits detail + subtotal + grand total rows") {

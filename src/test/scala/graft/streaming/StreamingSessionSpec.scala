@@ -21,7 +21,9 @@ class StreamingSessionSpec extends AnyFunSuite {
       (10L, ts("2024-01-01 00:00:00")),
       (10L, ts("2024-01-01 00:20:00")), // within gap -> same session
       (10L, ts("2024-01-01 01:00:00")), // 40 min gap -> new session
-      (20L, ts("2024-01-01 00:25:00")))
+      (20L, ts("2024-01-01 00:25:00")),
+      (30L, ts("2024-01-01 02:00:00")),
+      (30L, ts("2024-01-01 02:30:00"))) // exactly the gap -> MERGED
     val out = StreamingIngest.sessionStream(
       input.toDF().toDF("user_id", "ts"), "ts", "user_id")
     val q = out.writeStream.format("memory").queryName("sessions")
@@ -30,10 +32,13 @@ class StreamingSessionSpec extends AnyFunSuite {
       q.processAllAvailable()
       val rows = spark.table("sessions")
         .orderBy("user_id", "session_start").collect()
-      assert(rows.length == 3)
+      assert(rows.length == 4)
       val byUser = rows.groupBy(_.getAs[Long]("user_id"))
       assert(byUser(10L).map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L))
       assert(byUser(20L).map(_.getAs[Long]("n_events")).toSeq == Seq(1L))
+      // session_window coalesces adjacent windows: the ==30min event
+      // EXTENDS the session — hence the batch sessionize's strict >
+      assert(byUser(30L).map(_.getAs[Long]("n_events")).toSeq == Seq(2L))
       // first session spans [00:00, 00:20 + gap)
       assert(byUser(10L).head.getAs[Timestamp]("session_end")
         == ts("2024-01-01 00:50:00"))
