@@ -179,10 +179,34 @@ case class TopKPerGroupExec(
 /** Public API + extension registration. */
 object TopK {
 
-  /** For `SparkSession.Builder.withExtensions` (Session.configure). */
+  /** For `SparkSession.Builder.withExtensions` (Session.configure):
+    * planner strategy + optimizer rewrite + the native expressions as SQL
+    * functions (`great_circle(lat1, lon1, lat2, lon2)` in nautical miles,
+    * `cosine_similarity(a, b)`). */
   val extensions: SparkSessionExtensions => Unit = { e =>
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(_ => TopKRewriteRule)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("great_circle"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.expressions.GreatCircleDistance].getName,
+        "great_circle"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"great_circle expects (lat1, lon1, lat2, lon2), got ${args.length} args")
+        graft.functions.expressions.GreatCircleDistance(
+          args(0), args(1), args(2), args(3))
+      }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.expressions.CosineSimilarity].getName,
+        "cosine_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"cosine_similarity expects (a, b), got ${args.length} args")
+        graft.functions.expressions.CosineSimilarity(args(0), args(1))
+      }))
   }
 
   /** Idempotent runtime registration for already-built sessions. */

@@ -6,6 +6,21 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.functions.expressions.GreatCircleDistance
 
+class SqlFunctionRegistrationSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  test("native expressions are callable from SQL (SparkSessionExtensions)") {
+    val r = spark.sql(
+      """SELECT great_circle(26.8D, -82.3D, 27.1D, -82.9D) AS d,
+        |cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |cosine_similarity(array(1.0D), array(1.0D, 2.0D)) AS n""".stripMargin)
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 37.0) < 2.0) // ~0.6 deg separation
+    assert(r.getDouble(1) == 1.0)
+    assert(r.isNullAt(2)) // mismatched lengths -> NULL contract
+  }
+}
+
 class GreatCircleExpressionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
