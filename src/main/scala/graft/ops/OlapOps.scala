@@ -158,7 +158,97 @@ object OlapOps {
         reverse(col("n_name")).as("rev"))
       .orderBy("n_nationkey")
 
+  /** RANGE-frame moving aggregate: events within the trailing hour per
+    * user, ordered by exact epoch micros (a RANGE frame over event time —
+    * the sliding-window shape streaming jobs aggregate with). */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    load(spark, dir, "events")
+      .filter(col("event_id") % 17 === 0)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_hour"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("v_trailing_hour"))
+      .orderBy("event_id")
+  }
+
+  /** Ordered distinct string aggregation (deterministic collect):
+    * alphabetical comma-join of each user's event types. */
+  def aggStringAgg(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+        .as("types"), count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  /** Datetime part extraction (fields with identical cross-engine
+    * definitions; day-of-week normalized to ISO 1=Monday..7=Sunday). */
+  def fnDatetimeParts(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders").filter(col("o_orderkey") % 101 === 0)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        hour(col("o_orderdate")).as("h"),
+        ((dayofweek(col("o_orderdate")) + 5) % 7 + 1).as("iso_dow"),
+        last_day(col("o_orderdate")).cast("date").as("month_end"),
+        add_months(col("o_orderdate").cast("date"), 2).as("plus2m"))
+      .orderBy("o_orderkey")
+
+  /** Conditional / null-handling functions over nullable-by-construction
+    * inputs. */
+  def fnConditionals(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders").filter(col("o_orderkey") % 101 === 0)
+      .withColumn("a", when(col("o_orderkey") % 3 === 0, col("o_totalprice")))
+      .withColumn("b", when(col("o_orderkey") % 2 === 0, col("o_totalprice") * 2))
+    o.select(col("o_orderkey"),
+        coalesce(col("a"), col("b"), lit(-1.0)).as("c1"),
+        nullif(col("o_orderstatus"), lit("O")).as("c2"),
+        greatest(col("a"), col("b")).as("c3"),
+        least(col("a"), col("b")).as("c4"),
+        when(col("a").isNotNull, lit("dated")).otherwise(lit("undated")).as("c5"))
+      .orderBy("o_orderkey")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_window_range_frame", windowRangeFrame, Some(
+      """SELECT event_id, user_id,
+        |count(*) OVER w AS n_trailing_hour,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_trailing_hour
+        |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events
+        |      WHERE event_id % 17 = 0) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin), "window/range-frame"),
+    QuerySpec("q_agg_string_agg", aggStringAgg, Some(
+      """SELECT user_id,
+        |string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+        |count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "agg/string-agg"),
+    QuerySpec("q_fn_datetime_parts", fnDatetimeParts, Some(
+      """SELECT o_orderkey,
+        |CAST(year(o_orderdate) AS INT) AS y, CAST(quarter(o_orderdate) AS INT) AS q,
+        |CAST(month(o_orderdate) AS INT) AS m, CAST(day(o_orderdate) AS INT) AS d,
+        |CAST(hour(o_orderdate) AS INT) AS h,
+        |CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+        |CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m
+        |FROM orders WHERE o_orderkey % 101 = 0
+        |ORDER BY o_orderkey""".stripMargin), "fn/datetime-parts"),
+    QuerySpec("q_fn_conditionals", fnConditionals, Some(
+      """WITH t AS (SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS a,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 END AS b
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT o_orderkey, coalesce(a, b, -1.0) AS c1,
+        |nullif(o_orderstatus, 'O') AS c2,
+        |greatest(a, b) AS c3, least(a, b) AS c4,
+        |CASE WHEN a IS NOT NULL THEN 'dated' ELSE 'undated' END AS c5
+        |FROM t ORDER BY o_orderkey""".stripMargin), "fn/conditionals"),
     QuerySpec("q_join_outer", joinOuter, Some(
       """SELECT c_nationkey, count(o_orderkey) AS n_orders, count(*) AS n_rows,
         |CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_childless
