@@ -58,6 +58,15 @@ object AtcfParser {
     decode(project(lines, Schemas.aDeckColumns),
       Schemas.aDeckNumeric, Schemas.aDeckColumns)
 
+  /** S3 side-output — the rows the ragged-row filter DROPS (<18 fields,
+    * tcdb/etl/atcf.py:245-246 logs and skips them). A quality-conscious
+    * ingest keeps the rejects observable instead of silently vanishing:
+    * route this to a quarantine sink and alert on its volume. */
+  def rejectedLines(lines: DataFrame): DataFrame =
+    lines.filter(size(split(col("value"), ",")) < 18)
+      .select(col("file"), col("value"),
+        size(split(col("value"), ",")).as("n_fields"))
+
   /** S2/S3 — b-deck (best track): 36 positional columns, ragged rows. */
   def parseBDeck(lines: DataFrame): DataFrame =
     decode(project(lines, Schemas.bDeckColumns),

@@ -106,6 +106,16 @@ class AtcfParserSpec extends AnyFunSuite {
     assert(r.getAs[Int]("nhc_number") == 9)
   }
 
+  test("rejectedLines surfaces dropped ragged rows (atcf.py:245-246)") {
+    val lines = bdeckDf("bal092022.dat",
+      Seq(bdeck("2022092800", 34), "too,short,row", "also short"))
+    val rejects = AtcfParser.rejectedLines(lines).collect()
+    assert(rejects.length == 2)
+    assert(rejects.map(_.getAs[Int]("n_fields")).sorted.toSeq == Seq(1, 3))
+    // parsed + rejected partition the input exactly
+    assert(AtcfParser.parseBDeck(lines).count() + rejects.length == 3)
+  }
+
   test("tcvitals sentinel NAs become null (download_parse_tcvitals.py:35)") {
     val line = "NHC  91L INVEST    20220928 0000 268N  823W 270 05 1008 1012 -999 25 -99 -999 -999 -999 -999 S"
     val df = AtcfParser.parseTcvitals(Seq(line).toDF("value"))
