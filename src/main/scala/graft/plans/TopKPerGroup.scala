@@ -144,10 +144,14 @@ case class TopKPerGroupExec(
       // phase is only a shuffle-volume optimization (the final phase
       // re-filters everything it receives), rows of keys beyond the cap
       // pass through unheaped instead of growing the map — graceful
-      // degradation to the plain shuffle, never an OOM. The final phase
-      // holds groups/numPartitions keys (same memory class as a hash
-      // aggregate) and must filter exactly, so it takes no cap.
-      val maxGroups = if (fin) Int.MaxValue else 1 << 17
+      // degradation to the plain shuffle, never an OOM. The cap bounds
+      // RETAINED ROWS (groups x k <= ~1M, on the order of 100 MB), so
+      // small k keeps map-side reduction across very many groups while
+      // large k tightens the group budget. The final phase holds
+      // groups/numPartitions keys (the memory class of a hash aggregate)
+      // and must filter exactly, so it takes no cap.
+      val maxGroups =
+        if (fin) Int.MaxValue else math.max(1 << 17, (1 << 20) / kk)
       // rows of over-cap keys stream straight through (no buffering);
       // heap contents follow once the input is exhausted (++ is by-name)
       val streamed = iter.flatMap { row =>

@@ -95,22 +95,22 @@ class TopKPerGroupSpec extends AnyFunSuite {
   }
 
   test("partial-phase group cap streams overflow keys through, stays exact") {
-    // > 2^17 distinct groups in few partitions forces the partial phase
-    // past its heap-map cap, exercising the passthrough fallback; the
-    // final phase must still produce the exact top-k
+    // 150k distinct groups with k=8 exceeds the retained-rows cap
+    // (max(2^17, 2^20/8) = 2^17 groups), forcing the passthrough
+    // fallback for overflow keys; the final phase must still be exact
     val n = 300000
     val wide = spark.range(n.toLong).toDF("id")
       .withColumn("g", col("id") % 150000)
       .withColumn("v", (col("id") * 37) % 101)
       .repartition(4)
     val native = TopK.perGroup(wide, Seq(col("g")),
-        Seq(col("v").desc, col("id").asc), 1)
+        Seq(col("v").desc, col("id").asc), 8)
       .agg(count(lit(1)), sum("v"), sum("id")).collect()(0)
     val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
-    val viaRank = wide.withColumn("rn", rank().over(w)).filter(col("rn") === 1)
+    val viaRank = wide.withColumn("rn", rank().over(w)).filter(col("rn") <= 8)
       .agg(count(lit(1)), sum("v"), sum("id")).collect()(0)
     assert(native == viaRank)
-    assert(native.getLong(0) == 150000L)
+    assert(native.getLong(0) == 300000L) // k >= group size: all rows kept
   }
 
   test("duplicate order values keep deterministic winners via tie-break") {
