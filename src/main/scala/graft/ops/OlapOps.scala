@@ -175,12 +175,18 @@ object OlapOps {
   }
 
   /** Ordered distinct string aggregation (deterministic collect):
-    * alphabetical comma-join of each user's event types. */
+    * alphabetical comma-join of each user's event types. An all-null
+    * group yields NULL, matching SQL string_agg (collect_set drops
+    * nulls, so empty set = no non-null values). */
   def aggStringAgg(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
       .groupBy("user_id")
-      .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
-        .as("types"), count(lit(1)).as("n"))
+      .agg(array_sort(collect_set(col("event_type"))).as("arr"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"),
+        when(size(col("arr")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(col("arr"), ",")).as("types"),
+        col("n"))
       .orderBy("user_id")
 
   /** Datetime part extraction (fields with identical cross-engine

@@ -25,6 +25,12 @@ object AtcfParser {
     spark.read.textFile(path).toDF("value")
       .withColumn("file", regexp_extract(input_file_name(), "([^/]+)$", 1))
 
+  /** Minimum comma-separated fields for a usable deck row
+    * (tcdb/etl/atcf.py:245) — shared by the parse filter and its
+    * [[rejectedLines]] complement so the two always partition the input. */
+  val MinFields = 18
+  private def fieldCount: Column = size(split(col("value"), ","))
+
   /** Split + ragged-normalize + positionally project `cols`; keeps `file`. */
   private def project(lines: DataFrame, cols: Seq[String]): DataFrame = {
     val parts = split(col("value"), ",")
@@ -32,7 +38,7 @@ object AtcfParser {
       get(parts, lit(i)).as(name) // 0-based, null when out of bounds
     }
     lines
-      .filter(size(split(col("value"), ",")) >= 18) // tcdb/etl/atcf.py:245
+      .filter(fieldCount >= MinFields)
       .select((col("file") +: projected): _*)
   }
 
@@ -63,9 +69,8 @@ object AtcfParser {
     * ingest keeps the rejects observable instead of silently vanishing:
     * route this to a quarantine sink and alert on its volume. */
   def rejectedLines(lines: DataFrame): DataFrame =
-    lines.filter(size(split(col("value"), ",")) < 18)
-      .select(col("file"), col("value"),
-        size(split(col("value"), ",")).as("n_fields"))
+    lines.filter(fieldCount < MinFields)
+      .select(col("file"), col("value"), fieldCount.as("n_fields"))
 
   /** S2/S3 — b-deck (best track): 36 positional columns, ragged rows. */
   def parseBDeck(lines: DataFrame): DataFrame =

@@ -147,11 +147,12 @@ case class TopKPerGroupExec(
       // degradation to the plain shuffle, never an OOM. The cap bounds
       // RETAINED ROWS (groups x k <= ~1M, on the order of 100 MB), so
       // small k keeps map-side reduction across very many groups while
-      // large k tightens the group budget. The final phase holds
+      // large k tightens the group budget (floor of 1024 groups so the
+      // heap path never disappears entirely). The final phase holds
       // groups/numPartitions keys (the memory class of a hash aggregate)
       // and must filter exactly, so it takes no cap.
       val maxGroups =
-        if (fin) Int.MaxValue else math.max(1 << 17, (1 << 20) / kk)
+        if (fin) Int.MaxValue else math.max(1 << 10, (1 << 20) / kk)
       // rows of over-cap keys stream straight through (no buffering);
       // heap contents follow once the input is exhausted (++ is by-name)
       val streamed = iter.flatMap { row =>
@@ -183,6 +184,25 @@ case class TopKPerGroupExec(
 /** Public API + extension registration. */
 object TopK {
 
+  /** The native expressions exposed as SQL functions — one builder list
+    * shared by both registration paths so they can never diverge. */
+  private val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("great_circle",
+      classOf[graft.functions.expressions.GreatCircleDistance].getName,
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"great_circle expects (lat1, lon1, lat2, lon2), got ${args.length} args")
+        graft.functions.expressions.GreatCircleDistance(
+          args(0), args(1), args(2), args(3))
+      }),
+    ("cosine_similarity",
+      classOf[graft.functions.expressions.CosineSimilarity].getName,
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"cosine_similarity expects (a, b), got ${args.length} args")
+        graft.functions.expressions.CosineSimilarity(args(0), args(1))
+      }))
+
   /** For `SparkSession.Builder.withExtensions` (Session.configure):
     * planner strategy + optimizer rewrite + the native expressions as SQL
     * functions (`great_circle(lat1, lon1, lat2, lon2)` in nautical miles,
@@ -190,34 +210,24 @@ object TopK {
   val extensions: SparkSessionExtensions => Unit = { e =>
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(_ => TopKRewriteRule)
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("great_circle"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.expressions.GreatCircleDistance].getName,
-        "great_circle"),
-      (args: Seq[Expression]) => {
-        require(args.length == 4,
-          s"great_circle expects (lat1, lon1, lat2, lon2), got ${args.length} args")
-        graft.functions.expressions.GreatCircleDistance(
-          args(0), args(1), args(2), args(3))
-      }))
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.expressions.CosineSimilarity].getName,
-        "cosine_similarity"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2,
-          s"cosine_similarity expects (a, b), got ${args.length} args")
-        graft.functions.expressions.CosineSimilarity(args(0), args(1))
-      }))
+    sqlFunctions.foreach { case (name, cls, builder) =>
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls, name),
+        builder))
+    }
   }
 
-  /** Idempotent runtime registration for already-built sessions. */
+  /** Idempotent runtime registration for already-built sessions — same
+    * strategy, rule, AND SQL functions as the builder-time path. */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(TopKStrategy))
+    if (!exp.extraStrategies.contains(TopKStrategy)) {
       exp.extraStrategies = TopKStrategy +: exp.extraStrategies
+      sqlFunctions.foreach { case (name, cls, builder) =>
+        Shims.registerFunction(spark, name, cls, builder)
+      }
+    }
     if (!exp.extraOptimizations.contains(TopKRewriteRule))
       exp.extraOptimizations = TopKRewriteRule +: exp.extraOptimizations
   }

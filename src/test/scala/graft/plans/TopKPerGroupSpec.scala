@@ -95,14 +95,16 @@ class TopKPerGroupSpec extends AnyFunSuite {
   }
 
   test("partial-phase group cap streams overflow keys through, stays exact") {
-    // 150k distinct groups with k=8 exceeds the retained-rows cap
-    // (max(2^17, 2^20/8) = 2^17 groups), forcing the passthrough
-    // fallback for overflow keys; the final phase must still be exact
+    // 150k distinct groups in ONE partition with k=8 exceeds the
+    // per-partition retained-rows cap (2^20/8 = 131072 groups), forcing
+    // the passthrough fallback for overflow keys; the final phase must
+    // still be exact. (The cap is per map partition — spreading the
+    // groups over several partitions would dodge it.)
     val n = 300000
     val wide = spark.range(n.toLong).toDF("id")
       .withColumn("g", col("id") % 150000)
       .withColumn("v", (col("id") * 37) % 101)
-      .repartition(4)
+      .repartition(1)
     val native = TopK.perGroup(wide, Seq(col("g")),
         Seq(col("v").desc, col("id").asc), 8)
       .agg(count(lit(1)), sum("v"), sum("id")).collect()(0)
