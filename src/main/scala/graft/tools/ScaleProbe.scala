@@ -50,7 +50,8 @@ object ScaleProbe {
       "q_window_running", "q_join_asof", "q_agg_count_distinct",
       "q_dedup_simhash", "q_text_tokens", "q_merge_upsert",
       "q_topk_per_group", "q_sessionize", "q_agg_rollup",
-      "q_dedup_groups_portable")
+      "q_dedup_groups_portable", "q_window_range_frame", "q_agg_string_agg",
+      "q_curation_pipeline")
     probes.foreach { name =>
       val fn = SparkEntry.queries(name)
       def time(dir: String): Double = {
