@@ -21,6 +21,11 @@ object Session {
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
+    // builder-time injection lands the rewrite in the operator-
+    // optimization batch; the runtime registration additionally runs it
+    // in the END-of-optimization user batch, where it removes the
+    // WindowGroupLimit Spark infers on top of an injected TopKPerGroup
+    graft.plans.TopK.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

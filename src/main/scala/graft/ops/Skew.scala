@@ -16,15 +16,12 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join `big ⋈ small` on `keys`, spreading each big-side key over
-    * `salt` partitions. `small` must be the replicable side. */
+    * `salt` partitions. `small` must be the replicable side. The spray is
+    * derived from the full row content, so a retried/replanned task
+    * re-sprays every row identically (no physical row ids anywhere). */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-      salt: Int, joinType: String = "inner"): DataFrame = {
-    val sprayed = big.withColumn("__salt",
-      pmod(hash(col(keys.head), monotonically_increasing_id()), lit(salt)))
-    val replicated = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(salt - 1))))
-    sprayed.join(replicated, keys :+ "__salt", joinType).drop("__salt")
-  }
+      salt: Int, joinType: String = "inner"): DataFrame =
+    saltedJoinBy(big, small, keys, big.columns.toSeq.map(col), salt, joinType)
 
   /** Deterministic variant: the spray key is derived from stable row
     * content (`sprayCols`) instead of a physical row id — same results

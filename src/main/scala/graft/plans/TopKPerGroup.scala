@@ -5,9 +5,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, EqualTo, Expression, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, EqualTo, Expression, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -76,20 +76,51 @@ object TopKStrategy extends SparkStrategy {
   * Guards: exactly one window expression (any second expression would
   * see truncated partitions), a non-empty order, k ≤ `maxK` (the heap
   * holds k rows per group in executor memory), and no double-rewrite.
+  *
+  * Compound filters rewrite too: `rn === 1 && dist <= thr` (the
+  * nearest-neighbor idiom, RelationalOps.joinNearest) splits into
+  * conjuncts, the rank conjunct supplies k, and the WHOLE predicate stays
+  * in the Filter (re-checking `rn <= k` over ≤ k survivor rows is free,
+  * and the residual conjuncts only further restrict the top-k superset —
+  * so the rewrite is always sound, never answer-changing).
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
   val maxK = 1000
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // Spark's own InferWindowGroupLimit (a later optimizer batch) inserts
+    // a WindowGroupLimit between the Window and our already-injected
+    // TopKPerGroup — same group-limit computed twice, plus a per-map-
+    // partition sort the heap never needs. Removing it is always sound:
+    // the Filter above still enforces the rank bound exactly. This case
+    // takes effect in the end-of-optimization user batch
+    // (experimental.extraOptimizations, Session.local/ensureRegistered).
+    case WindowGroupLimit(ps, os, _, limit, t: TopKPerGroup)
+        if ps == t.groupExprs && os == t.order && limit >= t.k => t
     case f @ Filter(cond,
         w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
           ps, os, child, _))
-        if os.nonEmpty && !child.isInstanceOf[TopKPerGroup] =>
-      extractK(cond, alias.toAttribute) match {
+        if os.nonEmpty && !alreadyHandled(child) =>
+      val rn = alias.toAttribute
+      val ks = splitConjuncts(cond).flatMap(extractK(_, rn))
+      ks.reduceOption(math.min) match {
         case Some(k) if k > 0 && k <= maxK =>
           f.copy(child = w.copy(child = TopKPerGroup(ps, os, k, child)))
         case _ => f
       }
+  }
+
+  /** A TopKPerGroup already sits under this Window — possibly behind the
+    * WindowGroupLimit Spark inferred from the same filter. */
+  private def alreadyHandled(p: LogicalPlan): Boolean = p match {
+    case _: TopKPerGroup => true
+    case WindowGroupLimit(_, _, _, _, c) => alreadyHandled(c)
+    case _ => false
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 
   private def extractK(cond: Expression, rn: Attribute): Option[Int] =

@@ -28,13 +28,12 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.collect() // micro-batch of file lines: small
-        if (rows.nonEmpty) {
-          val spark = batch.sparkSession
-          // materialize the micro-batch so the (heavily branching)
-          // resolution plan doesn't re-read the streaming source per branch
-          val lines = spark.createDataFrame(
-            spark.sparkContext.parallelize(rows.toSeq), batch.schema)
+        // materialize the micro-batch distributed (no driver round-trip —
+        // a backfill burst of 20 seasons must not route through the
+        // driver) and truncate lineage so the heavily branching
+        // resolution plan doesn't re-read the streaming source per branch
+        val lines = batch.localCheckpoint()
+        if (!lines.isEmpty) {
           val bdeck = graft.parse.AtcfParser.parseBDeck(lines)
           val ts = now()
           val summaries = graft.parse.AtcfParser.stormSummaries(bdeck)

@@ -8,6 +8,7 @@ object TestSpark {
     val s = Session.configure(
       SparkSession.builder().master("local[4]").appName("graft-test"), "4")
       .getOrCreate()
+    graft.plans.TopK.ensureRegistered(s) // end-of-optimization cleanup batch
     s.sparkContext.setLogLevel("ERROR")
     s
   }

@@ -115,6 +115,34 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(native.getLong(0) == 300000L) // k >= group size: all rows kept
   }
 
+  test("rewrite fires on compound filters: rn === 1 && residual (joinNearest shape)") {
+    val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val nearest = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("v") <= 50)
+      .drop("rn")
+    val plan = nearest.queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerGroup"),
+      s"expected compound-filter rewrite to TopKPerGroup in:\n$plan")
+    // residual predicate still applies: identical to the un-rewritten form
+    val expected = data.withColumn("rn", rank().over(w))
+      .filter(col("rn") === 1 && col("v") <= 50).drop("rn")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val got = nearest.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
+  test("compound filter with several rank bounds takes the tightest k") {
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val both = data.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 9 && col("rn") <= 3)
+    val nodes = both.queryExecution.optimizedPlan.collect {
+      case t: TopKPerGroup => t
+    }
+    assert(nodes.map(_.k) == Seq(3), s"expected a single k=3 node, got $nodes")
+    assert(both.count() == 21) // 7 groups x 3
+  }
+
   test("duplicate order values keep deterministic winners via tie-break") {
     val ties = Seq((1, 5, 1), (1, 5, 2), (1, 5, 3), (1, 4, 4)).toDF("g", "v", "id")
     val out = TopK.perGroup(ties, Seq(col("g")), Seq(col("v").desc, col("id").asc), 2)
