@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.datasets.Ensemble
+
+/** DuckDB-differential gate for J7 track claiming (SURVEY.md §2.3) —
+  * the reference's unclaimed-track → invest assignment
+  * (tcdb/etl/syntracks.py:281-375): time gate, great-circle distance
+  * gate, longest-track-wins per (invest, member), lowest-annual-id wins
+  * per track.
+  *
+  * Synthetic ensemble tracks are derived from `customer` keys: t ∈
+  * [0, 240) decomposes bijectively into (init, ens, track_no) =
+  * (t%4, t/4%10, t/40), so track identity is unique by construction and
+  * both engines rebuild identical points. Invests come from `nation`.
+  */
+object EnsembleOps {
+
+  /** Long-format track points: ~240 tracks × 1..9 six-hourly steps, some
+    * pre-assigned (annual_id > 0), some steps with null lat (skipped by
+    * the claimer's first-step search). */
+  def trackPoints(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val s = col("s")
+    load(spark, dir, "customer")
+      .select((col("c_custkey") % 240).as("t")).distinct()
+      .withColumn("s", explode(sequence(lit(0L), t % 9)))
+      .select(
+        lit("GEFS").as("model"),
+        timestamp_seconds(lit(1590969600L) + (t % 4) * 21600).as("init"),
+        ((t / 4).cast("long") % 10 + 1).as("ens"),
+        ((t / 40).cast("long") + 1).as("track_no"),
+        when(t % 7 === 3, t % 3 + 1).otherwise(0L).as("annual_id"),
+        ((t % 3) * 6 + s * 6).as("hour"),
+        when((t + s) % 17 === 0, lit(null).cast("double"))
+          .otherwise((t % 40) - 20 + s / 4.0).as("lat"),
+        (((t * 11) % 60) + 70 + s / 2.0).as("lon"),
+        (lit(20) + (t * 3 + s * 7) % 80).as("wind"),
+        when(t % 7 === 3, concat(lit("PRE_"), t.cast("string")))
+          .otherwise(lit(null).cast("string")).as("storm_name"))
+  }
+
+  /** Invest positions/times from `nation`: valid times spread ±60 h so the
+    * one-sided 1.5-day time gate both passes and fails. */
+  def invests(spark: SparkSession, dir: String): DataFrame = {
+    val nk = col("n_nationkey")
+    load(spark, dir, "nation").select(
+      (nk + 1).as("inv_annual_id"),
+      concat(lit("INV"), lpad(nk.cast("string"), 2, "0")).as("inv_name"),
+      timestamp_seconds(lit(1590969600L) + ((nk * 7) % 20 - 10) * 21600)
+        .as("inv_valid"),
+      ((nk * 13) % 40 - 20 + 3 / 10.0).as("inv_lat"),
+      ((nk * 17) % 60 + 70 + 4 / 10.0).as("inv_lon"))
+  }
+
+  /** J7 — the claimed track set (points with invest ids/names applied). */
+  def claimTracks(spark: SparkSession, dir: String): DataFrame =
+    Ensemble.claimTracks(trackPoints(spark, dir), invests(spark, dir))
+
+  /** Haversine in nm, matching Geo.greatCircle's operation order:
+    * multiply by the precomputed (pi()/180) factor, not (x*pi())/180. */
+  private def gcNm(lat1: String, lon1: String, lat2: String, lon2: String) =
+    s"""2.0 * asin(sqrt(
+       |  pow(sin(($lat1 * (pi() / 180) - $lat2 * (pi() / 180)) / 2), 2) +
+       |  cos($lat1 * (pi() / 180)) * cos($lat2 * (pi() / 180)) *
+       |  pow(sin(($lon1 * (pi() / 180) - $lon2 * (pi() / 180)) / 2), 2)))
+       |* (180.0 / pi()) * 60""".stripMargin
+
+  private val claimTracksOracle =
+    s"""WITH tr AS (SELECT DISTINCT c_custkey % 240 AS t FROM customer),
+       |steps AS (SELECT t, unnest(range(0, t % 9 + 1)) AS s FROM tr),
+       |pts AS (SELECT
+       |  'GEFS' AS model,
+       |  TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+       |    CAST(1590969600 + (t % 4) * 21600 AS INT) AS init,
+       |  (t // 4) % 10 + 1 AS ens,
+       |  t // 40 + 1 AS track_no,
+       |  CASE WHEN t % 7 = 3 THEN t % 3 + 1 ELSE 0 END AS annual_id,
+       |  (t % 3) * 6 + 6 * s AS hour,
+       |  CASE WHEN (t + s) % 17 = 0 THEN NULL
+       |       ELSE (t % 40) - 20 + s / 4.0 END AS lat,
+       |  ((t * 11) % 60) + 70 + s / 2.0 AS lon,
+       |  20 + (t * 3 + s * 7) % 80 AS wind,
+       |  CASE WHEN t % 7 = 3 THEN 'PRE_' || CAST(t AS VARCHAR) END AS storm_name
+       |  FROM steps),
+       |inv AS (SELECT
+       |  n_nationkey + 1 AS inv_annual_id,
+       |  'INV' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS inv_name,
+       |  TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+       |    CAST(1590969600 + ((n_nationkey * 7) % 20 - 10) * 21600 AS INT) AS inv_valid,
+       |  (n_nationkey * 13) % 40 - 20 + 3 / 10.0 AS inv_lat,
+       |  (n_nationkey * 17) % 60 + 70 + 4 / 10.0 AS inv_lon
+       |  FROM nation),
+       |fs AS (SELECT model, init, ens, track_no,
+       |    min(hour) AS hour0, arg_min(lat, hour) AS lat0,
+       |    arg_min(lon, hour) AS lon0, count(*) AS n_steps,
+       |    min(annual_id) AS annual_id
+       |  FROM pts WHERE lat IS NOT NULL GROUP BY 1, 2, 3, 4),
+       |un AS (SELECT *, init + INTERVAL 1 SECOND * CAST(hour0 * 3600 AS INT)
+       |    AS valid0 FROM fs WHERE annual_id = 0),
+       |cand AS (SELECT un.*, inv.inv_annual_id, inv.inv_name
+       |  FROM un CROSS JOIN inv
+       |  WHERE epoch(valid0) - epoch(inv_valid) < 129600
+       |    AND ${gcNm("lat0", "lon0", "inv_lat", "inv_lon")} <= 310.0),
+       |r1 AS (SELECT *, row_number() OVER (
+       |    PARTITION BY model, init, inv_annual_id, ens
+       |    ORDER BY n_steps DESC, track_no ASC) AS rn FROM cand),
+       |r2 AS (SELECT *, row_number() OVER (
+       |    PARTITION BY model, init, ens, track_no
+       |    ORDER BY inv_annual_id ASC) AS rt FROM r1 WHERE rn = 1),
+       |cl AS (SELECT model, init, ens, track_no, inv_annual_id, inv_name
+       |  FROM r2 WHERE rt = 1)
+       |SELECT p.model, p.init, p.ens, p.track_no,
+       |  CASE WHEN p.annual_id = 0 AND c.inv_annual_id IS NOT NULL
+       |       THEN c.inv_annual_id ELSE p.annual_id END AS annual_id,
+       |  p.hour, p.lat, p.lon, p.wind,
+       |  CASE WHEN p.annual_id = 0 AND c.inv_annual_id IS NOT NULL
+       |       THEN c.inv_name ELSE p.storm_name END AS storm_name
+       |FROM pts p LEFT JOIN cl c
+       |  ON p.model = c.model AND p.init = c.init AND p.ens = c.ens
+       |  AND p.track_no = c.track_no""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_claim_tracks", claimTracks, Some(claimTracksOracle), "J7"))
+}

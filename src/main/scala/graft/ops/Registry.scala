@@ -6,7 +6,7 @@ object Registry {
   val specs: Seq[QuerySpec] =
     RelationalOps.specs ++ PipelineOps.specs ++ FunctionOps.specs ++
       TextOps.specs ++ VectorOps.specs ++ ExtraOps.specs ++ OlapOps.specs ++
-      MultimodalOps.specs ++ ParseOps.specs
+      MultimodalOps.specs ++ ParseOps.specs ++ EnsembleOps.specs
 
   require(specs.map(_.name).distinct.size == specs.size,
     "duplicate query names in Registry")
