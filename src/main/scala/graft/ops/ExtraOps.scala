@@ -43,14 +43,21 @@ object ExtraOps {
       .orderBy("l_returnflag", "member")
   }
 
-  /** S10 — JSON document export (to_json over struct); JSON text layout
-    * is engine-specific → rows-only check, content asserted in specs. */
+  /** S10 — JSON document export, canonicalized for a byte-exact oracle:
+    * keys sorted, timestamps pre-formatted to strings, ignoreNullFields
+    * off (DuckDB's to_json emits nulls), no raw doubles (Java 17 and
+    * DuckDB disagree on shortest-double repr in E-notation ranges). The
+    * min(props) field carries embedded quotes → escape parity checked. */
   def jsonExport(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n"), max("ts").as("last_ts"))
+      .agg(count(lit(1)).as("n"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        min("props").as("props_min"))
       .select(col("user_id"),
-        to_json(struct(col("user_id"), col("n"), col("last_ts"))).as("doc"))
+        to_json(struct(col("last_ts"), col("n"), col("props_min"),
+            col("user_id")),
+          java.util.Map.of("ignoreNullFields", "false")).as("doc"))
       .orderBy("user_id")
 
   /** Approximate distinct (HLL) — free with the engine; approx values
@@ -144,7 +151,13 @@ object ExtraOps {
         |  FROM lineitem) t WHERE rn <= 3
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin),
       "W3/O3 custom plan"),
-    QuerySpec("q_json_export", jsonExport, None, "S10/F18"),
+    QuerySpec("q_json_export", jsonExport, Some(
+      """SELECT user_id, to_json(struct_pack(
+        |    last_ts := strftime(max(ts), '%Y-%m-%d %H:%M:%S'),
+        |    n := count(*), props_min := min(props),
+        |    user_id := user_id))::VARCHAR AS doc
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "S10/F18"),
     QuerySpec("q_approx_distinct", approxDistinct, None, "approx/HLL"),
   )
 }
