@@ -53,9 +53,20 @@ object Ivf {
     Index(centroids, assigned)
   }
 
-  /** Top-k cosine neighbors probing the query's nProbe nearest cells. */
+  /** Above this many queries the probe side stops being broadcast-able
+    * (each probe row carries the query vector, ×nProbe rows per query)
+    * and the cell join runs as a shuffle join instead. */
+  val BroadcastMaxQueries = 10000L
+
+  /** Top-k cosine neighbors probing the query's nProbe nearest cells.
+    *
+    * `broadcastProbes`: None (default) auto-selects by counting the query
+    * batch up to [[BroadcastMaxQueries]] — a bounded serving batch
+    * broadcasts (corpus never shuffles), while a batch-vs-batch job
+    * falls back to a cell-partitioned shuffle join on both sides. */
   def topK(index: Index, queries: DataFrame, k: Int, nProbe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastProbes: Option[Boolean] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = index.centroids.toSeq.toDF("cell", "centroid")
@@ -70,9 +81,15 @@ object Ivf {
       .filter(col("rn") <= nProbe)
       .select("qid", "qv", "cell")
 
+    val useBroadcast = broadcastProbes.getOrElse(
+      q.limit((BroadcastMaxQueries + 1).toInt).count() <= BroadcastMaxQueries)
+    val cellJoin =
+      if (useBroadcast) index.assigned.join(broadcast(probes), Seq("cell"))
+      else index.assigned.join(probes.repartition(col("cell")), Seq("cell"))
+
     val w = Window.partitionBy("qid")
       .orderBy(round(col("cos"), 6).desc, col("id").asc)
-    index.assigned.join(broadcast(probes), Seq("cell"))
+    cellJoin
       .filter(col("id") =!= col("qid"))
       .withColumn("cos", graft.functions.expressions.CosineSimilarity.cosineNative(col("qv"), col("emb")))
       .withColumn("rank", row_number().over(w))

@@ -28,6 +28,21 @@ class IvfSkewSpec extends AnyFunSuite {
     assert(approx.intersect(exact).size >= exact.size / 2)
   }
 
+  test("shuffle-join probe path (large batch) matches the broadcast path") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val index = Ivf.build(emb, k = 8)
+    val bc = Ivf.topK(index, queries, k = 5, nProbe = 3,
+        broadcastProbes = Some(true))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val sh = Ivf.topK(index, queries, k = 5, nProbe = 3,
+        broadcastProbes = Some(false))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sh == bc && sh.nonEmpty)
+    // note: at this size AQE may still plan the un-hinted join as
+    // broadcast — the contract is result equality, not physical shape
+  }
+
   test("salted join matches plain join results") {
     val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "v") // key 1 is hot
