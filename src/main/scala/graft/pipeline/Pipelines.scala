@@ -61,9 +61,18 @@ object Pipelines {
     * (tcdb/pipeline/adeck.py:174-277, etl/atcf_forecasts.py:25-141). */
   def runAdeck(spark: SparkSession, landing: String, store: Store,
       now: Timestamp, allowedModels: Seq[String],
+      recencyHours: Option[Int] = Some(48)): Unit =
+    runAdeckLines(AtcfParser.readDeckLines(spark, landing), store, now,
+      allowedModels, recencyHours)
+
+  /** E2 core over pre-read (file, value) lines — shared by the batch
+    * entry point above and the streaming micro-batch variant
+    * (StreamingIngest.adeckStream). */
+  def runAdeckLines(lines: DataFrame, store: Store,
+      now: Timestamp, allowedModels: Seq[String],
       recencyHours: Option[Int] = Some(48)): Unit = {
     val rid = runId("ADECK", now)
-    val adeck = AtcfParser.parseADeck(AtcfParser.readDeckLines(spark, landing))
+    val adeck = AtcfParser.parseADeck(lines)
       .filter(col("tech").isin(allowedModels: _*)) // P2 allowlist
     // T2 late-data gate: skip forecasts older than the watermark unless
     // backfilling (tcdb/pipeline/adeck.py:69-76,94-98)

@@ -46,6 +46,27 @@ object StreamingIngest {
       }
       .start()
 
+  /** T1/T5 + E2 — continuous a-deck ingest: the forecasts → tracks →
+    * steps MERGE chain per micro-batch (mirrors [[bdeckStream]]; each
+    * MERGE is keyed by natural key, so replays are idempotent). */
+  def adeckStream(spark: SparkSession, landing: String, store: Store,
+      checkpoint: String, now: () => Timestamp,
+      allowedModels: Seq[String],
+      recencyHours: Option[Int] = Some(48)): StreamingQuery =
+    spark.readStream.textFile(landing).toDF("value")
+      .withColumn("file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val lines = batch.localCheckpoint() // distributed, lineage-truncated
+        if (!lines.isEmpty)
+          Pipelines.runAdeckLines(lines, store, now(), allowedModels,
+            recencyHours)
+        ()
+      }
+      .start()
+
   /** T2/T8 — windowed event-time aggregation with a 48 h watermark over
     * observation events: counts + peak intensity per 6 h cycle. */
   def cycleAggStream(obs: DataFrame): DataFrame =

@@ -47,6 +47,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.map(_.getAs[Int]("annual_id")).toSeq == Seq(1, 2))
   }
 
+  test("E2 streaming adeck ingest matches the batch result") {
+    import graft.pipeline.Pipelines
+    val landing = Files.createTempDirectory("a_landing")
+    Files.write(landing.resolve("bal092022.dat"),
+      Seq(Fixtures.bdeck("2022092800", 34)).mkString("\n").getBytes)
+    val adeckDir = Files.createTempDirectory("a_adeck")
+    Files.write(adeckDir.resolve("aal092022.dat"),
+      Seq(
+        Fixtures.adeck("2022092800", "AVNO", 0, 34),
+        Fixtures.adeck("2022092800", "AVNO", 12, 34, lat = "275N", vmax = 80),
+        Fixtures.adeck("2022092800", "AVNO", 12, 50, lat = "275N", vmax = 80),
+        Fixtures.adeck("2022092800", "OFCL", 0, 34),
+        Fixtures.adeck("2022092800", "XTRA", 0, 34), // not allowlisted
+        Fixtures.adeck("2022092500", "AVNO", 0, 34)) // stale (>48 h)
+        .mkString("\n").getBytes)
+
+    def freshStore(): Store = {
+      val store = new Store(spark,
+        Files.createTempDirectory("a_store").toString)
+      Pipelines.runBdeck(spark, landing.toString, store, now)
+      store
+    }
+    val models = Seq("AVNO", "OFCL")
+
+    val batchStore = freshStore()
+    Pipelines.runAdeck(spark, adeckDir.toString, batchStore, now, models)
+
+    val streamStore = freshStore()
+    val ckpt = Files.createTempDirectory("a_ckpt")
+    val q = StreamingIngest.adeckStream(spark, adeckDir.toString,
+      streamStore, ckpt.toString, () => now, models)
+    q.awaitTermination(60000)
+
+    for (t <- Seq("forecasts", "tracks", "steps")) {
+      val schema = t match {
+        case "forecasts" => Schemas.forecasts
+        case "tracks" => Schemas.tracks
+        case _ => Schemas.steps
+      }
+      val a = batchStore.read(t, schema).drop("run_id")
+      val b = streamStore.read(t, schema).drop("run_id")
+      assert(a.count() > 0, s"$t empty in batch store")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$t differs between batch and stream")
+    }
+    // allowlist + recency gates applied: only AVNO/OFCL at the recent init
+    val models2 = batchStore.read("steps", Schemas.steps)
+      .select("model").distinct().collect().map(_.getString(0)).toSet
+    assert(models2 == Set("AVNO", "OFCL"))
+  }
+
   test("T2/T8 windowed cycle aggregation equals the batch computation") {
     val obs = Seq(
       ("AL092022", "2022-09-28 00:15:00", 100.0),
