@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side mechanics are real — schema, partition-parallel batch
   * processing via mapPartitions over a typed Dataset (the Scala analog of
   * mapInPandas: one iterator per partition, amortized per-batch setup),
-  * deterministic output shapes. The actual codec call is STUBBED with a
-  * deterministic fake (this container ships no image/audio libraries);
-  * swapping `FakeCodec` for a real decoder is the only change needed.
+  * deterministic output shapes. Decoding goes through the [[MediaCodec]]
+  * interface: [[ByteStatCodec]] is the deterministic no-library fallback
+  * (and the oracle-checked default — its output is replayable in SQL);
+  * [[ImageIoCodec]] is a real pure-JVM image decoder (javax.imageio:
+  * PNG/JPEG/BMP/GIF ship with the JDK). Audio/video codecs would slot in
+  * the same way; this container ships no media libraries for those.
   */
 object Multimodal {
 
@@ -21,11 +24,20 @@ object Multimodal {
       mean_byte: Double, feature: Array[Float])
   case class Frame(media_id: Long, frame_index: Int, payload: Array[Byte])
 
-  /** STUB codec — deterministic fake "decode": derives a fixed-length
-    * feature vector from byte statistics. A real implementation calls
-    * into an image/audio library here, once per partition iterator. */
-  object FakeCodec {
-    def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+  /** Pluggable decode step. Implementations must be cheap to serialize
+    * (they ship inside task closures) and deterministic. */
+  trait MediaCodec extends Serializable {
+    /** Fixed-length feature vector for one payload. */
+    def features(payload: Array[Byte], dim: Int): Array[Float]
+    /** Decoded pixel dimensions, when the payload is a decodable image. */
+    def dims(payload: Array[Byte]): Option[(Int, Int)]
+  }
+
+  /** Deterministic byte-statistics codec — no decode, works on any
+    * payload, SQL-replayable (the DuckDB oracle for the multimodal gates
+    * reproduces it exactly). */
+  object ByteStatCodec extends MediaCodec {
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
       val f = new Array[Float](dim)
       var i = 0
       while (i < payload.length) {
@@ -34,6 +46,46 @@ object Multimodal {
       }
       f
     }
+    def dims(payload: Array[Byte]): Option[(Int, Int)] = None
+  }
+
+  /** Real image decode via javax.imageio (pure JVM). Features are mean
+    * luminances (0..1) over `dim` vertical bands of the decoded image;
+    * undecodable payloads fall back to [[ByteStatCodec]] so mixed media
+    * tables keep flowing (the fallback is observable via dims = None). */
+  object ImageIoCodec extends MediaCodec {
+    private def decode(payload: Array[Byte]) =
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+
+    def features(payload: Array[Byte], dim: Int): Array[Float] =
+      decode(payload) match {
+        case None => ByteStatCodec.features(payload, dim)
+        case Some(img) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val f = new Array[Float](dim)
+          val n = new Array[Int](dim)
+          var x = 0
+          while (x < w) {
+            val band = x * dim / w
+            var y = 0
+            while (y < h) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                (rgb & 0xFF)) / (3.0f * 255.0f)
+              f(band) += lum
+              n(band) += 1
+              y += 1
+            }
+            x += 1
+          }
+          var b = 0
+          while (b < dim) { if (n(b) > 0) f(b) /= n(b); b += 1 }
+          f
+      }
+
+    def dims(payload: Array[Byte]): Option[(Int, Int)] =
+      decode(payload).map(i => (i.getWidth, i.getHeight))
   }
 
   /** Synthesize a deterministic media table from any id column — stands
@@ -54,8 +106,9 @@ object Multimodal {
 
   /** Decode + feature-extract, one partition at a time (mapInPandas
     * analog): codec state is initialized once per partition, rows stream
-    * through it. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[Features] = {
+    * through it. Defaults to the SQL-replayable [[ByteStatCodec]]. */
+  def extractFeatures(media: Dataset[MediaRow],
+      codec: MediaCodec = ByteStatCodec, dim: Int = 8): Dataset[Features] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition setup happens here (real codec: open decoder once)
@@ -65,9 +118,22 @@ object Multimodal {
           if (bytes.isEmpty) 0.0
           else bytes.map(b => (b & 0xFF).toDouble).sum / bytes.length
         Features(r.media_id, r.kind, bytes.length, mean,
-          FakeCodec.features(bytes))
+          codec.features(bytes, dim))
       }
     }
+  }
+
+  /** Decoded-dimension audit: actual pixel dims per row where the codec
+    * can decode the payload (None → fallback path was taken). */
+  def decodedDims(media: Dataset[MediaRow], codec: MediaCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val d = codec.dims(r.payload)
+        (r.media_id, d.isDefined,
+          d.map(_._1).getOrElse(-1), d.map(_._2).getOrElse(-1))
+      }
+    }.toDF("media_id", "decoded", "dec_width", "dec_height")
   }
 
   /** Frame sampling for video rows: every `stride`-th frame index becomes

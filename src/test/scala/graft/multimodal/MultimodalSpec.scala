@@ -37,6 +37,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.length == expected)
   }
 
+  /** Deterministic in-memory PNG: a horizontal gradient where band b of 8
+    * has constant gray value b*32. */
+  private def gradientPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val g = (x * 8 / w) * 32
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec really decodes: band luminances and dims from pixels") {
+    val png = gradientPng(64, 16)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png, 64, 16, 1),
+      Multimodal.MediaRow(2L, "image", Array[Byte](1, 2, 3), 0, 0, 1))
+    val ds = spark.createDataset(rows)
+    val feats = Multimodal.extractFeatures(ds, Multimodal.ImageIoCodec)
+      .collect().sortBy(_.media_id)
+    // decoded gradient: band b has constant gray b*32 -> lum b*32/255
+    val expected = (0 until 8).map(b => (b * 32) / 255.0f)
+    feats(0).feature.toSeq.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-4f, s"got $got want $want")
+    }
+    // undecodable payload falls back to byte-stats, never throws
+    assert(feats(1).feature.toSeq ==
+      Multimodal.ByteStatCodec.features(Array[Byte](1, 2, 3), 8).toSeq)
+
+    val dims = Multimodal.decodedDims(ds, Multimodal.ImageIoCodec)
+      .collect().sortBy(_.getLong(0))
+    assert(dims(0).getBoolean(1) && dims(0).getInt(2) == 64 &&
+      dims(0).getInt(3) == 16)
+    assert(!dims(1).getBoolean(1))
+  }
+
   test("resize metadata keeps aspect and caps the max dimension") {
     val out = Multimodal.resizeMeta(media, maxDim = 16).collect()
     assert(out.forall(r => r.getAs[Int]("out_width") <= 16 * 2 &&
