@@ -160,19 +160,26 @@ object ParseOps {
           .when(col("ok") % 19 === 1, concat_ws(",", cs.take(18): _*))
           .otherwise(concat_ws(",", cs: _*)))
       .select("file", "value")
-      // Materialize the synthetic lines: without this barrier the parser's
-      // 37 positional get(split(value)) each inline the full 37-expression
-      // concat_ws generator — a ~1400-subtree plan that blows optimizer
-      // heap. Real deck files never have this problem; only the generated
-      // fixture does.
-      .localCheckpoint()
   }
 
+  /** Generated fixture lines are memoized per (prefix, dir) AND
+    * materialized via localCheckpoint: the barrier stops the parser's 37
+    * positional get(split(value)) from inlining the 37-expression
+    * concat_ws generator (a ~1400-subtree plan that blows optimizer
+    * heap), and the memo makes the six parse gates share one generation
+    * pass instead of re-running it per query. Real deck files have
+    * neither problem — this is fixture-construction cost only. */
+  private val lineCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def cachedLines(key: String, dir: String)(mk: => DataFrame): DataFrame =
+    lineCache.getOrElseUpdate((key, dir), mk.localCheckpoint())
+
   def bdeckLines(spark: SparkSession, dir: String): DataFrame =
-    rawLines(spark, dir, bdeckFields, "b")
+    cachedLines("b", dir)(rawLines(spark, dir, bdeckFields, "b"))
 
   def adeckLines(spark: SparkSession, dir: String): DataFrame =
-    rawLines(spark, dir, adeckFields, "a")
+    cachedLines("a", dir)(rawLines(spark, dir, adeckFields, "a"))
 
   // DuckDB-side construction ----------------------------------------------
 
@@ -265,14 +272,17 @@ object ParseOps {
        |SELECT file, value, CAST(len(str_split(value, ',')) AS INT) AS n_fields
        |FROM lines WHERE len(str_split(value, ',')) < 18""".stripMargin
 
+  /** Parsed b-deck, memoized+materialized: referenced by three gates and
+    * twice within stormSummaries (grouped aggregate + name mode) — the
+    * lineage truncation stops the branching plan from duplicating the
+    * 37-column parse per reference (the StormResolver lesson). */
+  private def parsedBdeck(spark: SparkSession, dir: String): DataFrame =
+    cachedLines("parsed-b", dir)(AtcfParser.parseBDeck(bdeckLines(spark, dir)))
+
   /** A4/A5 + F5–F8 — per-file storm summaries over the parsed b-deck
-    * (set-based toStormDict, tcdb/etl/atcf.py:289-337). The parsed frame
-    * is referenced twice downstream (grouped aggregate + name mode), so
-    * materialize it eagerly — without the lineage truncation the 37-column
-    * synthetic-construction plan duplicates per branch and the optimizer/
-    * codegen blow the heap (the StormResolver lesson). */
+    * (set-based toStormDict, tcdb/etl/atcf.py:289-337). */
   def stormSummaries(spark: SparkSession, dir: String): DataFrame =
-    AtcfParser.stormSummaries(parseBdeck(spark, dir).localCheckpoint())
+    AtcfParser.stormSummaries(parsedBdeck(spark, dir))
 
   private val stormTypeCaseSql =
     """CASE WHEN region IN ('AL','EP') THEN
@@ -337,7 +347,7 @@ object ParseOps {
   /** A8 — per-datetime observations with the full r34/r50/r64 pivot
     * (tcdb/etl/atcf.py:340-427). */
   def observationsPivot(spark: SparkSession, dir: String): DataFrame =
-    AtcfParser.observations(parseBdeck(spark, dir))
+    AtcfParser.observations(parsedBdeck(spark, dir))
 
   private def radialSql(r: Int, q: String): String =
     s"CAST(max(CASE WHEN rad = $r AND $q >= 0 THEN $q END) AS INT) AS r${r}_$q"
@@ -456,18 +466,19 @@ object ParseOps {
 
   /** Raw tcvitals lines: leading/trailing blanks + one double-space gap,
     * exercising the `' +'` whitespace-split. */
-  def tcvitalsLines(spark: SparkSession, dir: String): DataFrame = {
-    val defs = tcvitalsFields
-    val base = load(spark, dir, "customer").select(col("c_custkey").as("ck"))
-    val withFields = defs.zipWithIndex.foldLeft(base) {
-      case (d, (f, i)) => d.withColumn(f"c${i + 1}%02d", f.spark)
+  def tcvitalsLines(spark: SparkSession, dir: String): DataFrame =
+    cachedLines("v", dir) { // same generator-inlining barrier as rawLines
+      val defs = tcvitalsFields
+      val base = load(spark, dir, "customer").select(col("c_custkey").as("ck"))
+      val withFields = defs.zipWithIndex.foldLeft(base) {
+        case (d, (f, i)) => d.withColumn(f"c${i + 1}%02d", f.spark)
+      }
+      val rest = (2 to defs.size).map(i => col(f"c$i%02d"))
+      withFields.withColumn("value",
+        concat(lit(" "), col("c01"), lit("  "),
+          concat_ws(" ", rest: _*), lit(" ")))
+        .select("value")
     }
-    val rest = (2 to defs.size).map(i => col(f"c$i%02d"))
-    withFields.withColumn("value",
-      concat(lit(" "), col("c01"), lit("  "), concat_ws(" ", rest: _*), lit(" ")))
-      .select("value")
-      .localCheckpoint() // same generator-inlining barrier as rawLines
-  }
 
   /** S5 — tcvitals parse with multi-sentinel NA decode. */
   def parseTcvitals(spark: SparkSession, dir: String): DataFrame =

@@ -46,12 +46,16 @@ object ScaleProbe {
       }
     }
 
-    val probes = Seq("q_agg_pricing_summary", "q_join_5way",
+    val defaultProbes = Seq("q_agg_pricing_summary", "q_join_5way",
       "q_window_running", "q_join_asof", "q_agg_count_distinct",
       "q_dedup_simhash", "q_text_tokens", "q_merge_upsert",
       "q_topk_per_group", "q_sessionize", "q_agg_rollup",
       "q_dedup_groups_portable", "q_window_range_frame", "q_agg_string_agg",
       "q_curation_pipeline")
+    // optional trailing args narrow the probe list (32x runs skip the
+    // intentionally-quadratic raw pair-enumeration probes)
+    val probes =
+      if (args.length > 1) args.drop(1).toSeq else defaultProbes
     probes.foreach { name =>
       val fn = SparkEntry.queries(name)
       def time(dir: String): Double = {
