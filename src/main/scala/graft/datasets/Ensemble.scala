@@ -117,8 +117,10 @@ object Ensemble {
       .select(col("model"), col("init"), col("ens"), col("track_no"),
         col("inv_annual_id"), col("inv_name"))
 
-    val joined = tracks.join(claims, Seq("model", "init", "ens", "track_no"),
-      "left_outer")
+    // claims is bounded by (#invests x #members) — broadcast it so the
+    // full track-point table never shuffles for the stamp-back join
+    val joined = tracks.join(broadcast(claims),
+      Seq("model", "init", "ens", "track_no"), "left_outer")
       .withColumn("__claimed",
         col("annual_id") === 0 && col("inv_annual_id").isNotNull)
       .withColumn("annual_id",
