@@ -18,7 +18,13 @@ object Bench {
     val spark = Session.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional local-iteration filter: comma-separated name prefixes
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(ps) => name => ps.split(',').exists(name.startsWith)
+      case None => _ => true
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only(q._1)).map { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       val timed = (1 to 2).map { _ =>

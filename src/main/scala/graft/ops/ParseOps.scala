@@ -173,7 +173,13 @@ object ParseOps {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   private def cachedLines(key: String, dir: String)(mk: => DataFrame): DataFrame =
-    lineCache.getOrElseUpdate((key, dir), mk.localCheckpoint())
+    lineCache.getOrElseUpdate((key, dir), {
+      val df = mk
+      // the source keys come from ONE small parquet file (one partition);
+      // spread the fixture so the 37-column parse uses every core
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    })
 
   def bdeckLines(spark: SparkSession, dir: String): DataFrame =
     cachedLines("b", dir)(rawLines(spark, dir, bdeckFields, "b"))
