@@ -93,7 +93,10 @@ object Ensemble {
           .getField("lon0").as("lon0"),
         min(col("hour")).as("hour0"),
         count(lit(1)).as("n_steps"),
-        first(col("annual_id")).as("annual_id"))
+        // a track's annual_id is constant across its points by contract;
+        // min (not first) keeps the aggregate deterministic if a caller
+        // ever passes mixed labels (and matches the differential oracle)
+        min(col("annual_id")).as("annual_id"))
 
     val unassigned = firstSteps.filter(col("annual_id") === 0)
       .withColumn("valid0", col("init") + col("hour0") * expr("interval 1 hour"))
@@ -138,10 +141,10 @@ object Ensemble {
     * sources (the reference reads MATLAB .mat grids, syntracks.py:203-269;
     * here the converter lands the same dense grid as Parquet arrays, one
     * row per (model, init, ens) with step-parallel arrays). Normalizes
-    * back to long format: one row per step, null-padded steps dropped
-    * (the dense grid encodes missing steps as nulls, denseGrid's
-    * left-join inverse). Column-count mismatches surface as errors via
-    * arrays_zip's null semantics being checked here. */
+    * back to long format: one row per step. Padded grid steps must carry
+    * a null HOUR (that is the contract's missing-step marker — a null lat
+    * alone is a real observed gap and is kept); ragged arrays are
+    * null-padded by arrays_zip, so converters must emit equal lengths. */
   def fromWide(wide: DataFrame): DataFrame =
     wide
       .withColumn("pt", explode(arrays_zip(

@@ -55,8 +55,12 @@ object Multimodal {
     * tables keep flowing (the fallback is observable via dims = None). */
   object ImageIoCodec extends MediaCodec {
     private def decode(payload: Array[Byte]) =
-      Option(javax.imageio.ImageIO.read(
+      // ImageIO returns null for unrecognized formats but THROWS for
+      // recognized-yet-corrupt payloads (e.g. truncated PNG) — both must
+      // take the fallback path, not kill the task
+      try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
 
     def features(payload: Array[Byte], dim: Int): Array[Float] =
       decode(payload) match {

@@ -170,16 +170,18 @@ object ParseOps {
     * pass instead of re-running it per query. Real deck files have
     * neither problem — this is fixture-construction cost only. */
   private val lineCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  private def cachedLines(key: String, dir: String)(mk: => DataFrame): DataFrame =
-    lineCache.getOrElseUpdate((key, dir), {
-      val df = mk
+  private def cachedLines(key: String, dir: String)(mk: => DataFrame): DataFrame = {
+    val df = mk
+    // keyed by session too: a checkpointed frame's blocks die with its
+    // SparkContext, so a later session must not see a stale entry
+    lineCache.getOrElseUpdate((df.sparkSession, key, dir),
       // the source keys come from ONE small parquet file (one partition);
       // spread the fixture so the 37-column parse uses every core
       df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .localCheckpoint()
-    })
+        .localCheckpoint())
+  }
 
   def bdeckLines(spark: SparkSession, dir: String): DataFrame =
     cachedLines("b", dir)(rawLines(spark, dir, bdeckFields, "b"))

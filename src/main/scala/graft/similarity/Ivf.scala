@@ -53,16 +53,16 @@ object Ivf {
     Index(centroids, assigned)
   }
 
-  /** Above this many queries the probe side stops being broadcast-able
-    * (each probe row carries the query vector, ×nProbe rows per query)
-    * and the cell join runs as a shuffle join instead. */
-  val BroadcastMaxQueries = 10000L
+  /** Above this estimated probe-side size the probes stop being
+    * broadcast-able (each probe row carries the query vector, ×nProbe
+    * rows per query) and the cell join runs as a shuffle join instead. */
+  val BroadcastMaxProbeBytes = 16L << 20
 
   /** Top-k cosine neighbors probing the query's nProbe nearest cells.
     *
-    * `broadcastProbes`: None (default) auto-selects by counting the query
-    * batch up to [[BroadcastMaxQueries]] — a bounded serving batch
-    * broadcasts (corpus never shuffles), while a batch-vs-batch job
+    * `broadcastProbes`: None (default) auto-selects from the optimizer's
+    * size estimate of the query batch (no extra job) — a bounded serving
+    * batch broadcasts (corpus never shuffles), while a batch-vs-batch job
     * falls back to a cell-partitioned shuffle join on both sides. */
   def topK(index: Index, queries: DataFrame, k: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -82,7 +82,8 @@ object Ivf {
       .select("qid", "qv", "cell")
 
     val useBroadcast = broadcastProbes.getOrElse(
-      q.limit((BroadcastMaxQueries + 1).toInt).count() <= BroadcastMaxQueries)
+      q.queryExecution.optimizedPlan.stats.sizeInBytes * nProbe
+        <= BigInt(BroadcastMaxProbeBytes))
     val cellJoin =
       if (useBroadcast) index.assigned.join(broadcast(probes), Seq("cell"))
       else index.assigned.join(probes.repartition(col("cell")), Seq("cell"))

@@ -68,6 +68,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1).feature.toSeq ==
       Multimodal.ByteStatCodec.features(Array[Byte](1, 2, 3), 8).toSeq)
 
+    // recognized-but-corrupt payload (real PNG magic, truncated body):
+    // ImageIO.read THROWS here rather than returning null — the codec
+    // must still take the fallback, not kill the task
+    val corrupt = png.take(24)
+    val cf = Multimodal.extractFeatures(
+        spark.createDataset(Seq(Multimodal.MediaRow(3L, "image", corrupt, 0, 0, 1))),
+        Multimodal.ImageIoCodec)
+      .collect()(0)
+    assert(cf.feature.toSeq ==
+      Multimodal.ByteStatCodec.features(corrupt, 8).toSeq)
+
     val dims = Multimodal.decodedDims(ds, Multimodal.ImageIoCodec)
       .collect().sortBy(_.getLong(0))
     assert(dims(0).getBoolean(1) && dims(0).getInt(2) == 64 &&
