@@ -253,7 +253,7 @@ object ParseOps {
        |  $decodes FROM sp)""".stripMargin
   }
 
-  private def bdeckOraclePrefix: String =
+  private[ops] def bdeckOraclePrefix: String =
     s"""WITH ${rawCte(bdeckFields, "b")},
        |${parsedCte(graft.schema.Schemas.bDeckColumns, graft.schema.Schemas.bDeckNumeric.toSet)}""".stripMargin
 

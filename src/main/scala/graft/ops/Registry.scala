@@ -6,7 +6,8 @@ object Registry {
   val specs: Seq[QuerySpec] =
     RelationalOps.specs ++ PipelineOps.specs ++ FunctionOps.specs ++
       TextOps.specs ++ VectorOps.specs ++ ExtraOps.specs ++ OlapOps.specs ++
-      MultimodalOps.specs ++ ParseOps.specs ++ EnsembleOps.specs
+      MultimodalOps.specs ++ ParseOps.specs ++ EnsembleOps.specs ++
+      SourceSinkOps.specs
 
   require(specs.map(_.name).distinct.size == specs.size,
     "duplicate query names in Registry")

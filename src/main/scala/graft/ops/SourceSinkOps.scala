@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.load
+
+/** Differential gates for the remaining source/sink surface: S4 gzip
+  * scan and S9 CSV sink (SURVEY.md §2.1). Both are ROUND TRIPS through
+  * real files on disk, so codec/format bugs (splitting, quoting, type
+  * rendering) fail the DuckDB diff rather than hiding behind an
+  * in-memory shortcut.
+  */
+object SourceSinkOps {
+
+  private def tmp(name: String, dir: String): String =
+    s"/tmp/graft_ss/${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** S4 — gzip text scan: the b-deck fixture lines are written as
+    * gzip-compressed text, re-read via Spark's transparent codec path,
+    * and pushed through the full 37-column parse. Output equals
+    * q_parse_bdeck minus the file column (file identity does not survive
+    * a re-write, by design). */
+  def gzipScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("gz", dir)
+    ParseOps.bdeckLines(spark, dir).select("value")
+      .write.mode("overwrite").option("compression", "gzip").text(path)
+    graft.parse.AtcfParser.parseBDeck(
+        spark.read.text(path).withColumn("file", lit("gz")))
+      .drop("file")
+  }
+
+  private val gzipScanOracle =
+    s"""${ParseOps.bdeckOraclePrefix}
+       |SELECT ${graft.schema.Schemas.bDeckColumns.mkString(", ")}
+       |FROM parsed""".stripMargin
+
+  /** S9 — CSV sink round trip through pipeline.Export.csv (validation
+    * mode: headered), re-read with the declared schema. Types cross the
+    * text boundary: BIGINT, DOUBLE (Double.toString round-trips), DATE,
+    * VARCHAR. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("csv", dir)
+    val agg = load(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderdate").as("first_date"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_price"),
+        max(concat(lit("k"), col("o_orderkey"))).as("max_key_str"))
+    graft.pipeline.Export.csv(agg, path, "validation")
+    spark.read.option("header", "true").schema(agg.schema).csv(path)
+      .orderBy("o_orderstatus")
+  }
+
+  private val csvRoundtripOracle =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  min(o_orderdate) AS first_date,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  max('k' || CAST(o_orderkey AS VARCHAR)) AS max_key_str
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_gzip_scan", gzipScan, Some(gzipScanOracle), "S4"),
+    QuerySpec("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle), "S9"))
+}
