@@ -31,6 +31,26 @@ object PipelineOps {
       .orderBy("o_orderstatus")
   }
 
+  /** T5 — idempotent re-run as a DIFFERENTIAL: the same incoming batch
+    * MERGEd twice must equal the oracle's single application (natural-key
+    * upserts are replay-safe — the reference's cron re-runs depend on
+    * this, tcdb/pipeline/bdeck.py re-entry). Shares q_merge_upsert's
+    * oracle SQL, which applies incoming exactly once. */
+  def mergeIdempotent(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val existing = o.filter(col("o_orderkey") % 3 === 0)
+    val incoming = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val once = Merge.upsert(existing, incoming, Seq("o_orderkey"))
+    Merge.upsert(once, incoming, Seq("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** T6 — monotonic-update guard: updates that would regress the guarded
     * column are rejected (old-file protection,
     * tcdb/etl/process_storms.py:136-139). Incoming lowers the price, so
@@ -95,19 +115,24 @@ object PipelineOps {
       .orderBy("user_id")
   }
 
+  /** Single-application upsert oracle — shared by q_merge_upsert and the
+    * double-applied q_merge_idempotent (idempotence IS the shared SQL). */
+  private val upsertOracle =
+    """WITH existing AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |incoming AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+      |  o_totalprice + 1000.0 AS o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (SELECT
+      |  CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_orderstatus ELSE e.o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_totalprice ELSE e.o_totalprice END AS o_totalprice
+      |  FROM existing e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey)
+      |SELECT o_orderstatus, count(*) AS n,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
-    QuerySpec("q_merge_upsert", mergeUpsert, Some(
-      """WITH existing AS (SELECT o_orderkey, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_orderkey % 3 = 0),
-        |incoming AS (SELECT o_orderkey, 'U' AS o_orderstatus,
-        |  o_totalprice + 1000.0 AS o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
-        |merged AS (SELECT
-        |  CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_orderstatus ELSE e.o_orderstatus END AS o_orderstatus,
-        |  CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_totalprice ELSE e.o_totalprice END AS o_totalprice
-        |  FROM existing e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey)
-        |SELECT o_orderstatus, count(*) AS n,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin), "S11/J4/F20/T5"),
+    QuerySpec("q_merge_upsert", mergeUpsert, Some(upsertOracle), "S11/J4/F20/T5"),
+    QuerySpec("q_merge_idempotent", mergeIdempotent, Some(upsertOracle), "T5"),
     QuerySpec("q_merge_monotonic_guard", mergeMonotonicGuard, Some(
       """WITH existing AS (SELECT o_orderkey, o_orderstatus, o_totalprice
         |  FROM orders WHERE o_orderkey % 3 = 0),

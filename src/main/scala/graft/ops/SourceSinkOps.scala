@@ -61,7 +61,31 @@ object SourceSinkOps {
       |  max('k' || CAST(o_orderkey AS VARCHAR)) AS max_key_str
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** A3 — group-to-files: write partitioned by the group key (the
+    * reference's per-storm file layout), read the tree back, aggregate.
+    * The key crosses the row→directory-name→row boundary, so partition
+    * encoding/decoding bugs (escaping, type inference) fail the diff. */
+  def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("part", dir)
+    load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    spark.read.parquet(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val partitionedSinkOracle =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_gzip_scan", gzipScan, Some(gzipScanOracle), "S4"),
-    QuerySpec("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle), "S9"))
+    QuerySpec("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle), "S9"),
+    QuerySpec("q_partitioned_sink", partitionedSink,
+      Some(partitionedSinkOracle), "A3"))
 }
