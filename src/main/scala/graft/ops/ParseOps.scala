@@ -509,6 +509,71 @@ object ParseOps {
        |SELECT $decodes FROM sp""".stripMargin
   }
 
+  // ------------------------------------------------- J9 analytics over Store
+
+  /** J9 + db/track_queries.sql — the storm→steps flatten through a REAL
+    * parquet Store (S8 write/read round trip, partitioned by
+    * region/season): steps derive from the a-deck fixture exactly like
+    * Pipelines.runAdeck (nhc_id composed from file metadata,
+    * deterministic member 1), storms is a synthetic dimension keyed the
+    * same way, and ReferenceQueries.trackExtraction runs against the
+    * store for the lexicographically-first storm id — replayed via a
+    * scalar subquery in the oracle. Name-derivation is NOT under test
+    * here (q_storm_summaries gates it); the flatten and join are. */
+  def refTrackExtraction(spark: SparkSession, dir: String): DataFrame = {
+    val steps = AtcfParser.forecastSteps(
+        AtcfParser.parseADeck(adeckLines(spark, dir)))
+      .withColumn("nhc_id", graft.functions.Atcf.nhcId(
+        col("region"), col("nhc_number"), col("season")))
+      .withColumn("ensemble_number", lit(1))
+      .withColumn("run_id", lit("r0"))
+      .withColumn("season", col("season").cast("int"))
+      .withColumn("hour", col("hour").cast("int"))
+    val storms = steps.select("nhc_id", "nhc_number", "region").distinct()
+      .withColumn("name", concat(lit("S"), col("nhc_id")))
+      .withColumn("annual_id", col("nhc_number").cast("int"))
+    val root = s"/tmp/graft_ss/store_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val store = new graft.pipeline.Store(spark, root)
+    store.write("steps", steps
+      .select(graft.schema.Schemas.steps.fieldNames.map(col).toIndexedSeq :+
+        col("season"): _*))
+    store.write("storms", storms)
+    val firstId = store.read("steps", graft.schema.Schemas.steps)
+      .agg(min("nhc_id")).first().getString(0)
+    graft.analytics.ReferenceQueries.trackExtraction(spark, store, firstId)
+  }
+
+  private val refTrackExtractionOracle = {
+    val f34 = Seq("lat", "lon", "vmax", "mslp")
+      .map(c => s"max(CASE WHEN rad = 34 THEN $c END) AS $c").mkString(",\n  ")
+    s"""$adeckOraclePrefix,
+       |o1 AS (SELECT file,
+       |  upper(substr(file, 2, 2)) AS region,
+       |  CAST(substr(file, 4, 2) AS INT) AS nhc_number,
+       |  CAST(regexp_extract(file, '^.(..)(..)([0-9]{4})', 3) AS INT) AS season,
+       |  datetime, tech, tau,
+       |  $f34
+       |  FROM parsed GROUP BY file, datetime, tech, tau),
+       |steps AS (SELECT
+       |  upper(region || lpad(CAST(nhc_number AS VARCHAR),2,'0') ||
+       |    CAST(season AS VARCHAR)) AS nhc_id,
+       |  nhc_number, datetime AS init, tech AS model,
+       |  CAST(1 AS INT) AS ensemble_number,
+       |  CAST(CASE WHEN tau >= 0 THEN tau END AS INT) AS hour,
+       |  CASE WHEN lat BETWEEN -90 AND 90 THEN lat END AS latitude,
+       |  CASE WHEN lon BETWEEN -180 AND 180 THEN lon END AS longitude,
+       |  CASE WHEN vmax BETWEEN 0 AND 250 THEN vmax END AS intensity_kts,
+       |  CASE WHEN mslp IS NULL THEN CAST(1000 AS DOUBLE)
+       |    WHEN (mslp BETWEEN 850 AND 1050) OR mslp = 0 THEN mslp
+       |    ELSE CAST(1000 AS DOUBLE) END AS mslp_mb
+       |  FROM o1)
+       |SELECT nhc_id, 'S' || nhc_id AS name,
+       |  CAST(nhc_number AS INT) AS annual_id,
+       |  ensemble_number, model, init, hour,
+       |  latitude, longitude, intensity_kts, mslp_mb
+       |FROM steps WHERE nhc_id = (SELECT min(nhc_id) FROM steps)""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
 
   val specs: Seq[QuerySpec] = Seq(
@@ -517,5 +582,7 @@ object ParseOps {
     QuerySpec("q_parse_tcvitals", parseTcvitals, Some(parseTcvitalsOracle), "S5"),
     QuerySpec("q_storm_summaries", stormSummaries, Some(stormSummariesOracle), "A4/A5/F5-F8"),
     QuerySpec("q_observations_pivot", observationsPivot, Some(observationsOracle), "A8"),
-    QuerySpec("q_forecast_steps", forecastSteps, Some(forecastStepsOracle), "A4/E2"))
+    QuerySpec("q_forecast_steps", forecastSteps, Some(forecastStepsOracle), "A4/E2"),
+    QuerySpec("q_ref_track_extraction", refTrackExtraction,
+      Some(refTrackExtractionOracle), "J9/S8"))
 }
