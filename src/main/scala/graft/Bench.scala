@@ -35,10 +35,32 @@ object Bench {
       }
       name -> timed.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a file (and an early log line): the
+    // harness only retains the LAST ~2000 chars of stdout, so the line it
+    // parses must stay comfortably under that. Rounds 1-3 printed a ~3.5 KB
+    // line and the harness recorded parsed:null every time.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(fullLine)
     spark.stop()
+    // Compact summary line, printed LAST: total over ALL queries, plus the
+    // slowest queries (3-decimal secs) until a 1600-char budget is hit.
+    val sb = new StringBuilder
+    sb.append(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},""")
+    sb.append("\"queries\":{")
+    var first = true
+    for ((k, v) <- results.sortBy(-_._2)) {
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + f"$v%.3f"
+      if (sb.length + entry.length < 1600) { sb.append(entry); first = false }
+    }
+    sb.append(s"""},"sf":"$sfDir"}""")
+    println(sb.toString)
   }
 }
