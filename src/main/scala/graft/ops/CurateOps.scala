@@ -1,0 +1,359 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.dedup.Dedup
+import graft.functions.Text
+
+/** Training-data curation operators beyond the dedup/quality set already in
+  * [[TextOps]]: benchmark decontamination, PII redaction, repetition
+  * signals, deterministic stratified sampling, embedding normalization /
+  * int8 quantization, context-window sequence packing, and corpus mixture
+  * weighting. Every operator is engine-portable and carries a DuckDB
+  * differential oracle.
+  *
+  * Scale notes are per-operator; the common theme is that the per-document
+  * work is a codegen'd column expression and the only shuffles are the
+  * final keyed aggregations.
+  */
+object CurateOps {
+
+  /** Benchmark decontamination: drop from the training corpus every
+    * document that shares a word 4-gram with the held-out benchmark set
+    * (here: `source = 'src0'`). The industry-standard n-gram-overlap
+    * decontamination (e.g. GPT-3 appendix C) re-expressed relationally:
+    * explode corpus shingles, semi-join against the (small) benchmark
+    * shingle-hash set, aggregate survivors per language.
+    *
+    * At 100 TB the benchmark side is tiny (a few MB of hashes) and is
+    * broadcast, so the corpus side never shuffles — one scan, map-side
+    * semi-join, then a per-lang partial aggregate. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val shingle = (d: DataFrame) => d
+      .select(col("doc_id"), explode(Text.wordShingles(col("text"), 4)).as("s"))
+      .select(col("doc_id"), Dedup.md5Hash60(col("s")).as("h"))
+    val benchH = shingle(docs.filter(col("source") === "src0"))
+      .select("h").distinct()
+    val corpus = docs.filter(col("source") =!= "src0")
+    val contaminated = shingle(corpus)
+      .join(broadcast(benchH), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    corpus.join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left_outer")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_clean"))
+      .orderBy("lang")
+  }
+
+  private val decontaminateOracle: String =
+    """WITH w AS (SELECT doc_id, lang, source,
+      |    list_filter(regexp_split_to_array(text, ' +'), x -> x != '') AS w
+      |  FROM documents),
+      |sh AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 4 THEN
+      |    list_distinct(list_transform(generate_series(1, len(w) - 3),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+      |    ELSE [] END) AS s
+      |  FROM w),
+      |h AS (SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(s), 2, 15) AS BIGINT) AS h FROM sh),
+      |bh AS (SELECT DISTINCT h FROM h WHERE source = 'src0'),
+      |cont AS (SELECT DISTINCT doc_id FROM h
+      |  WHERE source != 'src0' AND h IN (SELECT h FROM bh))
+      |SELECT d.lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_contaminated,
+      |  CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clean
+      |FROM documents d LEFT JOIN cont c ON c.doc_id = d.doc_id
+      |WHERE d.source != 'src0'
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  /** PII redaction: scrub email addresses and phone-shaped digit runs to
+    * typed placeholders. The synthetic corpus carries no PII, so the query
+    * plants a deterministic email + phone per document (derived from
+    * doc_id) before scrubbing — the differential then verifies the regex
+    * semantics end-to-end, including counts and the redacted text itself.
+    * One codegen'd map stage; no shuffle until the final sort. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val pii = concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@mail.example.com or call 555-"),
+      lpad(pmod(col("doc_id") * 37L, lit(10000L)).cast("string"), 4, "0"))
+    val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
+    val phoneRe = "\\d{3}-\\d{4}"
+    val red = regexp_replace(
+      regexp_replace(pii, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(pii, lit(emailRe)).as("n_emails"),
+        regexp_count(pii, lit(phoneRe)).as("n_phones"),
+        length(red).as("red_len"),
+        substring(red, -40, 40).as("red_tail"))
+      .orderBy("doc_id")
+  }
+
+  private val piiRedactOracle: String =
+    """WITH p AS (SELECT doc_id,
+      |  text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+      |  '@mail.example.com or call 555-' ||
+      |  lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0') AS pii
+      |  FROM documents),
+      |r AS (SELECT doc_id, pii,
+      |  regexp_replace(regexp_replace(pii, '[a-z0-9._]+@[a-z0-9.]+',
+      |    '<EMAIL>', 'g'), '\d{3}-\d{4}', '<PHONE>', 'g') AS red
+      |  FROM p)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(pii, '[a-z0-9._]+@[a-z0-9.]+')) AS INT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(pii, '\d{3}-\d{4}')) AS INT) AS n_phones,
+      |  length(red) AS red_len,
+      |  substr(red, length(red) - 39, 40) AS red_tail
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition signals per document: duplicate word-bigram
+    * fraction and top-word mass fraction. Bigram stats are array
+    * expressions (no explode); the top-word count is a two-level keyed
+    * aggregate with map-side partials. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val w = Text.tokens(col("text"))
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(2), size(w)),
+        i => concat(element_at(w, i - 1), lit(" "), element_at(w, i))))
+      .otherwise(array().cast("array<string>"))
+    val base = docs.select(col("doc_id"), size(w).as("n_words"),
+      size(bigrams).as("n_2grams"),
+      size(array_distinct(bigrams)).as("n_dist_2grams"))
+    val top = docs.select(col("doc_id"), explode(w).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_word_n"))
+    base.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("top_word_n"),
+        col("n_2grams"), col("n_dist_2grams"),
+        ((col("n_2grams") - col("n_dist_2grams")) / col("n_2grams"))
+          .as("dup_2gram_frac"),
+        (col("top_word_n") / col("n_words")).as("top_word_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val textRepetitionOracle: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, ' +'), x -> x != '') AS w
+      |  FROM documents),
+      |b AS (SELECT doc_id, len(w) AS n_words,
+      |  CASE WHEN len(w) >= 2 THEN list_transform(generate_series(2, len(w)),
+      |    i -> w[i-1] || ' ' || w[i]) ELSE [] END AS bg
+      |  FROM w),
+      |base AS (SELECT doc_id, CAST(n_words AS INT) AS n_words,
+      |  CAST(len(bg) AS INT) AS n_2grams,
+      |  CAST(len(list_distinct(bg)) AS INT) AS n_dist_2grams FROM b),
+      |top AS (SELECT doc_id, max(c) AS top_word_n FROM (
+      |  SELECT doc_id, t, count(*) AS c FROM
+      |    (SELECT doc_id, unnest(w) AS t FROM w) u GROUP BY doc_id, t) g
+      |  GROUP BY doc_id)
+      |SELECT base.doc_id, n_words, top_word_n, n_2grams, n_dist_2grams,
+      |  (n_2grams - n_dist_2grams) / CAST(n_2grams AS DOUBLE) AS dup_2gram_frac,
+      |  top_word_n / CAST(n_words AS DOUBLE) AS top_word_frac
+      |FROM base JOIN top ON top.doc_id = base.doc_id
+      |ORDER BY base.doc_id""".stripMargin
+
+  /** Deterministic hash-based stratified sampling: per-language keep
+    * rates (en 30%, others 60%) applied by bucketing an md5-derived hash
+    * of the doc id — reproducible across runs, engines, and cluster
+    * sizes, unlike `DataFrame.sample`. Pure map-side filter; no shuffle
+    * beyond the output sort. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      Dedup.md5Hash60(concat(lit("smp"), col("doc_id").cast("string"))),
+      lit(100L))
+    val rate = when(col("lang") === "en", 30L).otherwise(60L)
+    load(spark, dir, "documents")
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val sampleStratifiedOracle: String =
+    """WITH b AS (SELECT doc_id, lang,
+      |  CAST('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 2, 15)
+      |    AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, bucket FROM b
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 60 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Embedding normalization + int8 quantization signals: l2 norm, the
+    * first unit-vector component, and the symmetric max-abs int8
+    * quantization of the first component plus the per-vector quantized
+    * l1 mass. Folds run left-to-right from a 0.0 init on both engines
+    * (0.0 + x == x exactly), so the doubles are bit-identical and the
+    * round(...,6) is belt-and-braces. Pure map stage. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val sumsq = aggregate(v, lit(0.0), (a, x) => a + x * x)
+    val l2 = sqrt(sumsq)
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val q = (x: Column) => round(x * 127.0 / maxabs).cast("long")
+    load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        round(l2, 6).as("l2"),
+        round(element_at(v, 1) / l2, 6).as("u1"),
+        q(element_at(v, 1)).as("q1"),
+        aggregate(v, lit(0L), (a, x) => a + abs(q(x))).as("q_l1"))
+      .orderBy("vec_id")
+  }
+
+  private val embedQuantizeOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(v, x -> x * x)), (a, x) -> a + x)) AS l2,
+      |  list_max(list_transform(v, x -> abs(x))) AS maxabs
+      |  FROM e)
+      |SELECT vec_id, round(l2, 6) AS l2, round(v[1] / l2, 6) AS u1,
+      |  CAST(round(v[1] * 127.0 / maxabs) AS BIGINT) AS q1,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(v,
+      |    x -> abs(CAST(round(x * 127.0 / maxabs) AS BIGINT)))),
+      |    (a, x) -> a + x) AS q_l1
+      |FROM s ORDER BY vec_id""".stripMargin
+
+  /** Context-window sequence packing: documents are packed per language
+    * in doc_id order into 512-token bins by cumulative token count (a
+    * document whose budget is already exhausted starts the next bin).
+    * The running sum is one window over (lang, doc_id) — the packing
+    * never materializes pairwise state, so it scales as a single sort
+    * per language partition. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    load(spark, dir, "documents")
+      .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / lit(512.0)))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  private val packSequencesOracle: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  CAST(len(list_filter(regexp_split_to_array(text, ' +'), x -> x != ''))
+      |    AS BIGINT) AS n FROM documents),
+      |c AS (SELECT lang, n,
+      |  COALESCE(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM t)
+      |SELECT lang, CAST(floor(cum_before / 512.0) AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS bin_tokens
+      |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+
+  /** Exact median (and extrema) of order value per priority class, via
+    * explicit rank selection rather than an engine percentile primitive —
+    * the selection is reproducible in any engine and the only shuffle is
+    * the per-priority sort. */
+  def aggMedianRank(spark: SparkSession, dir: String): DataFrame = {
+    val orders = load(spark, dir, "orders")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy("o_totalprice", "o_orderkey")
+    val ranked = orders
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("o_orderpriority")).as("n"))
+    ranked
+      .filter(col("rn") === floor((col("n") + 1) / lit(2.0)) ||
+        col("rn") === ceil((col("n") + 1) / lit(2.0)))
+      .groupBy("o_orderpriority")
+      .agg((sum("o_totalprice") / count(lit(1))).as("median_price"),
+        max("n").as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val aggMedianRankOracle: String =
+    """WITH r AS (SELECT o_orderpriority, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey) AS rn,
+      |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  sum(o_totalprice) / count(*) AS median_price,
+      |  max(n) AS n_orders
+      |FROM r
+      |WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+      |   OR rn = CAST(ceil((n + 1) / 2.0) AS BIGINT)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Quartile + cumulative-distribution windows over customer balances
+    * within each nation (unique total order via the custkey tie-break, so
+    * every peer group is a singleton and both engines agree exactly). */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("c_custkey")
+  }
+
+  private val windowNtileOracle: String =
+    """SELECT c_custkey, c_nationkey,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Corpus mixture weighting: per-source token mass and the resampling
+    * weight that would equalize every source's share (weight =
+    * uniform-share / actual-share). One aggregate plus an unpartitioned
+    * window over the (tiny) per-source rollup. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = load(spark, dir, "documents")
+      .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
+      .groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val all = Window.partitionBy()
+    perSource
+      .withColumn("total", sum("src_tokens").over(all))
+      .withColumn("n_src", count(lit(1)).over(all))
+      .select(col("source"), col("src_tokens"),
+        round(col("total") / (col("n_src") * col("src_tokens")), 6).as("weight"))
+      .orderBy("source")
+  }
+
+  private val mixtureWeightsOracle: String =
+    """WITH s AS (SELECT source,
+      |  CAST(sum(len(list_filter(regexp_split_to_array(text, ' +'),
+      |    x -> x != ''))) AS BIGINT) AS src_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT source, src_tokens,
+      |  sum(src_tokens) OVER () AS total, count(*) OVER () AS n_src FROM s)
+      |SELECT source, src_tokens,
+      |  round(total / CAST(n_src * src_tokens AS DOUBLE), 6) AS weight
+      |FROM t ORDER BY source""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_decontaminate", decontaminate,
+      Some(decontaminateOracle), "curate/decontaminate"),
+    QuerySpec("q_pii_redact", piiRedact,
+      Some(piiRedactOracle), "curate/pii-redact"),
+    QuerySpec("q_text_repetition", textRepetition,
+      Some(textRepetitionOracle), "curate/repetition-signals"),
+    QuerySpec("q_sample_stratified", sampleStratified,
+      Some(sampleStratifiedOracle), "curate/stratified-sample"),
+    QuerySpec("q_embed_quantize", embedQuantize,
+      Some(embedQuantizeOracle), "curate/embed-quantize"),
+    QuerySpec("q_pack_sequences", packSequences,
+      Some(packSequencesOracle), "curate/sequence-packing"),
+    QuerySpec("q_agg_median_rank", aggMedianRank,
+      Some(aggMedianRankOracle), "olap/exact-median"),
+    QuerySpec("q_window_ntile", windowNtile,
+      Some(windowNtileOracle), "window/ntile-cume-dist"),
+    QuerySpec("q_mixture_weights", mixtureWeights,
+      Some(mixtureWeightsOracle), "curate/mixture-weights"),
+  )
+}

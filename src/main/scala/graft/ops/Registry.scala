@@ -5,7 +5,8 @@ package graft.ops
 object Registry {
   val specs: Seq[QuerySpec] =
     RelationalOps.specs ++ PipelineOps.specs ++ FunctionOps.specs ++
-      TextOps.specs ++ VectorOps.specs ++ ExtraOps.specs ++ OlapOps.specs ++
+      TextOps.specs ++ VectorOps.specs ++ CurateOps.specs ++
+      ExtraOps.specs ++ OlapOps.specs ++
       MultimodalOps.specs ++ ParseOps.specs ++ EnsembleOps.specs ++
       SourceSinkOps.specs
 

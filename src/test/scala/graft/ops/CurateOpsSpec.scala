@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CurateOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("decontaminate partitions the corpus: contaminated + clean = total") {
+    val rows = CurateOps.decontaminate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") + r.getAs[Long]("n_clean") ==
+        r.getAs[Long]("n_docs"))
+    }
+    // the gate is only meaningful if both classes occur
+    assert(rows.map(_.getAs[Long]("n_contaminated")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_clean")).sum > 0)
+  }
+
+  test("piiRedact scrubs every planted email and phone") {
+    val rows = CurateOps.piiRedact(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_emails") >= 1)
+      assert(r.getAs[Int]("n_phones") >= 1)
+      val tail = r.getAs[String]("red_tail")
+      assert(tail.contains("<PHONE>"), tail)
+      assert(!tail.contains("@"), tail)
+    }
+  }
+
+  test("textRepetition fractions are in [0,1] and distinct <= total bigrams") {
+    CurateOps.textRepetition(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Int]("n_dist_2grams") <= r.getAs[Int]("n_2grams"))
+      val f = r.getAs[Double]("dup_2gram_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      val t = r.getAs[Double]("top_word_frac")
+      assert(t > 0.0 && t <= 1.0)
+    }
+  }
+
+  test("sampleStratified is deterministic and respects per-lang rates") {
+    val a = CurateOps.sampleStratified(spark, dir).collect()
+    val b = CurateOps.sampleStratified(spark, dir).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    a.foreach { r =>
+      val cap = if (r.getAs[String]("lang") == "en") 30L else 60L
+      assert(r.getAs[Long]("bucket") < cap)
+    }
+  }
+
+  test("embedQuantize: unit component and int8 range") {
+    CurateOps.embedQuantize(spark, dir).collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("u1")) <= 1.0)
+      val q = r.getAs[Long]("q1")
+      assert(q >= -127 && q <= 127)
+      assert(r.getAs[Long]("q_l1") >= 127) // the max-abs component alone
+    }
+  }
+
+  test("packSequences conserves tokens and bins start at 0 per lang") {
+    val out = CurateOps.packSequences(spark, dir).collect()
+    val perLang = out.groupBy(_.getAs[String]("lang"))
+    perLang.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("bin")).min == 0L)
+    }
+    val total = out.map(_.getAs[Long]("bin_tokens")).sum
+    val direct = graft.Tables.load(spark, dir, "documents")
+      .select(graft.functions.Text.tokenCount(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(total == direct)
+  }
+
+  test("aggMedianRank median lies between group min and max") {
+    import org.apache.spark.sql.functions._
+    val med = CurateOps.aggMedianRank(spark, dir).collect()
+    val ext = graft.Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    med.foreach { r =>
+      val (lo, hi) = ext(r.getString(0))
+      val m = r.getAs[Double]("median_price")
+      assert(m >= lo && m <= hi)
+    }
+  }
+
+  test("windowNtile quartiles are 1..4 and cume_dist ends at 1") {
+    val rows = CurateOps.windowNtile(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("quartile")).toSet == Set(1, 2, 3, 4))
+    assert(rows.map(_.getAs[Double]("cd")).max == 1.0)
+  }
+
+  test("mixtureWeights: weight 1.0 iff source has exactly uniform share") {
+    val rows = CurateOps.mixtureWeights(spark, dir).collect()
+    assert(rows.length > 1)
+    rows.foreach(r => assert(r.getAs[Double]("weight") > 0.0))
+    // weights reweight token mass to uniform: sum(src_tokens*weight) ~ total
+    val total = rows.map(_.getAs[Long]("src_tokens")).sum.toDouble
+    val re = rows.map(r =>
+      r.getAs[Long]("src_tokens") * r.getAs[Double]("weight")).sum
+    assert(math.abs(re - total) / total < 1e-4)
+  }
+}
