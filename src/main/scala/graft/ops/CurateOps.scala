@@ -30,12 +30,19 @@ object CurateOps {
     *
     * At 100 TB the benchmark side is tiny (a few MB of hashes) and is
     * broadcast, so the corpus side never shuffles — one scan, map-side
-    * semi-join, then a per-lang partial aggregate. */
+    * semi-join, then a per-lang partial aggregate.
+    *
+    * Shingles are hashed with multi-arg xxhash64 directly over the n
+    * tokens ([[Text.hashedShingles]]) — no intermediate concat'd strings,
+    * no per-shingle md5. The hash never reaches the output (only
+    * contaminated-doc COUNTS do), and "shares a 4-gram" is
+    * hash-function-independent, so the DuckDB oracle (which replays the
+    * same set-membership via md5'd string shingles) stays an exact
+    * differential for this fast path — no portable twin needed. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
     val shingle = (d: DataFrame) => d
-      .select(col("doc_id"), explode(Text.wordShingles(col("text"), 4)).as("s"))
-      .select(col("doc_id"), Dedup.md5Hash60(col("s")).as("h"))
+      .select(col("doc_id"), explode(Text.hashedShingles(col("text"), 4)).as("h"))
     val benchH = shingle(docs.filter(col("source") === "src0"))
       .select("h").distinct()
     val corpus = docs.filter(col("source") =!= "src0")
@@ -118,14 +125,21 @@ object CurateOps {
   /** Gopher-style repetition signals per document: duplicate word-bigram
     * fraction and top-word mass fraction. Bigram stats are array
     * expressions (no explode); the top-word count is a two-level keyed
-    * aggregate with map-side partials. */
+    * aggregate with map-side partials.
+    *
+    * Bigrams are hashed token-pairs (multi-arg xxhash64, no concat'd
+    * strings): only their COUNTS reach the output and distinct-ness is
+    * hash-independent, so the string-bigram DuckDB oracle remains an
+    * exact differential — same reasoning as [[decontaminate]].
+    * `dup_2gram_frac` is NULL-guarded for <2-token documents on both
+    * engines (Spark x/0 = NULL, DuckDB float 0/0 = NaN would diverge). */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
     val w = Text.tokens(col("text"))
     val bigrams = when(size(w) >= 2,
       transform(sequence(lit(2), size(w)),
-        i => concat(element_at(w, i - 1), lit(" "), element_at(w, i))))
-      .otherwise(array().cast("array<string>"))
+        i => xxhash64(element_at(w, i - 1), element_at(w, i))))
+      .otherwise(array().cast("array<bigint>"))
     val base = docs.select(col("doc_id"), size(w).as("n_words"),
       size(bigrams).as("n_2grams"),
       size(array_distinct(bigrams)).as("n_dist_2grams"))
@@ -135,7 +149,8 @@ object CurateOps {
     base.join(top, Seq("doc_id"))
       .select(col("doc_id"), col("n_words"), col("top_word_n"),
         col("n_2grams"), col("n_dist_2grams"),
-        ((col("n_2grams") - col("n_dist_2grams")) / col("n_2grams"))
+        when(col("n_2grams") > 0,
+          (col("n_2grams") - col("n_dist_2grams")) / col("n_2grams"))
           .as("dup_2gram_frac"),
         (col("top_word_n") / col("n_words")).as("top_word_frac"))
       .orderBy("doc_id")
@@ -157,7 +172,8 @@ object CurateOps {
       |    (SELECT doc_id, unnest(w) AS t FROM w) u GROUP BY doc_id, t) g
       |  GROUP BY doc_id)
       |SELECT base.doc_id, n_words, top_word_n, n_2grams, n_dist_2grams,
-      |  (n_2grams - n_dist_2grams) / CAST(n_2grams AS DOUBLE) AS dup_2gram_frac,
+      |  (n_2grams - n_dist_2grams) / CAST(NULLIF(n_2grams, 0) AS DOUBLE)
+      |    AS dup_2gram_frac,
       |  top_word_n / CAST(n_words AS DOUBLE) AS top_word_frac
       |FROM base JOIN top ON top.doc_id = base.doc_id
       |ORDER BY base.doc_id""".stripMargin
@@ -193,19 +209,26 @@ object CurateOps {
     * quantization of the first component plus the per-vector quantized
     * l1 mass. Folds run left-to-right from a 0.0 init on both engines
     * (0.0 + x == x exactly), so the doubles are bit-identical and the
-    * round(...,6) is belt-and-braces. Pure map stage. */
+    * round(...,6) is belt-and-braces. Pure map stage.
+    *
+    * All-zero vectors are NULL-guarded on both engines (l2 = 0 makes u1 a
+    * 0/0 and maxabs = 0 makes the quantizer x/0; Spark yields NULL, IEEE
+    * DuckDB would yield NaN/Inf — the guard makes the differential robust
+    * even if the fixture ever grows a zero vector). */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val sumsq = aggregate(v, lit(0.0), (a, x) => a + x * x)
     val l2 = sqrt(sumsq)
     val maxabs = array_max(transform(v, x => abs(x)))
-    val q = (x: Column) => round(x * 127.0 / maxabs).cast("long")
+    val q = (x: Column) =>
+      when(maxabs > 0, round(x * 127.0 / maxabs).cast("long"))
     load(spark, dir, "embeddings")
       .select(col("vec_id"),
         round(l2, 6).as("l2"),
-        round(element_at(v, 1) / l2, 6).as("u1"),
+        round(when(l2 > 0, element_at(v, 1) / l2), 6).as("u1"),
         q(element_at(v, 1)).as("q1"),
-        aggregate(v, lit(0L), (a, x) => a + abs(q(x))).as("q_l1"))
+        when(maxabs > 0,
+          aggregate(v, lit(0L), (a, x) => a + abs(q(x)))).as("q_l1"))
       .orderBy("vec_id")
   }
 
@@ -216,11 +239,13 @@ object CurateOps {
       |    list_transform(v, x -> x * x)), (a, x) -> a + x)) AS l2,
       |  list_max(list_transform(v, x -> abs(x))) AS maxabs
       |  FROM e)
-      |SELECT vec_id, round(l2, 6) AS l2, round(v[1] / l2, 6) AS u1,
-      |  CAST(round(v[1] * 127.0 / maxabs) AS BIGINT) AS q1,
-      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(v,
-      |    x -> abs(CAST(round(x * 127.0 / maxabs) AS BIGINT)))),
-      |    (a, x) -> a + x) AS q_l1
+      |SELECT vec_id, round(l2, 6) AS l2,
+      |  round(v[1] / NULLIF(l2, 0), 6) AS u1,
+      |  CAST(round(v[1] * 127.0 / NULLIF(maxabs, 0)) AS BIGINT) AS q1,
+      |  CASE WHEN maxabs > 0 THEN
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(v,
+      |      x -> abs(CAST(round(x * 127.0 / maxabs) AS BIGINT)))),
+      |      (a, x) -> a + x) END AS q_l1
       |FROM s ORDER BY vec_id""".stripMargin
 
   /** Context-window sequence packing: documents are packed per language
