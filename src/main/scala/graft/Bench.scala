@@ -4,28 +4,51 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Results are fully materialized via the noop sink
   * (a bare count() would let Catalyst prune most of the work).
   *
-  * Each query is first executed once on the tiny sf0.001 data, untimed:
-  * the generated whole-stage-codegen classes are identical across scale
-  * factors, so this warms JIT/codegen and the timed run measures engine
-  * throughput rather than one-time compilation. The target-SF run is then
-  * timed twice and the MIN reported — steady-state engine throughput,
-  * robust to one-off JIT/GC/scheduler stalls on a contended host. */
+  * Each query first runs once UNTIMED at the target SF: that warms
+  * JIT/codegen AND populates any memoized fixture state (generated deck
+  * lines, the ref-track store) at the scale being measured, so the timed
+  * runs measure engine throughput on the operator — not one-time codegen
+  * or fixture construction. The target-SF run is then timed twice and the
+  * MIN reported — steady-state throughput, robust to one-off JIT/GC/
+  * scheduler stalls on a contended host.
+  *
+  * Regression tripwire: before overwriting bench_full.json the previous
+  * round's per-query map is loaded and every mover >1.5x either way is
+  * printed — a zero-cost alarm for phantom speedups and silent
+  * regressions. Filtered runs (SPARK_GRAFT_BENCH_ONLY) write
+  * bench_filtered.json instead, so the committed full-suite baseline is
+  * never clobbered by a partial run. */
 object Bench {
+  /** Minimal parse of the {"queries":{"name":secs,...}} map out of a
+    * previous bench line — no JSON lib needed for flat string->double. */
+  private def parseQueries(line: String): Map[String, Double] = {
+    val m = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(line)
+    m.map(_.group(1)).getOrElse("").split(',').toSeq
+      .flatMap { kv =>
+        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(kv)
+          .map(g => g.group(1) -> g.group(2).toDouble)
+      }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Session.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional local-iteration filter: comma-separated name prefixes
-    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+    val filtered = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    val only: String => Boolean = filtered match {
       case Some(ps) => name => ps.split(',').exists(name.startsWith)
       case None => _ => true
     }
+    val prev: Map[String, Double] =
+      try parseQueries(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_full.json")), "UTF-8"))
+      catch { case _: Throwable => Map.empty }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only(q._1)).map { case (name, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       val timed = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -44,11 +67,24 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    val outFile =
+      if (filtered.isDefined) "bench_filtered.json" else "bench_full.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(fullLine)
+    // tripwire: movers >1.5x either way vs the previous full-suite run
+    val movers = results.flatMap { case (k, v) =>
+      prev.get(k).collect {
+        case p if p > 0.05 && v > 0.05 && (v / p > 1.5 || p / v > 1.5) =>
+          f"$k: ${p}%.2f -> ${v}%.2f (${v / p}%.2fx)"
+      }
+    }
+    if (prev.nonEmpty) {
+      println(s"TRIPWIRE: ${movers.size} movers >1.5x vs previous bench_full.json")
+      movers.foreach(m => println("  " + m))
+    }
     spark.stop()
     // Compact summary line, printed LAST: total over ALL queries, plus the
     // slowest queries (3-decimal secs) until a 1600-char budget is hit.

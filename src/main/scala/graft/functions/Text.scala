@@ -21,17 +21,29 @@ object Text {
   def vocabHits(text: Column, vocab: Seq[String]): Column =
     size(filter(tokens(text), w => w.isin(vocab.map(lit): _*)))
 
-  /** Distinct word n-gram shingles (the unit for Jaccard / MinHash dedup).
-    * Guarded so texts shorter than `n` words yield an empty set (Spark's
-    * `sequence(1, 0)` would otherwise count DOWN).
-    */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
+  /** Distinct word n-gram shingles (the unit for Jaccard / MinHash dedup)
+    * from a PRE-BOUND token-array column. Guarded so texts shorter than
+    * `n` words yield an empty set (Spark's `sequence(1, 0)` would
+    * otherwise count DOWN).
+    *
+    * `w` MUST be a projected attribute (`.withColumn("w", tokens(...))`),
+    * not an expression tree: Spark higher-order-function lambdas are
+    * interpreted with no common-subexpression elimination, so an embedded
+    * tree re-evaluates once per `element_at` — ~n×shingles regex
+    * tokenizations per row if `w` is `tokens(text)` inline. A bound
+    * attribute is an O(1) row read. (Catalyst's CollapseProject keeps the
+    * binding: it never inlines a non-cheap alias referenced more than
+    * once.) */
+  def shinglesFromTokens(w: Column, n: Int): Column =
     when(size(w) >= n,
       array_distinct(transform(sequence(lit(1), size(w) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience single-expression form of [[shinglesFromTokens]] — fine
+    * for tests and one-off rows; hot paths must bind the tokens first. */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Jaccard similarity of two pre-computed distinct shingle sets.
     * Exact int-cardinality division — bit-identical across engines. */
@@ -40,19 +52,23 @@ object Text {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Shingle sets hashed to 64-bit ints: same cardinalities as
-    * [[wordShingles]] (collisions are ~2^-64), but set intersection runs
-    * on longs instead of strings — the representation to carry through
-    * pairwise-verify joins at corpus scale. The n tokens are hashed
-    * directly (multi-arg xxhash64) — no intermediate concat'd strings,
-    * which dominate the cost of the interpreted higher-order transform. */
-  def hashedShingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
+  /** Shingle sets hashed to 64-bit ints from a PRE-BOUND token-array
+    * column: same cardinalities as [[shinglesFromTokens]] (collisions are
+    * ~2^-64), but set intersection runs on longs instead of strings — the
+    * representation to carry through pairwise-verify joins at corpus
+    * scale. The n tokens are hashed directly (multi-arg xxhash64) — no
+    * intermediate concat'd strings. Same bound-attribute contract as
+    * [[shinglesFromTokens]]. */
+  def hashedShinglesFromTokens(w: Column, n: Int): Column =
     when(size(w) >= n,
       array_distinct(transform(sequence(lit(1), size(w) - (n - 1)), i =>
         xxhash64((0 until n).map(k => element_at(w, i + k)): _*))))
       .otherwise(array().cast("array<bigint>"))
-  }
+
+  /** Convenience single-expression form of [[hashedShinglesFromTokens]] —
+    * fine for tests; hot paths must bind the tokens first. */
+  def hashedShingles(text: Column, n: Int): Column =
+    hashedShinglesFromTokens(tokens(text), n)
 
   /** Deterministic rolling polynomial fingerprint over the first
     * `prefixLen` characters: fold (acc*31 + codepoint) mod 1e9+7.
@@ -64,22 +80,47 @@ object Text {
     aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L)
   }
 
-  /** Marker-word language scorer: argmax over per-language marker counts
-    * with a deterministic first-wins tie-break. `markers` maps language ->
-    * marker word. (The production path for real corpora; on synthetic test
-    * text it still exercises the full argmax machinery.)
-    */
-  def langGuess(text: Column, markers: Seq[(String, String)]): Column = {
-    val scores = markers.map { case (lang, word) =>
-      lang -> vocabHits(text, Seq(word))
-    }
-    // first language whose score >= all later scores wins (stable argmax)
+  /** High-frequency character-trigram profiles per language — the
+    * classic n-gram text-categorization approach (Cavnar & Trenkle 1994,
+    * "N-Gram-Based Text Categorization"). Profiles are small public
+    * linguistic constants; the Seq order fixes the argmax tie-break.
+    * zh is the romanized (pinyin) profile — the synthetic corpus is
+    * ASCII. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ein", "ich", "sch", "und", "die", "cht", "gen"),
+    "en" -> Seq("the", " th", "he ", "and", "ing", " an", "ion", " of"),
+    "es" -> Seq(" la", "los", "del", "que", "ado", "cio", " es", "nte"),
+    "fr" -> Seq("les", " le", " qu", "ent", "ait", "eur", "oir", "ois"),
+    "zh" -> Seq("shi", "zhe", "ang", "eng", "ong", "ian", "uan", "hao"))
+
+  /** All character trigrams of a PRE-BOUND string column (one per start
+    * position; same bound-attribute contract as [[shinglesFromTokens]] —
+    * an inline tree would re-evaluate per position). Guarded for <3-char
+    * strings (Spark's `sequence(1, 0)` counts DOWN). */
+  def charTrigrams(s: Column): Column =
+    when(length(s) >= 3,
+      transform(sequence(lit(1), length(s) - 2), i => s.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Stable argmax: first label (in seq order) whose score >= every later
+    * score — deterministic and replayable as a SQL CASE chain. */
+  private def stableArgmax(scores: Seq[(String, Column)]): Column =
     scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
       case ((((lang, s)), i), rest) =>
         val laterMax = scores.drop(i + 1).map(_._2).reduce((a, b) => greatest(a, b))
         when(s >= laterMax, lit(lang)).otherwise(rest)
     }
-  }
+
+  /** Trigram-profile language ID over a PRE-BOUND trigram-array column
+    * ([[charTrigrams]] of the lowercased text): score = count of trigram
+    * positions hitting each language's profile, stable argmax in profile
+    * order. Pure column expressions — no UDF, no shuffle, linear in text
+    * length. */
+  def langIdTrigrams(tg: Column,
+      profiles: Seq[(String, Seq[String])] = langProfiles): Column =
+    stableArgmax(profiles.map { case (lang, tris) =>
+      lang -> size(filter(tg, t => t.isin(tris.map(lit): _*)))
+    })
 
   /** Quality signals: share of alphabetic chars, mean word length — kept
     * as exact integer numerators/denominators for oracle-stable output. */

@@ -33,16 +33,24 @@ object CurateOps {
     * semi-join, then a per-lang partial aggregate.
     *
     * Shingles are hashed with multi-arg xxhash64 directly over the n
-    * tokens ([[Text.hashedShingles]]) — no intermediate concat'd strings,
-    * no per-shingle md5. The hash never reaches the output (only
-    * contaminated-doc COUNTS do), and "shares a 4-gram" is
+    * tokens ([[Text.hashedShinglesFromTokens]]) — no intermediate
+    * concat'd strings, no per-shingle md5. The hash never reaches the
+    * output (only contaminated-doc COUNTS do), and "shares a 4-gram" is
     * hash-function-independent, so the DuckDB oracle (which replays the
     * same set-membership via md5'd string shingles) stays an exact
-    * differential for this fast path — no portable twin needed. */
+    * differential for this fast path — no portable twin needed.
+    *
+    * The token array is BOUND as a projected column before the shingle
+    * transform references it: interpreted HOF lambdas re-evaluate
+    * embedded expression trees per element (~n×shingles regex
+    * tokenizations per row when inlined — the round-5 hot spot), while a
+    * bound attribute is an O(1) row read. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
     val shingle = (d: DataFrame) => d
-      .select(col("doc_id"), explode(Text.hashedShingles(col("text"), 4)).as("h"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(Text.hashedShinglesFromTokens(col("w"), 4)).as("h"))
     val benchH = shingle(docs.filter(col("source") === "src0"))
       .select("h").distinct()
     val corpus = docs.filter(col("source") =!= "src0")
@@ -132,18 +140,26 @@ object CurateOps {
     * hash-independent, so the string-bigram DuckDB oracle remains an
     * exact differential — same reasoning as [[decontaminate]].
     * `dup_2gram_frac` is NULL-guarded for <2-token documents on both
-    * engines (Spark x/0 = NULL, DuckDB float 0/0 = NaN would diverge). */
+    * engines (Spark x/0 = NULL, DuckDB float 0/0 = NaN would diverge).
+    *
+    * Both the token array and the bigram array are BOUND as projected
+    * columns before anything references them twice: interpreted HOF
+    * lambdas re-evaluate embedded trees per element, and `size(x)` +
+    * `size(array_distinct(x))` would otherwise compute the bigrams twice
+    * (each time re-tokenizing per element — the round-5 hot spot). */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
-    val w = Text.tokens(col("text"))
-    val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(2), size(w)),
-        i => xxhash64(element_at(w, i - 1), element_at(w, i))))
-      .otherwise(array().cast("array<bigint>"))
-    val base = docs.select(col("doc_id"), size(w).as("n_words"),
-      size(bigrams).as("n_2grams"),
-      size(array_distinct(bigrams)).as("n_dist_2grams"))
-    val top = docs.select(col("doc_id"), explode(w).as("w"))
+    val wc = col("w")
+    val base = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .withColumn("bigrams", when(size(wc) >= 2,
+        transform(sequence(lit(2), size(wc)),
+          i => xxhash64(element_at(wc, i - 1), element_at(wc, i))))
+        .otherwise(array().cast("array<bigint>")))
+      .select(col("doc_id"), size(wc).as("n_words"),
+        size(col("bigrams")).as("n_2grams"),
+        size(array_distinct(col("bigrams"))).as("n_dist_2grams"))
+    val top = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_word_n"))
     base.join(top, Seq("doc_id"))
@@ -214,15 +230,23 @@ object CurateOps {
     * All-zero vectors are NULL-guarded on both engines (l2 = 0 makes u1 a
     * 0/0 and maxabs = 0 makes the quantizer x/0; Spark yields NULL, IEEE
     * DuckDB would yield NaN/Inf — the guard makes the differential robust
-    * even if the fixture ever grows a zero vector). */
+    * even if the fixture ever grows a zero vector).
+    *
+    * `l2` and `maxabs` are BOUND as projected columns before the fold
+    * lambdas reference them: `maxabs` is itself an interpreted HOF, and
+    * embedding it inside the quantizer fold re-evaluated it ~2× per
+    * vector element (the round-5 1.6× regression). Bound attributes are
+    * O(1) row reads. */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
-    val v = col("embedding").cast("array<double>")
-    val sumsq = aggregate(v, lit(0.0), (a, x) => a + x * x)
-    val l2 = sqrt(sumsq)
-    val maxabs = array_max(transform(v, x => abs(x)))
+    val v = col("v")
+    val l2 = col("l2")
+    val maxabs = col("maxabs")
     val q = (x: Column) =>
       when(maxabs > 0, round(x * 127.0 / maxabs).cast("long"))
     load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("l2", sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)))
+      .withColumn("maxabs", array_max(transform(v, x => abs(x))))
       .select(col("vec_id"),
         round(l2, 6).as("l2"),
         round(when(l2 > 0, element_at(v, 1) / l2), 6).as("u1"),

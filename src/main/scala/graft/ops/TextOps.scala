@@ -33,14 +33,66 @@ object TextOps {
         Text.nonSpaceChars(col("text")).as("len_nonspace"))
       .orderBy("doc_id")
 
-  /** Marker-word language identification; output = lang x guess confusion
-    * counts (deterministic argmax with first-wins tie-break). */
+  /** Language-characteristic sentences planted per document (the
+    * synthetic corpus text is language-less filler, so — like
+    * [[CurateOps.piiRedact]] planting PII — the fixture derives a
+    * deterministic multi-language prefix from the `lang` column, then the
+    * classifier runs over prefix + real text). Shared by the Spark query
+    * and the DuckDB oracle. */
+  private val langPhrases: Seq[(String, String)] = Seq(
+    "de" -> "der richtige fuchs und die schnellen hunde sich einig in der geschichte",
+    "en" -> "the quick brown fox and the young things bring an action of their own making",
+    "es" -> "la cantidad del valor de los datos que el estado adecuado menciona en la nacion",
+    "fr" -> "les quatre lettres que le document entier faisait envers leur valeur noire",
+    "zh" -> "zhe shi yi zhang hen chang de wen jian shang mian you hao duo sheng yong chuan")
+
+  /** Char-trigram language identification (Cavnar & Trenkle-style profile
+    * argmax, [[Text.langIdTrigrams]]); output = lang x guess confusion
+    * counts. The scored string and its trigram array are BOUND columns
+    * (interpreted-HOF contract); scoring window = first 96 chars, so the
+    * planted phrase dominates the filler background by construction. */
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
-    val markers = Seq("en" -> "the", "de" -> "table", "fr" -> "data", "es" -> "value")
+    val phrase = langPhrases.tail.foldLeft(
+      when(col("lang") === langPhrases.head._1, lit(langPhrases.head._2))) {
+      case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
+    }.otherwise(lit(""))
     load(spark, dir, "documents")
-      .withColumn("guess", Text.langGuess(col("text"), markers))
+      .withColumn("s",
+        lower(substring(concat(phrase, lit(" "), col("text")), 1, 96)))
+      .withColumn("tg", Text.charTrigrams(col("s")))
+      .withColumn("guess", Text.langIdTrigrams(col("tg")))
       .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
       .orderBy("lang", "guess")
+  }
+
+  /** DuckDB replica of the trigram classifier: same phrases, same 96-char
+    * window, same profiles, same first-wins CASE argmax. */
+  private val langidOracle: String = {
+    val phraseCase = langPhrases
+      .map { case (l, p) => s"WHEN '$l' THEN '$p'" }.mkString(" ")
+    val scoreCols = Text.langProfiles.map { case (l, tris) =>
+      val lst = tris.map(t => s"'$t'").mkString(", ")
+      s"len(list_filter(tg, t -> list_contains([$lst], t))) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = Text.langProfiles.map(_._1)
+    val caseArms = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(x => s"s_$x")
+      val rhs = if (later.size == 1) later.head
+                else s"greatest(${later.mkString(", ")})"
+      s"WHEN s_$l >= $rhs THEN '$l'"
+    }.mkString("\n  ")
+    s"""WITH p AS (SELECT lang,
+       |    lower(substr(CASE lang $phraseCase END || ' ' || text, 1, 96)) AS s
+       |  FROM documents),
+       |tgs AS (SELECT lang, list_transform(generate_series(1, length(s) - 2),
+       |    i -> substr(s, i, 3)) AS tg FROM p),
+       |sc AS (SELECT lang,
+       |  $scoreCols
+       |  FROM tgs)
+       |SELECT lang, CASE
+       |  $caseArms
+       |  ELSE '${langs.last}' END AS guess, count(*) AS n
+       |FROM sc GROUP BY lang, guess ORDER BY lang, guess""".stripMargin
   }
 
   /** Rolling-hash document fingerprint (first 64 chars, poly-31 mod 1e9+7). */
@@ -296,19 +348,7 @@ object TextOps {
         |length(text) AS len_chars,
         |length(replace(text, ' ', '')) AS len_nonspace
         |FROM documents ORDER BY doc_id""".stripMargin), "text/quality"),
-    QuerySpec("q_text_langid", textLangid, Some(
-      """WITH s AS (SELECT lang,
-        |  len(list_filter(regexp_split_to_array(text, ' +'), w -> w = 'the')) AS s_en,
-        |  len(list_filter(regexp_split_to_array(text, ' +'), w -> w = 'table')) AS s_de,
-        |  len(list_filter(regexp_split_to_array(text, ' +'), w -> w = 'data')) AS s_fr,
-        |  len(list_filter(regexp_split_to_array(text, ' +'), w -> w = 'value')) AS s_es
-        |  FROM documents)
-        |SELECT lang, CASE
-        |  WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
-        |  WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
-        |  WHEN s_fr >= s_es THEN 'fr'
-        |  ELSE 'es' END AS guess, count(*) AS n
-        |FROM s GROUP BY lang, guess ORDER BY lang, guess""".stripMargin), "text/langid"),
+    QuerySpec("q_text_langid", textLangid, Some(langidOracle), "text/langid"),
     QuerySpec("q_text_fingerprint", textFingerprint, Some(
       """SELECT doc_id, list_reduce(
         |  list_prepend(CAST(0 AS BIGINT), list_transform(

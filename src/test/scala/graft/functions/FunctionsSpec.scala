@@ -97,6 +97,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.select(size(Text.hashedShingles(col("t"), 3))).as[Int].head() == 3)
     assert(Seq("ab").toDF("t")
       .select(size(Text.wordShingles(col("t"), 3))).as[Int].head() == 0)
+    // <n-token guard mirrors wordShingles (sequence(1,0) counts DOWN)
+    assert(Seq("ab").toDF("t")
+      .select(size(Text.hashedShingles(col("t"), 3))).as[Int].head() == 0)
+    // multi-arg xxhash64 preserves token boundaries: ["ab","c"] != ["a","bc"]
+    val h = Seq(("ab c", "a bc")).toDF("x", "y")
+      .select(element_at(Text.hashedShingles(col("x"), 2), 1),
+        element_at(Text.hashedShingles(col("y"), 2), 1))
+      .as[(Long, Long)].head()
+    assert(h._1 != h._2)
+    // bound-token variants agree with the convenience forms
+    val b = df.select(Text.tokens(col("t")).as("w"))
+    assert(b.select(size(Text.shinglesFromTokens(col("w"), 3))).as[Int].head() == 3)
+    assert(b.select(size(Text.hashedShinglesFromTokens(col("w"), 3))).as[Int].head() == 3)
   }
 
   test("jaccard exact") {
