@@ -26,13 +26,22 @@ object Merge {
     require(existing.columns.sorted.sameElements(incoming.columns.sorted),
       s"schema mismatch: ${existing.columns.mkString(",")} vs ${incoming.columns.mkString(",")}")
     val dataCols = existing.columns.filterNot(keys.contains).toSeq
+    val ex = existing.withColumn("__ex_present", lit(true))
     val inc = incoming.columns.foldLeft(incoming)((df, c) =>
-      df.withColumnRenamed(c, s"__inc_$c"))
-    val joinCond = keys.map(k => existing(k) === inc(s"__inc_$k")).reduce(_ && _)
-    val joined = existing.join(inc, joinCond, "full_outer")
+        df.withColumnRenamed(c, s"__inc_$c"))
+      .withColumn("__inc_present", lit(true))
+    // NULL-SAFE key equality: a NULL key component is a key VALUE — the
+    // reference's one_or_none natural-key lookup compiles to `col IS
+    // NULL` and matches (atcf_forecasts.py:75-135) — so a replayed batch
+    // must UPDATE such rows, not insert duplicates (T5 idempotence for
+    // nullable key columns like steps.hour on negative lead times).
+    // Row presence comes from explicit marker columns, since with
+    // null-safe matching no key column can distinguish a missing side.
+    val joinCond = keys.map(k => ex(k) <=> inc(s"__inc_$k")).reduce(_ && _)
+    val joined = ex.join(inc, joinCond, "full_outer")
 
-    val hasIncoming = col(s"__inc_${keys.head}").isNotNull
-    val hasExisting = col(keys.head).isNotNull
+    val hasIncoming = coalesce(col("__inc_present"), lit(false))
+    val hasExisting = coalesce(col("__ex_present"), lit(false))
     // Guard only applies when both sides are present; inserts always pass.
     // NULL semantics: an EXISTING null guard value is no baseline to
     // regress, so the update is accepted (otherwise a row that first
@@ -58,16 +67,19 @@ object Merge {
   def mergeStats(existing: DataFrame, incoming: DataFrame,
       keys: Seq[String]): DataFrame = {
     val dataCols = existing.columns.filterNot(keys.contains).toSeq
+    val ex = existing.withColumn("__ex_present", lit(true))
     val inc = incoming.columns.foldLeft(incoming)((df, c) =>
-      df.withColumnRenamed(c, s"__inc_$c"))
-    val joinCond = keys.map(k => existing(k) === inc(s"__inc_$k")).reduce(_ && _)
-    val joined = existing.join(inc, joinCond, "full_outer")
+        df.withColumnRenamed(c, s"__inc_$c"))
+      .withColumn("__inc_present", lit(true))
+    // null-safe keys + presence markers, mirroring [[upsert]]
+    val joinCond = keys.map(k => ex(k) <=> inc(s"__inc_$k")).reduce(_ && _)
+    val joined = ex.join(inc, joinCond, "full_outer")
     val changed = dataCols
       .map(c => !(col(c) <=> col(s"__inc_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     joined.select(
-      when(col(keys.head).isNull, "inserted")
-        .when(col(s"__inc_${keys.head}").isNull, "untouched")
+      when(col("__ex_present").isNull, "inserted")
+        .when(col("__inc_present").isNull, "untouched")
         .when(changed, "updated")
         .otherwise("unchanged").as("action"))
       .groupBy("action").agg(count(lit(1)).as("n"))

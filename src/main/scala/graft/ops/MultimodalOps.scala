@@ -37,7 +37,81 @@ object MultimodalOps {
       .orderBy("media_id", "frame_index")
   }
 
+  /** REAL image-decoder differential (javax.imageio end-to-end): a
+    * deterministic PNG is ENCODED per row inside the partition iterator —
+    * width/height/pixel pattern are closed-form in media_id — decoded
+    * back through [[Multimodal.ImageIoCodec]], and the decoded dims,
+    * corrupt-fallback flags, and first band-luminance feature are diffed
+    * against the closed-form oracle. Every 5th payload is truncated to 20
+    * bytes (a recognized-but-corrupt PNG), which must take the fallback
+    * (decoded = false, dims = -1) without killing the task.
+    *
+    * The pixel pattern is black/white columns ((media_id + x) even →
+    * white), so every luminance is EXACTLY 0.0f or 1.0f: the codec's
+    * float band accumulation is exact and the single final division
+    * matches the oracle's double ratio within well under the round-4
+    * comparison granularity. */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = load(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 13).toInt + 1
+          val h = (id % 7).toInt + 1
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < w) {
+            val rgb = if ((id + x) % 2 == 0) 0xFFFFFF else 0x000000
+            var y = 0
+            while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val png = bos.toByteArray
+          val payload = if (id % 5 == 4) png.take(20) else png
+          Multimodal.MediaRow(id, "image", payload, w, h, 1)
+        }
+      }
+    val dims = Multimodal.decodedDims(media, Multimodal.ImageIoCodec)
+    val feats = Multimodal
+      .extractFeatures(media, Multimodal.ImageIoCodec, dim = 4).toDF()
+      .select(col("media_id"),
+        round(element_at(col("feature"), 1).cast("double"), 4).as("f1"))
+    dims.join(feats, "media_id")
+      .select(col("media_id"), col("decoded"), col("dec_width"),
+        col("dec_height"),
+        when(col("decoded"), col("f1")).as("band0_lum"))
+      .orderBy("media_id")
+  }
+
+  /** Closed-form replay: band 0 spans x in [0, floor((w-1)/4)], its mean
+    * luminance is the white-column fraction (column parity matches
+    * media_id's), and corrupt rows (media_id % 5 = 4) must have fallen
+    * back. The PNG bytes themselves never need replaying — the decode is
+    * verified through what it PRODUCES. */
+  private val multimodalDecodeOracle: String =
+    """WITH d AS (SELECT CAST(vec_id AS BIGINT) AS media_id,
+      |    CAST(vec_id % 13 AS INT) + 1 AS w,
+      |    CAST(vec_id % 7 AS INT) + 1 AS h,
+      |    (vec_id % 5 = 4) AS corrupt,
+      |    CAST(vec_id % 2 AS INT) AS p
+      |  FROM embeddings),
+      |f AS (SELECT media_id, w, h, corrupt,
+      |    ((w - 1) // 4) + 1 AS n0, p
+      |  FROM d)
+      |SELECT media_id, NOT corrupt AS decoded,
+      |  CASE WHEN corrupt THEN -1 ELSE w END AS dec_width,
+      |  CASE WHEN corrupt THEN -1 ELSE h END AS dec_height,
+      |  CASE WHEN corrupt THEN NULL ELSE
+      |    round(CAST((n0 + 1 - p) // 2 AS DOUBLE) / n0, 4) END AS band0_lum
+      |FROM f ORDER BY media_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_multimodal_decode", multimodalDecode,
+      Some(multimodalDecodeOracle), "multimodal/real-image-decode"),
     QuerySpec("q_multimodal_features", multimodalFeatures, Some(
       """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -309,7 +309,7 @@ object ParseOps {
     .map { case (raw, t) => s"WHEN '$raw' THEN '$t'" }
     .mkString("CASE coalesce(a.name_last, m.name_mode) ", " ", " END")
 
-  private val stormSummariesOracle =
+  private[ops] val stormSummariesOracle =
     s"""$bdeckOraclePrefix,
        |meta AS (SELECT *,
        |  CAST(regexp_extract(file, '^.(..)(..)([0-9]{4})', 3) AS INT) AS fs
@@ -396,7 +396,7 @@ object ParseOps {
   /** Shared a-deck CTE chain: raw lines → parse → per-(file, init, model,
     * tau) rows with validators applied — used by both q_forecast_steps
     * and q_ref_track_extraction so the validator replay lives ONCE. */
-  private val adeckStepsCte = {
+  private[ops] val adeckStepsCte = {
     val f34 = Seq("lat", "lon", "vmax", "mslp")
       .map(c => s"max(CASE WHEN rad = 34 THEN $c END) AS $c").mkString(",\n  ")
     s"""$adeckOraclePrefix,

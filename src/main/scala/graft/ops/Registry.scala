@@ -8,7 +8,7 @@ object Registry {
       TextOps.specs ++ VectorOps.specs ++ CurateOps.specs ++
       ExtraOps.specs ++ OlapOps.specs ++
       MultimodalOps.specs ++ ParseOps.specs ++ EnsembleOps.specs ++
-      SourceSinkOps.specs
+      SourceSinkOps.specs ++ StreamOps.specs
 
   require(specs.map(_.name).distinct.size == specs.size,
     "duplicate query names in Registry")

@@ -1,0 +1,184 @@
+package graft.ops
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Store
+import graft.schema.Schemas
+import graft.streaming.StreamingIngest
+
+/** End-to-end DIFFERENTIAL gates for the streaming ingest path (SURVEY
+  * §2.8 T1/T2/T5/T7 + §3 E1/E2 made continuous): the generated deck
+  * fixtures are written as REAL files in a landing directory, the
+  * Structured Streaming jobs ([[StreamingIngest.bdeckStream]] /
+  * [[StreamingIngest.adeckStream]]) ingest them through foreachBatch into
+  * a parquet [[Store]], and the FINAL TABLES are diffed against a DuckDB
+  * batch replay of the same lines — upgrading the streaming semantics
+  * from stream-vs-batch equivalence specs to CORRECTNESS rows.
+  *
+  * What each gate proves:
+  *  - q_stream_storms: b-deck file-source ingest (T1) → storm summaries →
+  *    entity resolution → status stamp vs a fixed event-time "now".
+  *  - q_stream_adeck_e2e: the E1→E2 chain — a-deck ingest gated by the
+  *    model allowlist (P2), steps semi-joined to the stream-resolved
+  *    storms, natural-key MERGE, run-lineage stamp (T7) — after a FULL
+  *    REPLAY with a fresh checkpoint, so the diff also proves replay
+  *    idempotence (T5) including NULL-hour key rows (negative lead
+  *    times), which plain-equality merges would duplicate.
+  *  - q_stream_late: the 48 h late-data recency gate (T2) — only
+  *    forecasts within the watermark of "now" land.
+  *
+  * The landing-dir construction and stream execution are FIXTURE PREP,
+  * memoized per (session, dir) like the ref-track store: the timed gates
+  * read the resulting parquet tables. The driver-side per-file write is
+  * inherent to the contract under test (file NAMES carry storm identity)
+  * and bounded by the ~MB deck fixture.
+  */
+object StreamOps {
+
+  /** Fixed event-time "now": inside the fixture's datetime range at EVERY
+    * gate scale (sf0.01 spans 2020-06-01..2020-09-02, sf0.1 through
+    * 2022-12) so the T2 recency slice both DROPS and KEEPS real rows.
+    * Built from an Instant, not a local-time string — run_id embeds
+    * `now.toInstant`, which must be the same literal in the oracle
+    * regardless of JVM zone. */
+  private val now = Timestamp.from(Instant.parse("2020-08-01T00:00:00Z"))
+
+  /** P2 model allowlist: drops HWRF (~25% of fixture lines) so the gate
+    * exercises a REAL filter, not a pass-through. */
+  private val allowedModels = Seq("AVNO", "GFSO", "OFCL")
+
+  private val adeckRunId = s"ADECK__${now.toInstant}"
+
+  /** Write generated (file, value) deck lines as real files. Driver-side
+    * by necessity — the file source under test derives storm identity
+    * from file NAMES — and fixture-prep only (never on a timed path). */
+  private def writeLanding(lines: DataFrame, dirPath: String): Unit = {
+    val dir = java.nio.file.Paths.get(dirPath)
+    java.nio.file.Files.createDirectories(dir)
+    lines.select("file", "value").collect()
+      .groupBy(_.getString(0))
+      .foreach { case (name, rows) =>
+        java.nio.file.Files.write(dir.resolve(name),
+          rows.map(_.getString(1)).mkString("", "\n", "\n").getBytes("UTF-8"))
+      }
+  }
+
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Store, Store)]
+
+  /** Build landing dirs, run the streams, return (main store, T2 store). */
+  private def stores(spark: SparkSession, dir: String): (Store, Store) =
+    cache.getOrElseUpdate((spark, dir), {
+      val base = SourceSinkOps.tmp("stream", dir)
+      // clean slate: a partially-built fixture (stale stream checkpoints
+      // from an interrupted attempt) must not leak into this build
+      def del(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete(); ()
+      }
+      del(new java.io.File(base))
+      val bLanding = s"$base/landing_b"
+      val aLanding = s"$base/landing_a"
+      writeLanding(ParseOps.bdeckLines(spark, dir), bLanding)
+      writeLanding(ParseOps.adeckLines(spark, dir), aLanding)
+      val s1 = new Store(spark, s"$base/store1")
+      StreamingIngest.bdeckStream(spark, bLanding, s1, s"$base/ck_b1",
+        () => now).awaitTermination()
+      StreamingIngest.adeckStream(spark, aLanding, s1, s"$base/ck_a1",
+        () => now, allowedModels, recencyHours = None).awaitTermination()
+      // T5: a FULL second pass with a fresh checkpoint re-processes every
+      // file; the natural-key MERGEs must leave the store byte-identical
+      // (the oracle replays a single pass).
+      StreamingIngest.adeckStream(spark, aLanding, s1, s"$base/ck_a2",
+        () => now, allowedModels, recencyHours = None).awaitTermination()
+      // T2: the 48 h recency gate into a separate store seeded with the
+      // same resolved storms.
+      val s2 = new Store(spark, s"$base/store2")
+      s2.write("storms", s1.read("storms", Schemas.storms))
+      StreamingIngest.adeckStream(spark, aLanding, s2, s"$base/ck_a3",
+        () => now, allowedModels, recencyHours = Some(48)).awaitTermination()
+      (s1, s2)
+    })
+
+  private def stepsProjection(store: Store): DataFrame =
+    store.read("steps", Schemas.steps)
+      .select(col("nhc_id"), col("model"), col("datetime_utc"), col("hour"),
+        col("latitude"), col("longitude"), col("intensity_kts"),
+        col("mslp_mb"), col("run_id"))
+      .orderBy("nhc_id", "model", "datetime_utc", "hour")
+
+  def streamStorms(spark: SparkSession, dir: String): DataFrame =
+    stores(spark, dir)._1.read("storms", Schemas.storms)
+      .select(col("region"), col("nhc_number"), col("nhc_id"), col("season"),
+        col("start_date"), col("end_date"), col("status"), col("name"),
+        col("start_lat"), col("start_lon"))
+      .orderBy("nhc_id")
+
+  def streamAdeckE2e(spark: SparkSession, dir: String): DataFrame =
+    stepsProjection(stores(spark, dir)._1)
+
+  def streamLate(spark: SparkSession, dir: String): DataFrame =
+    stepsProjection(stores(spark, dir)._2)
+
+  // ------------------------------------------------------------- oracles
+
+  private val nowSql = "TIMESTAMP '2020-08-01 00:00:00'"
+
+  /** Storms replay: the (green) summaries oracle as a nested scope, plus
+    * the 16 h Active/Archive status stamp (process_storms.py:205-208).
+    * annual_id / run_id / last_update are resolver-assignment audit
+    * columns gated by q_agg_next_id + StormResolverSpec, not here.
+    *
+    * NOTE: stripMargin is applied to the TEMPLATE lines before the inner
+    * oracles interpolate — the embedded SQL contains `||` concat
+    * operators at line starts, which a post-interpolation stripMargin
+    * would truncate to `|`. */
+  private val streamStormsOracle: String = Seq(
+    "SELECT region, nhc_number, nhc_id, season, start_date, end_date,",
+    s"  CASE WHEN epoch($nowSql) - epoch(end_date) <= 16*3600",
+    "    THEN 'Active' ELSE 'Archive' END AS status,",
+    "  name, start_lat, start_lon",
+    s"FROM ( ${ParseOps.stormSummariesOracle} ) s",
+    "ORDER BY nhc_id").mkString("\n")
+
+  /** Steps-table replay: a-deck vsteps (shared CTE) filtered by the model
+    * allowlist, semi-joined to the b-deck storm-id set (nested scope —
+    * the two fixtures' CTE names collide, and SQL WITH scoping shadows
+    * cleanly), stamped with the deterministic run id. */
+  private def stepsOracle(recencyFilter: String): String = {
+    val allow = allowedModels.map(m => s"'$m'").mkString(", ")
+    Seq(
+      s"${ParseOps.adeckStepsCte},",
+      "ash AS (SELECT",
+      "    upper(region || lpad(CAST(nhc_number AS VARCHAR),2,'0') ||",
+      "      CAST(season AS VARCHAR)) AS nhc_id,",
+      "    model, datetime_utc, hour, latitude, longitude,",
+      "    intensity_kts, mslp_mb",
+      s"  FROM vsteps WHERE model IN ($allow) $recencyFilter),",
+      "bn AS (SELECT DISTINCT nhc_id FROM",
+      s"  ( ${ParseOps.stormSummariesOracle} ) s)",
+      "SELECT a.nhc_id, a.model, a.datetime_utc, a.hour, a.latitude,",
+      "  a.longitude, a.intensity_kts, a.mslp_mb,",
+      s"  '$adeckRunId' AS run_id",
+      "FROM ash a JOIN bn USING (nhc_id)",
+      "ORDER BY nhc_id, model, datetime_utc, hour").mkString("\n")
+  }
+
+  private val streamAdeckOracle = stepsOracle("")
+
+  private val streamLateOracle = stepsOracle(
+    s"AND epoch($nowSql) - epoch(datetime_utc) <= 48*3600")
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_stream_storms", streamStorms,
+      Some(streamStormsOracle), "stream/T1-bdeck-e2e"),
+    QuerySpec("q_stream_adeck_e2e", streamAdeckE2e,
+      Some(streamAdeckOracle), "stream/T1-T5-T7-adeck-e2e"),
+    QuerySpec("q_stream_late", streamLate,
+      Some(streamLateOracle), "stream/T2-late-gate"),
+  )
+}

@@ -18,8 +18,15 @@ final class Store(spark: SparkSession, root: String) {
   def exists(table: String): Boolean =
     new java.io.File(path(table)).exists()
 
+  /** Read with the EXPLICIT schema: skips footer inference (a real cost
+    * at many-file scale) and — critically — stays well-defined when a
+    * previous MERGE legitimately wrote an EMPTY table (a partitioned
+    * empty write leaves no data files; inference would throw
+    * UNABLE_TO_INFER_SCHEMA on the next micro-batch's read-modify-write).
+    * Extra partition columns some callers append (e.g. season on the
+    * ref-track steps) are still discovered and appended by Spark. */
   def read(table: String, schema: StructType): DataFrame =
-    if (exists(table)) spark.read.parquet(path(table))
+    if (exists(table)) spark.read.schema(schema).parquet(path(table))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 

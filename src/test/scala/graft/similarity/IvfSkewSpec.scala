@@ -28,6 +28,13 @@ class IvfSkewSpec extends AnyFunSuite {
     assert(approx.intersect(exact).size >= exact.size / 2)
   }
 
+  test("planted-cluster IVF recall gate stays >= 0.9 at nProbe 2/10") {
+    val row = graft.ops.VectorOps
+      .annIvfRecall(spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getAs[Long]("n_queries") > 0)
+    assert(row.getAs[Double]("recall_at_5") >= 0.9)
+  }
+
   test("shuffle-join probe path (large batch) matches the broadcast path") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
