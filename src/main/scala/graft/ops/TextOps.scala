@@ -23,6 +23,37 @@ object TextOps {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** GPT-2-style pre-tokenizer counting: contractions, optional-space
+    * letter runs, digit runs, and punctuation runs each count as one
+    * token (the ASCII core of the published GPT-2 pattern — both engines'
+    * regex dialects agree on it). The estimate every packing/budgeting
+    * stage needs, as one codegen'd regexp_count per row — no UDF, no
+    * vocab lookup, linear scan. */
+  private val bpeIshPattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def textTokensBpe(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        regexp_count(col("text"), lit(bpeIshPattern)).cast("long").as("n_bpe"),
+        Text.tokenCount(col("text")).cast("long").as("n_ws"))
+      .groupBy("lang")
+      .agg(sum("n_bpe").as("bpe_tokens"), sum("n_ws").as("ws_tokens"),
+        max(col("n_bpe") - col("n_ws")).as("max_gap"))
+      .orderBy("lang")
+
+  private val textTokensBpeOracle: String =
+    s"""WITH t AS (SELECT lang,
+       |  CAST(len(regexp_extract_all(text,
+       |    '${bpeIshPattern.replace("'", "''")}')) AS BIGINT) AS n_bpe,
+       |  CAST(len(list_filter(regexp_split_to_array(text, ' +'),
+       |    w -> w != '')) AS BIGINT) AS n_ws
+       |  FROM documents)
+       |SELECT lang, CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+       |  max(n_bpe - n_ws) AS max_gap
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Quality scoring signals per document (all exact integers). */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")
@@ -349,6 +380,8 @@ object TextOps {
         |length(replace(text, ' ', '')) AS len_nonspace
         |FROM documents ORDER BY doc_id""".stripMargin), "text/quality"),
     QuerySpec("q_text_langid", textLangid, Some(langidOracle), "text/langid"),
+    QuerySpec("q_text_tokens_bpe", textTokensBpe, Some(textTokensBpeOracle),
+      "text/tokens-bpe"),
     QuerySpec("q_text_fingerprint", textFingerprint, Some(
       """SELECT doc_id, list_reduce(
         |  list_prepend(CAST(0 AS BIGINT), list_transform(
