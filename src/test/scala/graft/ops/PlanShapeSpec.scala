@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Physical-plan shape assertions for the flagship operators — the
+  * properties that decide 100 TB behavior, pinned so a refactor that
+  * silently loses them fails CI rather than only showing up as a bench
+  * regression:
+  *  - filters and column pruning reach the parquet scan
+  *  - small dimension sides broadcast (no corpus shuffle)
+  *  - the decontamination semi-join broadcasts the benchmark hash set
+  *  - hot relational paths stay inside whole-stage codegen
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Final-plan string: AQE keeps `isFinalPlan=false` (no codegen spans
+    * shown) until the query actually runs, so execute it first. */
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("scan-project-filter pushes predicates and prunes columns") {
+    val s = plan(RelationalOps.scanProjectFilter(spark, dir))
+    // the shipdate predicate reaches the parquet scan, and the scan reads
+    // only the 4 referenced columns of lineitem's 16
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), s)
+    assert(s.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+      + "l_extendedprice:double,l_shipdate:timestamp"), s)
+  }
+
+  test("dimension joins broadcast; the big side never shuffles for them") {
+    val s = plan(RelationalOps.join5Way(spark, dir))
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("decontamination broadcasts the benchmark hash set (semi-join)") {
+    val s = plan(CurateOps.decontaminate(spark, dir))
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"), s)
+  }
+
+  test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
+    val s = plan(RelationalOps.aggPricingSummary(spark, dir))
+    // `*(N)` prefixes mark whole-stage-codegen spans in the compact plan
+    // string; the aggregate must sit inside one, and must partial-agg
+    // before the exchange (map-side combine)
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(s).isDefined, s)
+    assert(s.contains("partial_sum"), s)
+  }
+}
