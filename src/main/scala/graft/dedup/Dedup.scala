@@ -147,23 +147,40 @@ object Dedup {
     * published permutations, banding by the literal band-slice array
     * instead of an engine bucket hash) — same pipeline as [[minhashLsh]],
     * reproducible in any SQL engine for differential testing. */
-  def minhashLshPortable(docs: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+  /** Portable (id, band, bsig) band rows from (id, h) shingle-hash rows:
+    * the signature sliced into `bands` literal sub-arrays — the exact
+    * banding a differential oracle (or a persisted corpus signature
+    * index) reproduces. */
+  def portableBandRows(rows: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val rpb = numHashes / bands
-    val rows = shingleStringRows(docs, textCol, idCol, shingleSize)
-      .select(col("id"), md5Hash60(col("sh")).as("h"))
-      .distinct().localCheckpoint()
-    val banded = minhashSignatures(rows, numHashes)
+    minhashSignatures(rows, numHashes)
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           slice(col("sig"), b * rpb + 1, lit(rpb)))))
       .select(col("id"), col("pos").as("band"), col("col").as("bsig"))
+  }
+
+  /** Verified near-dup pairs from prepared portable (id, h) shingle-hash
+    * rows: band, bucket-join, exact-Jaccard verify. Callers that already
+    * hold hashed rows (e.g. the incremental path) skip re-shingling. */
+  def portablePairsFromRows(rows: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val banded = portableBandRows(rows, numHashes, bands)
     val cand = banded.toDF("id_a", "band", "bsig")
       .join(banded.toDF("id_b", "band", "bsig"), Seq("band", "bsig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     jaccardForPairs(cand, rows).filter(col("jaccard") >= threshold)
+  }
+
+  def minhashLshPortable(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = shingleStringRows(docs, textCol, idCol, shingleSize)
+      .select(col("id"), md5Hash60(col("sh")).as("h"))
+      .distinct().localCheckpoint()
+    portablePairsFromRows(rows, numHashes, bands, threshold)
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -231,6 +248,48 @@ object Dedup {
     * (dedup clusters have tiny diameters; `maxIter` bounds the joins,
     * each iteration lineage-truncated).
     */
+  /** Bounded min-label propagation over undirected edges (id_a, id_b) —
+    * but ONLY over the edge-connected subgraph: a node with no near-dup
+    * edge can never change label, and edge-touched nodes are a vanishing
+    * fraction of the corpus at any scale. Returns (id, label) for every
+    * edge-touched node; callers re-attach isolated nodes with label =
+    * own id (one left join, no iteration cost). Dedup clusters have tiny
+    * diameters, so convergence exits early; `maxIter` bounds the joins,
+    * each iteration lineage-truncated. */
+  private def propagateMinLabels(edges: DataFrame,
+      maxIter: Int): DataFrame = {
+    val e = edges.toDF("id_a", "id_b").localCheckpoint()
+    // Fast path: no edges → no labels to propagate (common for small
+    // incremental batches). limit(0) keeps the caller's id type.
+    if (e.isEmpty)
+      return e.select(col("id_a").as("id"), col("id_a").as("label"))
+        .limit(0)
+    // undirected is a cheap projection-union over the materialized edge
+    // frame — recomputing it per iteration scans local blocks only
+    val undirected = e.union(e.select(col("id_b"), col("id_a")))
+      .toDF("id", "nbr")
+    var labels = undirected.select(col("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      // one checkpoint per iteration carries (label, old) so the
+      // convergence probe is a scan of the materialized frame, not a join
+      val nbrMin = undirected
+        .join(labels.toDF("nbr", "nbr_label"), Seq("nbr"))
+        .groupBy("id").agg(min("nbr_label").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"))
+        .select(col("id"), least(col("label"), col("nbr_min")).as("label"),
+          col("label").as("old"))
+        .localCheckpoint()
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select("id", "label")
+      i += 1
+    }
+    labels
+  }
+
   def nearDupGroups(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxIter: Int = 5,
@@ -252,39 +311,135 @@ object Dedup {
         minhashLsh(repDocs, "t", "id", shingleSize, numHashes,
           bands, threshold))
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint()
 
-    // Min-label propagation to a fixpoint (bounded) — but ONLY over the
-    // edge-connected subgraph: a node with no near-dup edge can never
-    // change label, and edge-touched nodes are a vanishing fraction of
-    // the corpus at any scale. Isolated representatives join back with
-    // label = own id at the end (one left join, no iteration cost).
-    val undirected = edges.union(edges.select(col("id_b"), col("id_a")))
-      .toDF("id", "nbr").localCheckpoint()
-    var labels = undirected.select(col("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
-    var i = 0
-    var converged = false
-    while (i < maxIter && !converged) {
-      // one checkpoint per iteration carries (label, old) so the
-      // convergence probe is a scan of the materialized frame, not a join
-      val nbrMin = undirected
-        .join(labels.toDF("nbr", "nbr_label"), Seq("nbr"))
-        .groupBy("id").agg(min("nbr_label").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"))
-        .select(col("id"), least(col("label"), col("nbr_min")).as("label"),
-          col("label").as("old"))
-        .localCheckpoint()
-      converged = next.filter(col("label") =!= col("old")).isEmpty
-      labels = next.select("id", "label")
-      i += 1
-    }
+    val labels = propagateMinLabels(edges, maxIter)
 
     docToRep
       .join(labels.toDF("rep", "group_id"), Seq("rep"), "left_outer")
       .select(col("id").as(idCol),
         coalesce(col("group_id"), col("rep")).as("group_id"))
+  }
+
+  /** Incremental near-dup: assign each document of a NEW batch against
+    * the EXISTING corpus without re-grouping the corpus — the production
+    * shape of continuous corpus ingestion (reference analog: the
+    * match-against-existing-entities checks of the nightly update,
+    * tcdb/etl/process_storms.py:84-138, which resolves each incoming
+    * record against the stored set instead of re-resolving everything;
+    * generalized here to near-duplicate text).
+    *
+    * Output: (idCol, assigned, matched) with matched in
+    * ('exact','near','novel'); `assigned` = the min matching corpus id
+    * (exact sha2 match wins over LSH-verified near match), else the
+    * min-label of the batch-local near-dup closure over the leftovers.
+    *
+    * Scale design (100 TB corpus, small batch): the corpus participates
+    * ONLY through (a) its exact-hash index, (b) its MinHash band
+    * signature index — both one-time builds a production run persists
+    * and appends each accepted batch to — and (c) the shingle sets of
+    * the few corpus docs that actually band-collide with the batch
+    * (semi-joined by candidate id before the verify join). Nothing ever
+    * re-shingles or re-groups the full corpus per batch. Assignment is
+    * deliberately asymmetric vs a full re-run: a batch doc that matches
+    * the corpus keeps its corpus assignment even if it also neighbors a
+    * novel batch doc — existing corpus group ids must stay stable.
+    * Every stage is engine-portable (md5-60 shingle hashes, published
+    * permutations, literal band slices) so the whole decision replays
+    * in a DuckDB differential. */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxIter: Int = 20): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    val c = corpus.select(col(idCol).as("id"), col(textCol).as("t"))
+    val b = batch.select(col(idCol).as("id"), col(textCol).as("t"))
+
+    // The two corpus index builds are independent of the batch-side
+    // chain — submit them as concurrent jobs (in production both are
+    // persisted artifacts, appended to as each batch is accepted, so a
+    // per-batch run only READS them).
+    val cexF = Future {
+      c.select(sha2(col("t"), 256).as("__h"), col("id"))
+        .groupBy("__h").agg(min("id").as("cid")).localCheckpoint()
+    }
+    val cRowsF = Future {
+      shingleStringRows(c, "t", "id", shingleSize)
+        .select(col("id"), md5Hash60(col("sh")).as("h")).distinct()
+        .localCheckpoint()
+    }
+
+    // batch exact collapse to representatives — window-min over the
+    // content hash: one shuffle, no self-join
+    val bToRep = b
+      .select(col("id"), sha2(col("t"), 256).as("__h"))
+      .select(col("id"), min("id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__h"))
+        .as("rep"))
+      .localCheckpoint()
+    val repDocs = b.join(bToRep.filter(col("id") === col("rep"))
+      .select("id"), Seq("id"))
+
+    // exact corpus assignment per batch representative
+    val repExact = repDocs.select(col("id"), sha2(col("t"), 256).as("__h"))
+      .join(Await.result(cexF, Duration.Inf), Seq("__h"))
+      .select(col("id"), col("cid"))
+      .localCheckpoint()
+    val rem = repDocs.join(repExact.select("id"), Seq("id"), "left_anti")
+
+    // band-collision candidates against the corpus signature index
+    val bRows = shingleStringRows(rem, "t", "id", shingleSize)
+      .select(col("id"), md5Hash60(col("sh")).as("h")).distinct()
+      .localCheckpoint()
+    val cRows = Await.result(cRowsF, Duration.Inf)
+    val cand = portableBandRows(bRows, numHashes, bands)
+        .toDF("bid", "band", "bsig")
+      .join(portableBandRows(cRows, numHashes, bands)
+        .toDF("cid", "band", "bsig"), Seq("band", "bsig"))
+      .select("bid", "cid").distinct()
+
+    // verify candidates with exact Jaccard; corpus shingles materialize
+    // only for the candidate docs
+    val cRowsCand = cRows
+      .join(cand.select(col("cid").as("id")).distinct(), Seq("id"))
+    val bSz = bRows.groupBy("id").agg(count(lit(1)).as("sz_b"))
+      .withColumnRenamed("id", "bid")
+    val cSz = cRowsCand.groupBy("id").agg(count(lit(1)).as("sz_c"))
+      .withColumnRenamed("id", "cid")
+    val near = cand
+      .join(bRows.toDF("bid", "h"), Seq("bid"))
+      .join(cRowsCand.toDF("cid", "h"), Seq("cid", "h"))
+      .groupBy("bid", "cid").agg(count(lit(1)).as("ni"))
+      .join(bSz, Seq("bid"))
+      .join(cSz, Seq("cid"))
+      .filter(col("ni") / (col("sz_b") + col("sz_c") - col("ni"))
+        >= threshold)
+      .groupBy("bid").agg(min("cid").as("cid"))
+      .localCheckpoint()
+
+    // batch-local closure over what matched nothing
+    val novel = rem.join(near.select(col("bid").as("id")), Seq("id"),
+      "left_anti")
+    val novelEdges = portablePairsFromRows(
+        bRows.join(novel.select("id"), Seq("id")), numHashes, bands,
+        threshold)
+      .select("id_a", "id_b")
+    val labels = propagateMinLabels(novelEdges, maxIter)
+
+    val repAssign = repExact
+      .select(col("id"), col("cid").as("assigned"),
+        lit("exact").as("matched"))
+      .unionAll(near.select(col("bid").as("id"),
+        col("cid").as("assigned"), lit("near").as("matched")))
+      .unionAll(novel.select(col("id"))
+        .join(labels, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("label"), col("id")).as("assigned"),
+          lit("novel").as("matched")))
+    bToRep.join(repAssign.withColumnRenamed("id", "rep"), Seq("rep"))
+      .select(col("id").as(idCol), col("assigned"), col("matched"))
   }
 
   /** Embedding near-dup: cosine >= threshold within a blocking key (label

@@ -210,7 +210,12 @@ object TextOps {
     * `src` — the exact permutation constants and band slices, ending in
     * `pairs(id_a, id_b, jaccard)` at threshold 0.2. Shared by the
     * pair-level and end-to-end-groups oracles. */
-  private def minhashCtes(src: String): String = {
+  /** The index half of [[minhashCtes]], with every CTE name prefixed by
+    * `pfx` so two sources (e.g. a corpus and an incoming batch) can be
+    * banded side by side in one oracle: `{pfx}w → {pfx}sh → {pfx}hd
+    * (doc_id, h) → {pfx}sig → {pfx}band (doc_id, qi, bs)`. `pfx = ""`
+    * reproduces the original single-source chain byte-for-byte. */
+  private def minhashBandCtes(src: String, pfx: String): String = {
     val p = Dedup.minhashPrime
     val perms = Dedup.minhashPerms(32)
     // mod p ONLY inside the permutation (matching minhashSignatures);
@@ -221,24 +226,28 @@ object TextOps {
       s"min(((h % $p) * $a + $b) % $p) AS m$i" }.mkString(",\n  ")
     val bandSelects = (0 until 8).map { q =>
       val ms = (0 until 4).map(r => s"m${q * 4 + r}").mkString(", ")
-      s"SELECT doc_id, $q AS qi, [$ms] AS bs FROM sig"
+      s"SELECT doc_id, $q AS qi, [$ms] AS bs FROM ${pfx}sig"
     }.mkString("\n  UNION ALL ")
-    s"""w AS (SELECT doc_id,
+    s"""${pfx}w AS (SELECT doc_id,
        |    list_filter(regexp_split_to_array(text, ' +'), x -> x != '') AS w
        |  FROM $src),
-       |sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
+       |${pfx}sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
        |    list_distinct(list_transform(generate_series(1, len(w) - 2),
        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
        |    ELSE [] END) AS s
-       |  FROM w),
-       |hd AS (SELECT DISTINCT doc_id,
+       |  FROM ${pfx}w),
+       |${pfx}hd AS (SELECT DISTINCT doc_id,
        |    CAST('0x' || substr(md5(s), 2, 15) AS BIGINT) AS h
-       |  FROM sh),
-       |sig AS (SELECT doc_id,
+       |  FROM ${pfx}sh),
+       |${pfx}sig AS (SELECT doc_id,
        |  $minCols
-       |  FROM hd GROUP BY doc_id),
-       |band AS (
-       |  $bandSelects),
+       |  FROM ${pfx}hd GROUP BY doc_id),
+       |${pfx}band AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  private def minhashCtes(src: String): String = {
+    s"""${minhashBandCtes(src, "")},
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM band a JOIN band b ON a.qi = b.qi AND a.bs = b.bs
        |    AND a.doc_id < b.doc_id),
@@ -281,6 +290,71 @@ object TextOps {
        |labels AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id)
        |SELECT rm.doc_id, l.group_id FROM repmap rm
        |JOIN labels l ON l.id = rm.rep ORDER BY doc_id""".stripMargin
+
+  /** Incremental dedup — the production shape of continuous corpus
+    * ingestion: a NEW batch (doc_id % 5 = 0, one fifth of the corpus)
+    * is assigned against the EXISTING corpus (the rest) without
+    * re-grouping the corpus. Exact sha2 match first, else an LSH
+    * band-collision verified at jaccard >= 0.2, else batch-local novel
+    * groups ([[Dedup.incrementalNearDup]]). */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", threshold = 0.2, maxIter = 20)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replica of the full incremental decision: corpus exact-hash
+    * index, batch exact collapse, side-by-side band CTEs
+    * ([[minhashBandCtes]] prefixes c/b), cross-source candidate verify,
+    * and the recursive closure over the novel leftovers. */
+  private val incrementalOracle: String =
+    s"""WITH RECURSIVE
+       |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |cex AS (SELECT sha256(text) AS xh, min(doc_id) AS cid
+       |  FROM corpus GROUP BY 1),
+       |brm AS (SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY sha256(text)) AS rep FROM batch),
+       |repdocs AS (SELECT b.doc_id, b.text FROM batch b
+       |  JOIN brm r ON b.doc_id = r.doc_id AND r.doc_id = r.rep),
+       |rex AS (SELECT r.doc_id, c.cid FROM repdocs r
+       |  JOIN cex c ON sha256(r.text) = c.xh),
+       |rem AS (SELECT doc_id, text FROM repdocs
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM rex)),
+       |${minhashBandCtes("corpus", "c")},
+       |${minhashBandCtes("rem", "b")},
+       |xcand AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+       |  FROM bband b JOIN cband c ON b.qi = c.qi AND b.bs = c.bs),
+       |bsz AS (SELECT doc_id, count(*) AS sz FROM bhd GROUP BY doc_id),
+       |csz AS (SELECT doc_id, count(*) AS sz FROM chd GROUP BY doc_id),
+       |xinter AS (SELECT x.bid, x.cid, count(*) AS ni FROM xcand x
+       |  JOIN bhd p ON p.doc_id = x.bid
+       |  JOIN chd q ON q.doc_id = x.cid AND q.h = p.h
+       |  GROUP BY x.bid, x.cid),
+       |xnear AS (SELECT i.bid, min(i.cid) AS cid FROM xinter i
+       |  JOIN bsz ON bsz.doc_id = i.bid JOIN csz ON csz.doc_id = i.cid
+       |  WHERE i.ni / (bsz.sz + csz.sz - i.ni) >= 0.2 GROUP BY i.bid),
+       |novel AS (SELECT doc_id, text FROM rem
+       |  WHERE doc_id NOT IN (SELECT bid FROM xnear)),
+       |${minhashCtes("novel")},
+       |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM novel
+       |  UNION
+       |  SELECT e.id, r.label FROM edges e JOIN reach r ON r.id = e.nbr),
+       |nlab AS (SELECT id, min(label) AS lbl FROM reach GROUP BY id),
+       |ra AS (
+       |  SELECT doc_id, cid AS assigned, 'exact' AS matched FROM rex
+       |  UNION ALL SELECT bid, cid, 'near' FROM xnear
+       |  UNION ALL SELECT novel.doc_id, lbl, 'novel' FROM novel
+       |    JOIN nlab ON nlab.id = novel.doc_id)
+       |SELECT brm.doc_id, ra.assigned, ra.matched
+       |FROM brm JOIN ra ON ra.doc_id = brm.rep
+       |ORDER BY brm.doc_id""".stripMargin
 
   /** DuckDB replica of the portable SimHash — generated SQL: 60 bit-sum
     * aggregates, sign bits reassembled, 15-bit quarter banding, hamming
@@ -414,5 +488,7 @@ object TextOps {
       Some(minhashPortableOracle), "dedup/minhash-differential"),
     QuerySpec("q_dedup_groups_portable", dedupGroupsPortable,
       Some(groupsPortableOracle), "dedup/groups-differential"),
+    QuerySpec("q_dedup_incremental", dedupIncremental,
+      Some(incrementalOracle), "dedup/incremental"),
   )
 }

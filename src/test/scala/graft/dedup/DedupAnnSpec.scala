@@ -107,4 +107,27 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(groups(6L) == groups(5L) && groups(7L) == groups(5L))
     assert(groups(8L) == groups(5L)) // transitive via representative
   }
+
+  test("incrementalNearDup: exact/near corpus matches, novel batch groups") {
+    // corpus = docs (ids 1-4); batch: 10 exact-dups 1 (min corpus id of
+    // that text since 4 > 1), 11 near-dups 1, 12 novel, 13 exact-dups 12
+    // within the batch, 14 novel and isolated
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and never"),
+      (12L, "structured streaming checkpoints offsets for exactly once sinks"),
+      (13L, "structured streaming checkpoints offsets for exactly once sinks"),
+      (14L, "columnar parquet footers carry min max statistics per row group"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(docs, batch, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out.size == 5)
+    assert(out(10L) == ((1L, "exact"))) // exact match wins, min corpus id
+    assert(out(11L) == ((1L, "near")))  // LSH-verified against corpus
+    assert(out(12L) == ((12L, "novel")))
+    assert(out(13L) == ((12L, "novel"))) // batch-exact collapses onto 12
+    assert(out(14L) == ((14L, "novel"))) // isolated novel keeps own id
+  }
 }
