@@ -90,9 +90,43 @@ object SourceSinkOps {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Store maintenance — small-file compaction round trip: a partitioned
+    * Store table is written fragmented (every replace leaves up to
+    * shuffle.partitions files per (region, season) directory), compacted
+    * to one task per directory, and read back. The oracle is the same
+    * aggregate over the source rows — compaction must be invisible in
+    * the data; the file-count mechanics are asserted in StoreCompactSpec. */
+  def storeCompact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = tmp("compactst", dir)
+    val store = new graft.pipeline.Store(spark, root)
+    store.write("orders_p", load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus").as("region"),
+        year(col("o_orderdate")).cast("int").as("season")))
+    val dataSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    store.compact("orders_p", dataSchema)
+    store.read("orders_p", dataSchema)
+      .groupBy("region", "season")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total"))
+      .orderBy("region", "season")
+  }
+
+  private val storeCompactOracle =
+    """SELECT o_orderstatus AS region,
+      |  CAST(year(o_orderdate) AS INT) AS season, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_gzip_scan", gzipScan, Some(gzipScanOracle), "S4"),
     QuerySpec("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle), "S9"),
     QuerySpec("q_partitioned_sink", partitionedSink,
-      Some(partitionedSinkOracle), "A3"))
+      Some(partitionedSinkOracle), "A3"),
+    QuerySpec("q_store_compact", storeCompact,
+      Some(storeCompactOracle), "S8-maintenance"))
 }

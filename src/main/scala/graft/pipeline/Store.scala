@@ -33,10 +33,14 @@ final class Store(spark: SparkSession, root: String) {
   /** Full-table replace (read-modify-write MERGE target). The frame is
     * materialized to a staging dir first — Spark cannot overwrite a
     * parquet dir it is concurrently reading. */
-  def write(table: String, df: DataFrame): Unit = {
+  def write(table: String, df: DataFrame): Unit =
+    writeStaged(table, df, Map.empty)
+
+  private def writeStaged(table: String, df: DataFrame,
+      options: Map[String, String]): Unit = {
     val stage = s"$root/.staging_$table"
     val partCols = Seq("region", "season").filter(df.columns.contains)
-    val writer = df.write.mode(SaveMode.Overwrite)
+    val writer = df.write.mode(SaveMode.Overwrite).options(options)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage)
     val target = new java.io.File(path(table))
@@ -48,5 +52,40 @@ final class Store(spark: SparkSession, root: String) {
       del(target)
     }
     new java.io.File(stage).renameTo(target)
+  }
+
+  /** Parquet data files currently backing the table — the quantity
+    * compaction exists to manage (each file at read time is a task, a
+    * footer parse, and an open; thousands of small ones per directory is
+    * the classic incremental-ingest pathology). */
+  def dataFileCount(table: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(path(table)))
+  }
+
+  /** Small-file compaction: rewrite the table with each (region, season)
+    * directory routed to ONE task — every replace through [[write]] can
+    * leave up to `spark.sql.shuffle.partitions` files per directory, and
+    * a long-running incremental pipeline accumulates the read-side cost.
+    * Oversized partitions still split at `maxRecordsPerFile` (the
+    * size-capped planning an OPTIMIZE job does); unpartitioned tables
+    * plan round-robin by total row count. Data is untouched by
+    * construction — same rows, same schema, fewer files. */
+  def compact(table: String, schema: StructType,
+      maxRecordsPerFile: Long = 4L * 1024 * 1024): Unit = {
+    val df = read(table, schema)
+    val partCols = Seq("region", "season").filter(df.columns.contains)
+    val planned =
+      if (partCols.nonEmpty)
+        df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      else {
+        val nFiles = math.max(1L,
+          (df.count() + maxRecordsPerFile - 1) / maxRecordsPerFile)
+        df.repartition(nFiles.toInt)
+      }
+    writeStaged(table, planned,
+      Map("maxRecordsPerFile" -> maxRecordsPerFile.toString))
   }
 }

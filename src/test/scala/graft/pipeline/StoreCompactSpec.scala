@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StoreCompactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dataSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", DoubleType)))
+
+  private def freshStore(name: String): Store =
+    new Store(spark,
+      s"/tmp/graft_test/compact_${name}_${System.nanoTime()}")
+
+  test("compact collapses a fragmented partitioned table to one file per dir") {
+    val store = freshStore("part")
+    // 2 regions x 2 seasons, forced through many shuffle tasks so each
+    // directory collects multiple files
+    val df = (1L to 4000L).toDF("id")
+      .repartition(16)
+      .select(col("id"), (col("id") * 0.5).as("v"),
+        when(col("id") % 2 === 0, "al").otherwise("ep").as("region"),
+        (lit(2020) + (col("id") / 2).cast("long") % 2).cast("int")
+          .as("season"))
+    store.write("t", df)
+    val before = store.dataFileCount("t")
+    assert(before > 4, s"fixture not fragmented: $before files")
+
+    store.compact("t", dataSchema)
+    assert(store.dataFileCount("t") == 4) // one per populated (region, season)
+
+    val back = store.read("t", dataSchema)
+    assert(back.count() == 4000)
+    assert(back.agg(sum("id")).as[Long].head() == 4000L * 4001 / 2)
+    assert(back.select("region", "season").distinct().count() == 4)
+  }
+
+  test("compact splits an oversized partition at maxRecordsPerFile") {
+    val store = freshStore("split")
+    store.write("t", (1L to 1000L).toDF("id")
+      .select(col("id"), lit(1.0).as("v"), lit("al").as("region"),
+        lit(2020).as("season")))
+    store.compact("t", dataSchema, maxRecordsPerFile = 300)
+    assert(store.dataFileCount("t") == 4) // ceil(1000/300)
+    assert(store.read("t", dataSchema).count() == 1000)
+  }
+
+  test("compact plans unpartitioned tables by row count") {
+    val store = freshStore("flat")
+    store.write("t", (1L to 900L).toDF("id")
+      .repartition(12).select(col("id"), lit(0.0).as("v")))
+    assert(store.dataFileCount("t") > 1)
+    store.compact("t", dataSchema, maxRecordsPerFile = 1000)
+    assert(store.dataFileCount("t") == 1)
+    assert(store.read("t", dataSchema).agg(sum("id")).as[Long].head()
+      == 900L * 901 / 2)
+  }
+}
