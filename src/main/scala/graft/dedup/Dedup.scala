@@ -264,10 +264,9 @@ object Dedup {
     if (e.isEmpty)
       return e.select(col("id_a").as("id"), col("id_a").as("label"))
         .limit(0)
-    // undirected is a cheap projection-union over the materialized edge
-    // frame — recomputing it per iteration scans local blocks only
+    // materialized: every iteration's join reads it
     val undirected = e.union(e.select(col("id_b"), col("id_a")))
-      .toDF("id", "nbr")
+      .toDF("id", "nbr").localCheckpoint()
     var labels = undirected.select(col("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
