@@ -390,7 +390,58 @@ object CurateOps {
       |  round(total / CAST(n_src * src_tokens AS DOUBLE), 6) AS weight
       |FROM t ORDER BY source""".stripMargin
 
+  /** Percentile-threshold quality gate: drop each language's bottom
+    * quartile by token count — the FineWeb-style "cut below the p25 of
+    * the quality signal per stratum" filter every curation run applies.
+    *
+    * The threshold is percentile_disc(0.25) computed EXPLICITLY (value
+    * at rank ceil(0.25·n) of the per-language sort) so both engines
+    * evaluate identical integer window arithmetic — no interpolated
+    * quantile whose double rounding could diverge. Scale shape: the
+    * per-language thresholds are a tiny frame (one row per language)
+    * broadcast into a map-side filter over the corpus; the only corpus
+    * shuffle is the per-language sort for ranks, which at 100 TB would
+    * come from a sampled sketch instead — the filter side is unchanged. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
+    val ranked = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy("n", "doc_id")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+    val thresholds = ranked
+      .filter(col("rn") === ceil(col("cnt") * 0.25))
+      .select(col("lang"), col("n").as("thr"))
+    docs.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("n") >= col("thr"))
+      .groupBy("lang")
+      .agg(min("thr").as("thr"), count(lit(1)).as("n_kept"),
+        min("n").as("kept_min"), max("n").as("kept_max"))
+      .orderBy("lang")
+  }
+
+  private val qualityFilterOracle: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    CAST(len(list_filter(regexp_split_to_array(text, ' +'),
+      |      w -> w != '')) AS BIGINT) AS n
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM d),
+      |t AS (SELECT lang, n AS thr FROM r
+      |  WHERE rn = CAST(ceil(cnt * 0.25) AS BIGINT))
+      |SELECT d.lang, min(t.thr) AS thr, count(*) AS n_kept,
+      |  min(d.n) AS kept_min, max(d.n) AS kept_max
+      |FROM d JOIN t ON t.lang = d.lang
+      |WHERE d.n >= t.thr
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_quality_filter", qualityFilter,
+      Some(qualityFilterOracle), "curate/quality-percentile-gate"),
     QuerySpec("q_decontaminate", decontaminate,
       Some(decontaminateOracle), "curate/decontaminate"),
     QuerySpec("q_pii_redact", piiRedact,

@@ -43,6 +43,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"), s)
   }
 
+  test("incremental-dedup candidate join broadcasts the batch band rows") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, dir, "documents")
+    // corpus = the full table, batch = 10 docs — the production size
+    // asymmetry. The cross-source band join must broadcast the BATCH
+    // side; the corpus signature index must never shuffle for it.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      graft.dedup.Dedup.shingleStringRows(df, "text", "doc_id", 3)
+        .select(col("id"), graft.dedup.Dedup.md5Hash60(col("sh")).as("h"))
+        .distinct().localCheckpoint()
+    val bBand = graft.dedup.Dedup
+      .portableBandRows(rows(docs.filter(col("doc_id") < 10)), 32, 8)
+      .toDF("bid", "band", "bsig")
+    val cBand = graft.dedup.Dedup.portableBandRows(rows(docs), 32, 8)
+      .toDF("cid", "band", "bsig")
+    val s = plan(bBand.join(cBand, Seq("band", "bsig"))
+      .select("bid", "cid").distinct())
+    val bcast = s.indexOf("BroadcastExchange")
+    assert(bcast >= 0, s)
+    // the broadcast subtree carries the batch-side attribute
+    assert(s.indexOf("bid#", bcast) >= 0
+      && s.indexOf("bid#", bcast) < bcast + 600, s)
+  }
+
   test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
     val s = plan(RelationalOps.aggPricingSummary(spark, dir))
     // `*(N)` prefixes mark whole-stage-codegen spans in the compact plan
