@@ -143,10 +143,6 @@ object Dedup {
         concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("sh"))
       .distinct()
 
-  /** MinHash-LSH with every stage engine-portable (md5-60 shingle hashes,
-    * published permutations, banding by the literal band-slice array
-    * instead of an engine bucket hash) — same pipeline as [[minhashLsh]],
-    * reproducible in any SQL engine for differential testing. */
   /** Portable (id, band, bsig) band rows from (id, h) shingle-hash rows:
     * the signature sliced into `bands` literal sub-arrays — the exact
     * banding a differential oracle (or a persisted corpus signature
@@ -174,6 +170,10 @@ object Dedup {
     jaccardForPairs(cand, rows).filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash-LSH with every stage engine-portable (md5-60 shingle hashes,
+    * published permutations, banding by the literal band-slice array
+    * instead of an engine bucket hash) — same pipeline as [[minhashLsh]],
+    * reproducible in any SQL engine for differential testing. */
   def minhashLshPortable(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
@@ -235,19 +235,6 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
-  /** End-to-end near-dup grouping — the dedup deliverable a training-data
-    * pipeline actually consumes: (doc_id, group_id) where group_id is the
-    * smallest doc id of the near-duplicate cluster.
-    *
-    * Scale order matters: exact dedup (sha2) FIRST collapses identical
-    * payloads to one representative, so the quadratic pairwise phase only
-    * sees distinct texts — on duplicate-heavy corpora the naive
-    * pairs-on-everything path explodes super-linearly (measured 24x cost
-    * at 8x data), while this shape stays linear in the exact-dup mass.
-    * Cluster transitive closure runs as iterative min-label propagation
-    * (dedup clusters have tiny diameters; `maxIter` bounds the joins,
-    * each iteration lineage-truncated).
-    */
   /** Bounded min-label propagation over undirected edges (id_a, id_b) —
     * but ONLY over the edge-connected subgraph: a node with no near-dup
     * edge can never change label, and edge-touched nodes are a vanishing
@@ -255,7 +242,10 @@ object Dedup {
     * edge-touched node; callers re-attach isolated nodes with label =
     * own id (one left join, no iteration cost). Dedup clusters have tiny
     * diameters, so convergence exits early; `maxIter` bounds the joins,
-    * each iteration lineage-truncated. */
+    * each iteration lineage-truncated. A non-converged exit (a chain
+    * longer than maxIter hops) yields a consistent but possibly
+    * non-minimal labeling — the differential gates compute the TRUE
+    * closure in the oracle, so such a divergence fails loudly there. */
   private def propagateMinLabels(edges: DataFrame,
       maxIter: Int): DataFrame = {
     val e = edges.toDF("id_a", "id_b").localCheckpoint()
@@ -289,6 +279,17 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup grouping — the dedup deliverable a training-data
+    * pipeline actually consumes: (doc_id, group_id) where group_id is the
+    * smallest doc id of the near-duplicate cluster.
+    *
+    * Scale order matters: exact dedup (sha2) FIRST collapses identical
+    * payloads to one representative, so the quadratic pairwise phase only
+    * sees distinct texts — on duplicate-heavy corpora the naive
+    * pairs-on-everything path explodes super-linearly (measured 24x cost
+    * at 8x data), while this shape stays linear in the exact-dup mass.
+    * Cluster transitive closure runs as [[propagateMinLabels]].
+    */
   def nearDupGroups(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxIter: Int = 5,
@@ -374,15 +375,16 @@ object Dedup {
     // content hash: one shuffle, no self-join
     val bToRep = b
       .select(col("id"), sha2(col("t"), 256).as("__h"))
-      .select(col("id"), min("id").over(
+      .select(col("id"), col("__h"), min("id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("__h"))
         .as("rep"))
       .localCheckpoint()
-    val repDocs = b.join(bToRep.filter(col("id") === col("rep"))
-      .select("id"), Seq("id"))
+    val bReps = bToRep.filter(col("id") === col("rep"))
+    val repDocs = b.join(bReps.select("id"), Seq("id"))
 
-    // exact corpus assignment per batch representative
-    val repExact = repDocs.select(col("id"), sha2(col("t"), 256).as("__h"))
+    // exact corpus assignment per batch representative — the hash was
+    // already computed in the rep collapse, reuse it
+    val repExact = bReps.select(col("id"), col("__h"))
       .join(Await.result(cexF, Duration.Inf), Seq("__h"))
       .select(col("id"), col("cid"))
       .localCheckpoint()
@@ -398,6 +400,12 @@ object Dedup {
       .join(portableBandRows(cRows, numHashes, bands)
         .toDF("cid", "band", "bsig"), Seq("band", "bsig"))
       .select("bid", "cid").distinct()
+      // tiny (band collisions only) but referenced three times in the
+      // verify plan — materialize so the corpus-side signature agg +
+      // band join run once (costs one extra sequential job at toy
+      // scale; saves recomputing the most expensive subtree at corpus
+      // scale, where exchange reuse alone doesn't cover all three uses)
+      .localCheckpoint()
 
     // verify candidates with exact Jaccard; corpus shingles materialize
     // only for the candidate docs

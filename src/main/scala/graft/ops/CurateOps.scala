@@ -409,7 +409,10 @@ object CurateOps {
         graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
     val ranked = docs
       .withColumn("rn", row_number().over(
-        Window.partitionBy("lang").orderBy("n", "doc_id")))
+        // NULLS LAST explicitly: Spark defaults ascending NULLS FIRST,
+        // DuckDB NULLS LAST — rank-sensitive oracles must pin it
+        Window.partitionBy("lang")
+          .orderBy(col("n").asc_nulls_last, col("doc_id"))))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
     val thresholds = ranked
       .filter(col("rn") === ceil(col("cnt") * 0.25))
@@ -428,7 +431,8 @@ object CurateOps {
       |      w -> w != '')) AS BIGINT) AS n
       |  FROM documents),
       |r AS (SELECT doc_id, lang, n,
-      |    row_number() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY n NULLS LAST, doc_id) AS rn,
       |    count(*) OVER (PARTITION BY lang) AS cnt
       |  FROM d),
       |t AS (SELECT lang, n AS thr FROM r

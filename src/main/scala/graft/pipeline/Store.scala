@@ -75,6 +75,10 @@ final class Store(spark: SparkSession, root: String) {
     * construction — same rows, same schema, fewer files. */
   def compact(table: String, schema: StructType,
       maxRecordsPerFile: Long = 4L * 1024 * 1024): Unit = {
+    // a maintenance op must not manufacture tables: read() deliberately
+    // returns an empty frame for missing tables (MERGE bootstrap), which
+    // here would silently create one from a typo
+    require(exists(table), s"cannot compact missing table '$table'")
     val df = read(table, schema)
     val partCols = Seq("region", "season").filter(df.columns.contains)
     val planned =

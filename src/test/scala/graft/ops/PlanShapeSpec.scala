@@ -62,9 +62,12 @@ class PlanShapeSpec extends AnyFunSuite {
       .select("bid", "cid").distinct())
     val bcast = s.indexOf("BroadcastExchange")
     assert(bcast >= 0, s)
-    // the broadcast subtree carries the batch-side attribute
-    assert(s.indexOf("bid#", bcast) >= 0
-      && s.indexOf("bid#", bcast) < bcast + 600, s)
+    // the broadcast subtree prints immediately after the exchange node;
+    // if the corpus side were broadcast, its cid attribute would appear
+    // first — require the batch-side attribute to lead
+    val bidIdx = s.indexOf("bid#", bcast)
+    val cidIdx = s.indexOf("cid#", bcast)
+    assert(bidIdx >= 0 && (cidIdx < 0 || bidIdx < cidIdx), s)
   }
 
   test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
