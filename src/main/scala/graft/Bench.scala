@@ -13,11 +13,14 @@ import org.apache.spark.sql.SparkSession
   * scheduler stalls on a contended host.
   *
   * Regression tripwire: before overwriting bench_full.json the previous
-  * round's per-query map is loaded and every mover >1.5x either way is
-  * printed — a zero-cost alarm for phantom speedups and silent
-  * regressions. Filtered runs (SPARK_GRAFT_BENCH_ONLY) write
+  * round's per-query map is loaded and every DRIFT-CORRECTED mover
+  * >1.5x either way is printed (per-query ratio divided by the suite
+  * median ratio, so uniform host drift neither floods the list nor
+  * masks a real mover) — a zero-cost alarm for phantom speedups and
+  * silent regressions. Filtered runs (SPARK_GRAFT_BENCH_ONLY) write
   * bench_filtered.json instead, so the committed full-suite baseline is
-  * never clobbered by a partial run. */
+  * never clobbered by a partial run, and their tripwire output is
+  * labeled informational (filtered timings drift vs in-suite ones). */
 object Bench {
   /** Minimal parse of the {"queries":{"name":secs,...}} map out of a
     * previous bench line — no JSON lib needed for flat string->double. */
@@ -74,15 +77,30 @@ object Bench {
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(fullLine)
-    // tripwire: movers >1.5x either way vs the previous full-suite run
-    val movers = results.flatMap { case (k, v) =>
+    // Tripwire vs the previous full-suite run, DRIFT-CORRECTED: uniform
+    // host slowdown/speedup moves every query by the same factor, so each
+    // per-query ratio is divided by the suite median ratio before the
+    // 1.5x threshold — whole-suite drift neither floods the mover list
+    // nor masks a real mover hiding inside it. Filtered runs are labeled
+    // informational: they compare against the full-suite baseline and
+    // carry a known extra filtered-vs-in-suite drift.
+    val ratios = results.flatMap { case (k, v) =>
       prev.get(k).collect {
-        case p if p > 0.05 && v > 0.05 && (v / p > 1.5 || p / v > 1.5) =>
-          f"$k: ${p}%.2f -> ${v}%.2f (${v / p}%.2fx)"
+        case p if p > 0.05 && v > 0.05 => (k, p, v, v / p)
       }
     }
-    if (prev.nonEmpty) {
-      println(s"TRIPWIRE: ${movers.size} movers >1.5x vs previous bench_full.json")
+    val med =
+      if (ratios.isEmpty) 1.0 else ratios.map(_._4).sorted.apply(ratios.size / 2)
+    val movers = ratios.flatMap { case (k, p, v, r) =>
+      val c = r / med
+      if (c > 1.5 || 1 / c > 1.5)
+        Some(f"$k: ${p}%.2f -> ${v}%.2f (${r}%.2fx raw, ${c}%.2fx drift-corrected)")
+      else None
+    }
+    if (prev.nonEmpty && ratios.nonEmpty) {
+      val tag = if (filtered.isDefined)
+        " [FILTERED run vs full-suite baseline — informational only]" else ""
+      println(f"TRIPWIRE$tag: suite median ratio ${med}%.2fx over ${ratios.size} queries; ${movers.size} drift-corrected movers >1.5x")
       movers.foreach(m => println("  " + m))
     }
     spark.stop()

@@ -237,6 +237,42 @@ object RelationalOps {
       .orderBy("purchase_id")
   }
 
+  /** Zero-exchange co-located join through bucketed tables
+    * ([[Bucketing]]) — the standing replacement for the reference's
+    * natural-key B-tree indexes: pre-shuffle once at write time, then
+    * repeated fact-fact joins on the bucket key read both sides already
+    * partitioned AND sorted. The gate diffs the join's RESULT against
+    * the plain-join DuckDB oracle while `require`-asserting the plan
+    * contains no shuffle exchange in the same run — correctness and the
+    * scale property, together. Table writes are memoized fixture prep
+    * (a production run buckets once, queries many times). */
+  private val bucketFixture = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (tli, to) = bucketFixture.getOrElseUpdate((spark, dir), {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = SourceSinkOps.tmp("bucketed", dir)
+      val (nli, no) = (s"b_lineitem_$sfx", s"b_orders_$sfx")
+      Bucketing.writeBucketed(load(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_quantity")),
+        nli, 8, Seq("k"), Some(s"$base/li"))
+      Bucketing.writeBucketed(load(spark, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderstatus"),
+            col("o_totalprice")),
+        no, 8, Seq("k"), Some(s"$base/o"))
+      (nli, no)
+    })
+    val j = Bucketing.coLocatedJoin(spark, tli, to, Seq("k"))
+    require(Bucketing.exchangeCount(j) == 0,
+      "bucketed co-located join planned a shuffle exchange")
+    j.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   // -------------------------------------------------------------- windows
 
   /** W1/W2 — first/last value by event-time order with total tie-break
@@ -416,6 +452,13 @@ object RelationalOps {
         |    PARTITION BY p.purchase_id ORDER BY c.ts DESC, c.click_id DESC) AS rn
         |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts) t
         |WHERE rn = 1 ORDER BY purchase_id""".stripMargin), "J8"),
+    QuerySpec("q_join_bucketed", joinBucketed, Some(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |${DSUM.format("l_quantity")} AS sum_qty,
+         |${DSUM.format("o_totalprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      "J-bucketed/zero-exchange"),
     QuerySpec("q_window_first_last", windowFirstLast, Some(
       """SELECT user_id,
         |max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,

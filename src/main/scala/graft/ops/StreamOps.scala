@@ -77,7 +77,9 @@ object StreamOps {
       // clean slate: a partially-built fixture (stale stream checkpoints
       // from an interrupted attempt) must not leak into this build
       def del(f: java.io.File): Unit = if (f.exists()) {
-        if (f.isDirectory) f.listFiles().foreach(del)
+        // listFiles() is null on an unreadable dir or one deleted mid-walk
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
         f.delete(); ()
       }
       del(new java.io.File(base))

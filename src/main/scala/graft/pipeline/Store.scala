@@ -46,7 +46,9 @@ final class Store(spark: SparkSession, root: String) {
     val target = new java.io.File(path(table))
     if (target.exists()) {
       def del(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(del)
+        // listFiles() is null on an unreadable dir or one deleted mid-walk
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
         f.delete()
       }
       del(target)
@@ -60,7 +62,9 @@ final class Store(spark: SparkSession, root: String) {
     * the classic incremental-ingest pathology). */
   def dataFileCount(table: String): Int = {
     def walk(f: java.io.File): Int =
-      if (f.isDirectory) f.listFiles().map(walk).sum
+      // listFiles() is null on an unreadable dir or one deleted mid-walk
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
       else if (f.getName.endsWith(".parquet")) 1 else 0
     walk(new java.io.File(path(table)))
   }

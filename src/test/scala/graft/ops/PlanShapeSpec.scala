@@ -58,16 +58,30 @@ class PlanShapeSpec extends AnyFunSuite {
       .toDF("bid", "band", "bsig")
     val cBand = graft.dedup.Dedup.portableBandRows(rows(docs), 32, 8)
       .toDF("cid", "band", "bsig")
-    val s = plan(bBand.join(cBand, Seq("band", "bsig"))
-      .select("bid", "cid").distinct())
-    val bcast = s.indexOf("BroadcastExchange")
-    assert(bcast >= 0, s)
-    // the broadcast subtree prints immediately after the exchange node;
-    // if the corpus side were broadcast, its cid attribute would appear
-    // first — require the batch-side attribute to lead
-    val bidIdx = s.indexOf("bid#", bcast)
-    val cidIdx = s.indexOf("cid#", bcast)
-    assert(bidIdx >= 0 && (cidIdx < 0 || bidIdx < cidIdx), s)
+    val df = bBand.join(cBand, Seq("band", "bsig"))
+      .select("bid", "cid").distinct()
+    df.collect()
+    // structural assertion on the join operator itself (not a plan-string
+    // heuristic): the BroadcastHashJoin's BUILD side must be the subtree
+    // that outputs the batch attribute `bid` — a plan broadcasting the
+    // corpus side fails this even if attribute naming shifts
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case _ => p.children.flatMap(all)
+    })
+    val bhjs = all(df.queryExecution.executedPlan)
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(bhjs.nonEmpty, df.queryExecution.executedPlan.toString())
+    val j = bhjs.head
+    val build = if (j.buildSide == BuildLeft) j.left else j.right
+    val names = build.output.map(_.name)
+    assert(names.exists(_.startsWith("bid")) && !names.exists(_.startsWith("cid")),
+      s"broadcast side outputs $names — expected the batch (bid) side")
   }
 
   test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
