@@ -85,13 +85,54 @@ object Text {
     * "N-Gram-Based Text Categorization"). Profiles are small public
     * linguistic constants; the Seq order fixes the argmax tie-break.
     * zh is the romanized (pinyin) profile — the synthetic corpus is
-    * ASCII. */
+    * ASCII. This short hit-count form stays as the cheap MAP-SIDE
+    * prefilter (one codegen'd scan, no shuffle); the classifier proper
+    * is the rank-distance pipeline over [[langProfilesRanked]]. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "ein", "ich", "sch", "und", "die", "cht", "gen"),
     "en" -> Seq("the", " th", "he ", "and", "ing", " an", "ion", " of"),
     "es" -> Seq(" la", "los", "del", "que", "ado", "cio", " es", "nte"),
     "fr" -> Seq("les", " le", " qu", "ent", "ait", "eur", "oir", "ois"),
     "zh" -> Seq("shi", "zhe", "ang", "eng", "ong", "ian", "uan", "hao"))
+
+  /** RANK-ORDERED character-trigram profiles (most frequent first,
+    * spaces significant) for Cavnar-Trenkle out-of-place scoring —
+    * approximate public frequency rankings, wide enough (~40/lang) to
+    * separate confusable pairs (es/pt: shared Romance core, but
+    * es "del/los/cion/en la" vs pt "do/dos/da/cao/na" boundary trigrams
+    * diverge high in the ranking). ASCII only — the synthetic corpus
+    * is ASCII, and pt here is the de-accented romanization. */
+  val langProfilesRanked: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("en ", "er ", " de", "der", "ie ", "sch", "ein", "ich",
+      "nd ", "und", " un", "che", "ung", "ng ", "ch ", " ei", "den",
+      "gen", "ten", " ge", "cht", "ht ", "in ", "te ", " di", "die",
+      "hen", "ine", "nen", " be", "ver", " ve", "es ", "ber", "ren",
+      "ege", "ste", "and", " da", "das"),
+    "en" -> Seq("the", " th", "he ", "and", " an", "nd ", "ing", "ng ",
+      " of", "of ", "ed ", " in", "in ", "ion", " to", "to ", "er ",
+      "at ", "en ", "on ", "re ", "tio", " co", "es ", " a ", "ent",
+      "nt ", "is ", " be", " re", "hat", "ere", "his", "con", "ter",
+      " wi", "ati", "ver", "all", " ma"),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", "el ", " el", "en ",
+      " en", "as ", "es ", "ue ", "que", " qu", "ent", "ado", "do ",
+      "ion", "cio", "nte", " co", "sta", "ara", "los", " lo", "a d",
+      "e l", "ien", "con", "est", "cia", "res", "nci", "dad", "ida",
+      " es", "del", "aci", "ada", "o d"),
+    "fr" -> Seq("es ", " de", "de ", "le ", " le", "ent", "nt ", "la ",
+      " la", "ion", "on ", "re ", " co", "e d", "e l", "que", " qu",
+      "ue ", "les", " pa", "ait", "eur", "our", "ant", "tio", "ons",
+      "eme", "men", " et", "et ", " un", "une", "des", " se", "ur ",
+      "ais", "oir", "err", "ous", " pr"),
+    "pt" -> Seq(" de", "de ", "os ", " do", "do ", "da ", " da", "ao ",
+      " co", "que", " qu", "ue ", "nte", "ent", "em ", " em", "ra ",
+      " pa", "es ", "ade", "dad", "ida", "o d", "a d", "res", "cao",
+      " ca", "dos", "as ", "nto", " no", "no ", "na ", " na", "com",
+      "par", "ar ", "and", "ada", "men"),
+    "zh" -> Seq("ng ", "an ", "en ", "shi", "zhe", "ang", "eng", "ong",
+      "ian", "uan", "hao", " zh", " sh", "ao ", " yi", "yi ", "ui ",
+      "uo ", " ha", "ha ", " ch", "chu", "hen", " wo", "wo ", "de ",
+      " de", "e s", "i s", "gu ", "men", " me", "ia ", " xi", "xia",
+      "ing", " li", "li ", "u d", "o s"))
 
   /** All character trigrams of a PRE-BOUND string column (one per start
     * position; same bound-attribute contract as [[shinglesFromTokens]] —

@@ -68,62 +68,125 @@ object TextOps {
     * synthetic corpus text is language-less filler, so — like
     * [[CurateOps.piiRedact]] planting PII — the fixture derives a
     * deterministic multi-language prefix from the `lang` column, then the
-    * classifier runs over prefix + real text). Shared by the Spark query
-    * and the DuckDB oracle. */
+    * classifier runs over prefix + real text). pt is planted on the odd
+    * half of the es documents: es/pt is the classic CONFUSABLE pair
+    * (shared Romance core vocabulary), so separating them exercises the
+    * rank-order profiles where a hit-count argmax collapses. Shared by
+    * the Spark query and the DuckDB oracle. */
   private val langPhrases: Seq[(String, String)] = Seq(
     "de" -> "der richtige fuchs und die schnellen hunde sich einig in der geschichte",
     "en" -> "the quick brown fox and the young things bring an action of their own making",
     "es" -> "la cantidad del valor de los datos que el estado adecuado menciona en la nacion",
     "fr" -> "les quatre lettres que le document entier faisait envers leur valeur noire",
+    "pt" -> "a quantidade do valor dos dados que o estado adequado menciona na nacao e nas cidades",
     "zh" -> "zhe shi yi zhang hen chang de wen jian shang mian you hao duo sheng yong chuan")
 
-  /** Char-trigram language identification (Cavnar & Trenkle-style profile
-    * argmax, [[Text.langIdTrigrams]]); output = lang x guess confusion
-    * counts. The scored string and its trigram array are BOUND columns
-    * (interpreted-HOF contract); scoring window = first 96 chars, so the
-    * planted phrase dominates the filler background by construction. */
+  /** Out-of-place penalty for a document trigram absent from a language
+    * profile (Cavnar & Trenkle: the profile length). */
+  private val oopPenalty: Int =
+    Text.langProfilesRanked.map(_._2.size).max
+
+  /** Char-trigram language identification, full Cavnar & Trenkle: the
+    * document's OWN trigram frequency ranking (count desc, trigram asc —
+    * a total order both engines replay) is compared against each
+    * language's rank-ordered profile ([[Text.langProfilesRanked]], ~40
+    * trigrams/language) by out-of-place distance — sum |doc rank −
+    * profile rank| over matched trigrams plus [[oopPenalty]] per
+    * unmatched one; guess = min-distance language (ties by name).
+    * Output = planted-lang x guess confusion counts.
+    *
+    * Scale shape: explode + two keyed aggregations + a broadcast join
+    * against the literal profile table — linear in corpus size,
+    * partial-agg friendly, no UDFs. The scoring window (first 96 chars)
+    * bounds per-doc work. The pure-column hit-count variant
+    * ([[Text.langIdTrigrams]]) remains as the map-side prefilter. */
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val elang = when(col("lang") === "es" && col("doc_id") % 2 === 1,
+      lit("pt")).otherwise(col("lang"))
     val phrase = langPhrases.tail.foldLeft(
-      when(col("lang") === langPhrases.head._1, lit(langPhrases.head._2))) {
-      case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
+      when(col("elang") === langPhrases.head._1, lit(langPhrases.head._2))) {
+      case (acc, (l, p)) => acc.when(col("elang") === l, lit(p))
     }.otherwise(lit(""))
-    load(spark, dir, "documents")
+    val scored = load(spark, dir, "documents")
+      .withColumn("elang", elang)
       .withColumn("s",
         lower(substring(concat(phrase, lit(" "), col("text")), 1, 96)))
-      .withColumn("tg", Text.charTrigrams(col("s")))
-      .withColumn("guess", Text.langIdTrigrams(col("tg")))
-      .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+    val ranked = scored
+      .select(col("doc_id"), col("elang"),
+        explode(Text.charTrigrams(col("s"))).as("t"))
+      .groupBy("doc_id", "elang", "t").agg(count(lit(1)).as("c"))
+      .withColumn("rd", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("c").desc, col("t").asc)))
+    val prof = Text.langProfilesRanked.flatMap { case (l, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (l, t, i + 1) }
+    }.toDF("plang", "t", "rp")
+    val nDoc = ranked.groupBy("doc_id", "elang")
+      .agg(count(lit(1)).as("ntg"))
+    val matched = ranked.join(broadcast(prof), Seq("t"))
+      .groupBy("doc_id", "plang")
+      .agg(sum(abs(col("rd") - col("rp"))).as("md"),
+        count(lit(1)).as("nm"))
+    val langsDf = Text.langProfilesRanked.map(_._1).toDF("plang")
+    nDoc.crossJoin(broadcast(langsDf))
+      .join(matched, Seq("doc_id", "plang"), "left_outer")
+      .select(col("doc_id"), col("elang"), col("plang"),
+        (coalesce(col("md"), lit(0L))
+          + (col("ntg") - coalesce(col("nm"), lit(0L))) * oopPenalty)
+          .as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("dist").asc, col("plang").asc)))
+      .filter(col("rn") === 1)
+      .groupBy(col("elang").as("lang"), col("plang").as("guess"))
+      .agg(count(lit(1)).as("n"))
       .orderBy("lang", "guess")
   }
 
-  /** DuckDB replica of the trigram classifier: same phrases, same 96-char
-    * window, same profiles, same first-wins CASE argmax. */
+  /** DuckDB replica of the rank-distance classifier: same phrases, same
+    * 96-char window, the same rank-ordered profiles as a VALUES relation,
+    * the same count-desc/trigram-asc document ranking, the same
+    * out-of-place distance and min-distance argmax. */
   private val langidOracle: String = {
     val phraseCase = langPhrases
       .map { case (l, p) => s"WHEN '$l' THEN '$p'" }.mkString(" ")
-    val scoreCols = Text.langProfiles.map { case (l, tris) =>
-      val lst = tris.map(t => s"'$t'").mkString(", ")
-      s"len(list_filter(tg, t -> list_contains([$lst], t))) AS s_$l"
-    }.mkString(",\n  ")
-    val langs = Text.langProfiles.map(_._1)
-    val caseArms = langs.init.zipWithIndex.map { case (l, i) =>
-      val later = langs.drop(i + 1).map(x => s"s_$x")
-      val rhs = if (later.size == 1) later.head
-                else s"greatest(${later.mkString(", ")})"
-      s"WHEN s_$l >= $rhs THEN '$l'"
-    }.mkString("\n  ")
-    s"""WITH p AS (SELECT lang,
-       |    lower(substr(CASE lang $phraseCase ELSE '' END || ' ' || text, 1, 96)) AS s
-       |  FROM documents),
-       |tgs AS (SELECT lang, list_transform(generate_series(1, length(s) - 2),
-       |    i -> substr(s, i, 3)) AS tg FROM p),
-       |sc AS (SELECT lang,
-       |  $scoreCols
-       |  FROM tgs)
-       |SELECT lang, CASE
-       |  $caseArms
-       |  ELSE '${langs.last}' END AS guess, count(*) AS n
-       |FROM sc GROUP BY lang, guess ORDER BY lang, guess""".stripMargin
+    val profValues = Text.langProfilesRanked.flatMap { case (l, ts) =>
+      ts.zipWithIndex.map { case (t, i) =>
+        s"('$l', '${t.replace("'", "''")}', ${i + 1})" }
+    }.mkString(",\n    ")
+    s"""WITH prof(plang, t, rp) AS (VALUES
+       |    $profValues),
+       |p AS (SELECT doc_id,
+       |    CASE WHEN lang = 'es' AND doc_id % 2 = 1 THEN 'pt' ELSE lang END AS elang,
+       |    text FROM documents),
+       |sc AS (SELECT doc_id, elang,
+       |    lower(substr(CASE elang $phraseCase ELSE '' END || ' ' || text, 1, 96)) AS s
+       |  FROM p),
+       |tg AS (SELECT doc_id, elang, unnest(list_transform(
+       |    generate_series(1, length(s) - 2), i -> substr(s, i, 3))) AS t
+       |  FROM sc),
+       |cnt AS (SELECT doc_id, elang, t, count(*) AS c
+       |  FROM tg GROUP BY doc_id, elang, t),
+       |rk AS (SELECT doc_id, elang, t,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, t ASC) AS rd
+       |  FROM cnt),
+       |nd AS (SELECT doc_id, elang, count(*) AS ntg FROM rk
+       |  GROUP BY doc_id, elang),
+       |mt AS (SELECT rk.doc_id, prof.plang,
+       |    sum(abs(rk.rd - prof.rp)) AS md, count(*) AS nm
+       |  FROM rk JOIN prof ON rk.t = prof.t
+       |  GROUP BY rk.doc_id, prof.plang),
+       |langs AS (SELECT DISTINCT plang FROM prof),
+       |dist AS (SELECT nd.doc_id, nd.elang, langs.plang,
+       |    coalesce(mt.md, 0) + (nd.ntg - coalesce(mt.nm, 0)) * $oopPenalty AS dist
+       |  FROM nd CROSS JOIN langs
+       |  LEFT JOIN mt ON mt.doc_id = nd.doc_id AND mt.plang = langs.plang),
+       |guess AS (SELECT doc_id, elang, plang FROM (
+       |    SELECT doc_id, elang, plang, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY dist ASC, plang ASC) AS rn
+       |    FROM dist) t WHERE rn = 1)
+       |SELECT elang AS lang, plang AS guess, count(*) AS n
+       |FROM guess GROUP BY elang, plang ORDER BY lang, guess""".stripMargin
   }
 
   /** Rolling-hash document fingerprint (first 64 chars, poly-31 mod 1e9+7). */
