@@ -299,28 +299,32 @@ object TextOps {
        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
        |    ELSE [] END) AS s
        |  FROM ${pfx}w),
-       |${pfx}hd AS (SELECT DISTINCT doc_id,
+       |${pfx}hd AS MATERIALIZED (SELECT DISTINCT doc_id,
        |    CAST('0x' || substr(md5(s), 2, 15) AS BIGINT) AS h
        |  FROM ${pfx}sh),
-       |${pfx}sig AS (SELECT doc_id,
+       |${pfx}sig AS MATERIALIZED (SELECT doc_id,
        |  $minCols
        |  FROM ${pfx}hd GROUP BY doc_id),
-       |${pfx}band AS (
+       |${pfx}band AS MATERIALIZED (
        |  $bandSelects)""".stripMargin
   }
 
+  /** MATERIALIZED on every multi-referenced CTE: DuckDB inlines plain
+    * CTEs per reference, so un-hinted, the recursive closure re-derived
+    * the ENTIRE MinHash chain once per recursion step — measured 177 s
+    * on an 87-doc novel set vs sub-second materialized. */
   private def minhashCtes(src: String): String = {
     s"""${minhashBandCtes(src, "")},
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM band a JOIN band b ON a.qi = b.qi AND a.bs = b.bs
        |    AND a.doc_id < b.doc_id),
-       |sz AS (SELECT doc_id, count(*) AS sz FROM hd GROUP BY doc_id),
+       |sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM hd GROUP BY doc_id),
        |inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
        |  FROM cand c
        |  JOIN hd x ON x.doc_id = c.id_a
        |  JOIN hd y ON y.doc_id = c.id_b AND y.h = x.h
        |  GROUP BY c.id_a, c.id_b),
-       |pairs AS (SELECT i.id_a, i.id_b,
+       |pairs AS MATERIALIZED (SELECT i.id_a, i.id_b,
        |    i.ni / (sa.sz + sb.sz - i.ni) AS jaccard
        |  FROM inter i
        |  JOIN sz sa ON sa.doc_id = i.id_a
@@ -338,13 +342,13 @@ object TextOps {
     * fixpoint the Spark propagation must reach). */
   private val groupsPortableOracle: String =
     s"""WITH RECURSIVE
-       |repmap AS (SELECT doc_id,
+       |repmap AS MATERIALIZED (SELECT doc_id,
        |    min(doc_id) OVER (PARTITION BY sha256(text)) AS rep
        |  FROM documents),
-       |repdocs AS (SELECT d.doc_id, d.text FROM documents d
+       |repdocs AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
        |  JOIN repmap r ON d.doc_id = r.doc_id AND r.doc_id = r.rep),
        |${minhashCtes("repdocs")},
-       |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+       |edges AS MATERIALIZED (SELECT id_a AS id, id_b AS nbr FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
        |reach AS (
        |  SELECT doc_id AS id, doc_id AS label FROM repdocs
@@ -393,23 +397,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** DuckDB replica of the full incremental decision: corpus exact-hash
-    * index, batch exact collapse, side-by-side band CTEs
-    * ([[minhashBandCtes]] prefixes c/b), cross-source candidate verify,
-    * and the recursive closure over the novel leftovers. */
-  private val incrementalOracle: String =
-    s"""WITH RECURSIVE
-       |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
-       |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+  /** DuckDB replica of ONE incremental decision as a parameterized
+    * derived table `(corpusSel, batchSel) -> (doc_id, assigned,
+    * matched)`: corpus exact-hash index, batch exact collapse,
+    * side-by-side band CTEs ([[minhashBandCtes]] prefixes c/b),
+    * cross-source candidate verify, and the recursive closure over the
+    * novel leftovers. The nested WITH RECURSIVE scopes cleanly, so the
+    * streaming oracle instantiates it once per micro-batch. */
+  private def incrementalDecisionSql(corpusSel: String,
+      batchSel: String): String =
+    s"""(WITH RECURSIVE
+       |corpus AS ($corpusSel),
+       |batch AS ($batchSel),
        |cex AS (SELECT sha256(text) AS xh, min(doc_id) AS cid
        |  FROM corpus GROUP BY 1),
-       |brm AS (SELECT doc_id,
+       |brm AS MATERIALIZED (SELECT doc_id,
        |    min(doc_id) OVER (PARTITION BY sha256(text)) AS rep FROM batch),
-       |repdocs AS (SELECT b.doc_id, b.text FROM batch b
+       |repdocs AS MATERIALIZED (SELECT b.doc_id, b.text FROM batch b
        |  JOIN brm r ON b.doc_id = r.doc_id AND r.doc_id = r.rep),
-       |rex AS (SELECT r.doc_id, c.cid FROM repdocs r
+       |rex AS MATERIALIZED (SELECT r.doc_id, c.cid FROM repdocs r
        |  JOIN cex c ON sha256(r.text) = c.xh),
-       |rem AS (SELECT doc_id, text FROM repdocs
+       |rem AS MATERIALIZED (SELECT doc_id, text FROM repdocs
        |  WHERE doc_id NOT IN (SELECT doc_id FROM rex)),
        |${minhashBandCtes("corpus", "c")},
        |${minhashBandCtes("rem", "b")},
@@ -421,13 +429,13 @@ object TextOps {
        |  JOIN bhd p ON p.doc_id = x.bid
        |  JOIN chd q ON q.doc_id = x.cid AND q.h = p.h
        |  GROUP BY x.bid, x.cid),
-       |xnear AS (SELECT i.bid, min(i.cid) AS cid FROM xinter i
+       |xnear AS MATERIALIZED (SELECT i.bid, min(i.cid) AS cid FROM xinter i
        |  JOIN bsz ON bsz.doc_id = i.bid JOIN csz ON csz.doc_id = i.cid
        |  WHERE i.ni / (bsz.sz + csz.sz - i.ni) >= 0.2 GROUP BY i.bid),
-       |novel AS (SELECT doc_id, text FROM rem
+       |novel AS MATERIALIZED (SELECT doc_id, text FROM rem
        |  WHERE doc_id NOT IN (SELECT bid FROM xnear)),
        |${minhashCtes("novel")},
-       |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+       |edges AS MATERIALIZED (SELECT id_a AS id, id_b AS nbr FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
        |reach AS (
        |  SELECT doc_id AS id, doc_id AS label FROM novel
@@ -440,8 +448,101 @@ object TextOps {
        |  UNION ALL SELECT novel.doc_id, lbl, 'novel' FROM novel
        |    JOIN nlab ON nlab.id = novel.doc_id)
        |SELECT brm.doc_id, ra.assigned, ra.matched
-       |FROM brm JOIN ra ON ra.doc_id = brm.rep
-       |ORDER BY brm.doc_id""".stripMargin
+       |FROM brm JOIN ra ON ra.doc_id = brm.rep)""".stripMargin
+
+  private val incrementalOracle: String =
+    s"""SELECT doc_id, assigned, matched FROM
+       |${incrementalDecisionSql(
+          "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0",
+          "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0")} t
+       |ORDER BY doc_id""".stripMargin
+
+  /** Streaming corpus ingestion with near-dup gating
+    * ([[graft.streaming.StreamingDedup]]): the batch documents arrive as
+    * TWO parquet files in a landing dir (doc_id % 10 = 0, then % 10 = 5;
+    * file mtimes pin the micro-batch order), each micro-batch is
+    * assigned against the persisted corpus indexes, its decision
+    * appended, and its accepted novel representatives appended to the
+    * indexes — so batch 2's documents can exact/near-match batch 1's
+    * novels. The DuckDB oracle replays the two decisions SEQUENTIALLY
+    * (batch 2's corpus = corpus ∪ batch 1's accepted novels): the gate
+    * fails if streaming order, the index append, or the decision shape
+    * drifts from the batch semantics. Fixture prep (index build, landing
+    * files, stream execution) is memoized; the gate reads the decisions
+    * table. */
+  private val sdedupCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Store]
+
+  def dedupStreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    val store = sdedupCache.getOrElseUpdate((spark, dir), {
+      val base = SourceSinkOps.tmp("sdedup", dir)
+      def del(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+        f.delete(); ()
+      }
+      del(new java.io.File(base))
+      val docs = load(spark, dir, "documents")
+      val st = new graft.pipeline.Store(spark, s"$base/store")
+      graft.dedup.CorpusIndex.build(st, "c",
+        docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+      val landing = s"$base/landing"
+      new java.io.File(landing).mkdirs()
+      // one single-file parquet per micro-batch; fixed mtimes order them
+      def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmpd = s"$base/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+        val part = new java.io.File(tmpd).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$landing/$name")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime); ()
+      }
+      val docsBT = docs.select(col("doc_id"), col("text"))
+      val t0 = 1700000000000L // any fixed epoch — only the ORDER matters
+      writeBatchFile(docsBT.filter(col("doc_id") % 10 === 0), "b0.parquet", t0)
+      // batch 2 also carries re-keyed COPIES of batch 1's documents: a
+      // copy of an accepted batch-1 novel must come back 'exact' against
+      // its appended index entry, and a copy of a non-representative
+      // batch-1 novel must come back 'near' to its appended
+      // representative — the cross-batch resolution paths the append
+      // lifecycle exists for (the raw corpus has no near-dup pairs that
+      // happen to straddle the %10 split).
+      writeBatchFile(docsBT.filter(col("doc_id") % 10 === 5)
+          .unionAll(docsBT.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))),
+        "b1.parquet", t0 + 3600000L)
+      graft.streaming.StreamingDedup.corpusIngest(spark, landing,
+        docsBT.schema, st, "c", s"$base/ck", "text", "doc_id",
+        threshold = 0.2, maxIter = 20).awaitTermination()
+      st
+    })
+    spark.read.parquet(store.path("decisions")).orderBy("doc_id")
+  }
+
+  // AS MATERIALIZED throughout: the decision body references its corpus
+  // ~6 times, so an inlined acc0 (which embeds the ENTIRE d0 decision)
+  // would replay d0 per reference — and per-reference parquet scans of
+  // `documents` were observed blowing the open-files limit at 2x
+  // instantiation. Materializing docs/d0/acc0 pins each to one
+  // evaluation.
+  private val streamDedupOracle: String =
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id, text FROM documents),
+       |d0 AS MATERIALIZED (SELECT * FROM ${incrementalDecisionSql(
+          "SELECT doc_id, text FROM docs WHERE doc_id % 5 <> 0",
+          "SELECT doc_id, text FROM docs WHERE doc_id % 10 = 0")} t0),
+       |acc0 AS MATERIALIZED (SELECT d.doc_id, d.text FROM docs d
+       |  JOIN d0 ON d0.doc_id = d.doc_id
+       |  WHERE d0.matched = 'novel' AND d0.assigned = d.doc_id),
+       |d1 AS (SELECT * FROM ${incrementalDecisionSql(
+          "SELECT doc_id, text FROM docs WHERE doc_id % 5 <> 0"
+            + " UNION ALL SELECT doc_id, text FROM acc0",
+          "SELECT doc_id, text FROM docs WHERE doc_id % 10 = 5"
+            + " UNION ALL SELECT doc_id + 1000000, text FROM docs"
+            + " WHERE doc_id % 10 = 0")} t1)
+       |SELECT doc_id, assigned, matched FROM d0
+       |UNION ALL SELECT doc_id, assigned, matched FROM d1
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB replica of the portable SimHash — generated SQL: 60 bit-sum
     * aggregates, sign bits reassembled, 15-bit quarter banding, hamming
@@ -500,13 +601,13 @@ object TextOps {
 
   private val curationOracle: String =
     s"""WITH RECURSIVE
-       |repmap AS (SELECT doc_id,
+       |repmap AS MATERIALIZED (SELECT doc_id,
        |    min(doc_id) OVER (PARTITION BY sha256(text)) AS rep
        |  FROM documents),
-       |repdocs AS (SELECT d.doc_id, d.text FROM documents d
+       |repdocs AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
        |  JOIN repmap r ON d.doc_id = r.doc_id AND r.doc_id = r.rep),
        |${minhashCtes("repdocs")},
-       |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+       |edges AS MATERIALIZED (SELECT id_a AS id, id_b AS nbr FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
        |reach AS (
        |  SELECT doc_id AS id, doc_id AS label FROM repdocs
@@ -579,5 +680,7 @@ object TextOps {
       Some(incrementalOracle), "dedup/incremental"),
     QuerySpec("q_dedup_incremental_indexed", dedupIncrementalIndexed,
       Some(incrementalOracle), "dedup/incremental-indexed"),
+    QuerySpec("q_dedup_stream_ingest", dedupStreamIngest,
+      Some(streamDedupOracle), "dedup/streaming-ingest"),
   )
 }
