@@ -84,6 +84,47 @@ class PlanShapeSpec extends AnyFunSuite {
       s"broadcast side outputs $names — expected the batch (bid) side")
   }
 
+  test("persisted band-index join broadcasts the batch side (CorpusIndex.assign shape)") {
+    import org.apache.spark.sql.functions._
+    // the production path: corpus present ONLY as its persisted index
+    // tables. The batch band rows joined against the store-read band
+    // index must build (broadcast) the BATCH side — a plan that shuffles
+    // the index scan would shuffle the corpus per batch at scale.
+    val store = new graft.pipeline.Store(spark,
+      s"/tmp/graft_ss/p${ProcessHandle.current().pid}/cidx_shape")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    graft.dedup.CorpusIndex.build(store, "c",
+      docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+    val bRows = graft.dedup.Dedup
+      .shingleStringRows(docs.filter(col("doc_id") < 10), "text", "doc_id", 3)
+      .select(col("id"), graft.dedup.Dedup.md5Hash60(col("sh")).as("h"))
+      .distinct().localCheckpoint()
+    val bBand = graft.dedup.Dedup.portableBandRows(bRows, 32, 8)
+      .toDF("bid", "band", "bsig")
+    val cBand = spark.read.parquet(store.path("c_bands"))
+      .toDF("cid", "band", "bsig")
+    val df = bBand.join(cBand, Seq("band", "bsig"))
+      .select("bid", "cid").distinct()
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case _ => p.children.flatMap(all)
+    })
+    val bhjs = all(df.queryExecution.executedPlan)
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(bhjs.nonEmpty, df.queryExecution.executedPlan.toString())
+    val j = bhjs.head
+    val build = if (j.buildSide == BuildLeft) j.left else j.right
+    val names = build.output.map(_.name)
+    assert(names.exists(_.startsWith("bid")) && !names.exists(_.startsWith("cid")),
+      s"broadcast side outputs $names — expected the batch (bid) side")
+  }
+
   test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
     val s = plan(RelationalOps.aggPricingSummary(spark, dir))
     // `*(N)` prefixes mark whole-stage-codegen spans in the compact plan
