@@ -23,11 +23,22 @@ object IncrementalScaleProbe {
     val src = "/root/testdata/sf0.1"
     val spark = Session.local()
 
-    // fixed batch: every fifth sf0.1 document, re-keyed clear of every
-    // replica id range
+    // Fixed batch: every fifth sf0.1 document, re-keyed clear of every
+    // replica id range, split across the three decision paths — a pure
+    // copy batch would exact-match everything and short-circuit the
+    // banding/verify/closure work, measuring only the exact-index join:
+    //  - %3=0: verbatim copy -> 'exact' (hash-index hit)
+    //  - %3=1: one appended token -> 'near' (band collision + verify)
+    //  - %3=2: synthetic text -> 'novel' (batch-local closure)
     val batch = Tables.load(spark, src, "documents")
       .filter(col("doc_id") % 5 === 0)
       .withColumn("doc_id", col("doc_id") + 900000000L)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 1, concat(col("text"), lit(" qq")))
+          .when(col("doc_id") % 3 === 2,
+            concat_ws(" ", lit("nv"), col("doc_id"), lit("aa"),
+              col("doc_id"), lit("bb"), col("doc_id"), lit("cc")))
+          .otherwise(col("text")))
       .localCheckpoint()
 
     def probe(factor: Int): Unit = {
