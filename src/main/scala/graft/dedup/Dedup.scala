@@ -271,9 +271,12 @@ object Dedup {
     // own id, so the first propagation is least(id, min(nbr)) straight
     // off the edge list (saves the identity-labels checkpoint plus one
     // join). `old` = id makes the convergence probe uniform.
+    // Sweep 1 stays LAZY: its two references inside iteration 2's job
+    // are an identical subtree over the checkpointed edge frame, which
+    // AQE's stage cache computes once — a dedicated checkpoint here is
+    // one more sequential barrier for no recompute saved.
     var labels = undirected.groupBy("id").agg(min("nbr").as("m"))
       .select(col("id"), least(col("id"), col("m")).as("label"))
-      .localCheckpoint()
     // no sweep-1 probe: with >=1 edge (id_a < id_b strictly) the larger
     // endpoint always adopts the smaller label, so sweep 1 never converges
     var converged = false
@@ -424,7 +427,10 @@ object Dedup {
     // subtrees inside that action.
     //
     // batch exact collapse to representatives — window-min over the
-    // content hash: one shuffle, no self-join
+    // content hash: one shuffle, no self-join. Materialized once: four
+    // separate actions consume it, and at production batch sizes four
+    // scan+window recomputes cost more than the one barrier (a lazy
+    // variant measured neutral at toy scale).
     val bToRep = b
       .select(col("id"), sha2(col("t"), 256).as("__h"))
       .select(col("id"), col("__h"), min("id").over(
