@@ -89,18 +89,26 @@ object Bench {
         case p if p > 0.05 && v > 0.05 => (k, p, v, v / p)
       }
     }
+    // Drift correction needs a population to estimate drift from: on
+    // small filtered runs the median IS the mover, so fall back to raw
+    // ratios there. And a RAW ratio beyond 2.5x always reports, so a
+    // uniform global regression (which correction would normalize away)
+    // still trips — the median line itself flags it too.
     val med =
-      if (ratios.isEmpty) 1.0 else ratios.map(_._4).sorted.apply(ratios.size / 2)
+      if (ratios.size < 8) 1.0
+      else ratios.map(_._4).sorted.apply(ratios.size / 2)
     val movers = ratios.flatMap { case (k, p, v, r) =>
       val c = r / med
-      if (c > 1.5 || 1 / c > 1.5)
+      if (c > 1.5 || 1 / c > 1.5 || r > 2.5 || r < 0.4)
         Some(f"$k: ${p}%.2f -> ${v}%.2f (${r}%.2fx raw, ${c}%.2fx drift-corrected)")
       else None
     }
     if (prev.nonEmpty && ratios.nonEmpty) {
       val tag = if (filtered.isDefined)
         " [FILTERED run vs full-suite baseline — informational only]" else ""
-      println(f"TRIPWIRE$tag: suite median ratio ${med}%.2fx over ${ratios.size} queries; ${movers.size} drift-corrected movers >1.5x")
+      val alarm = if (med > 1.5 || med < 0.67)
+        f" SUITE-WIDE SHIFT ${med}%.2fx — global regression or host change?" else ""
+      println(f"TRIPWIRE$tag: suite median ratio ${med}%.2fx over ${ratios.size} queries; ${movers.size} movers.$alarm")
       movers.foreach(m => println("  " + m))
     }
     spark.stop()

@@ -1,10 +1,10 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.pipeline.Store
+import graft.pipeline.{FsUtils, Store}
 
 /** Persisted corpus indexes for incremental near-dup assignment — the
   * production contract behind [[Dedup.incrementalNearDup]]: a continuous
@@ -39,6 +39,28 @@ object CorpusIndex {
   private val bandSchema = StructType(Seq(
     StructField("cid", LongType), StructField("band", IntegerType),
     StructField("bsig", ArrayType(LongType))))
+  private val metaSchema = StructType(Seq(
+    StructField("shingle_size", IntegerType),
+    StructField("num_hashes", IntegerType),
+    StructField("bands", IntegerType)))
+
+  /** The signature-space parameters are recorded at build time and
+    * require-checked on every assign/append: a mismatched caller would
+    * otherwise silently match nothing on the band join (different bsig
+    * lengths) and, worse, append incompatible signatures the index can
+    * never query correctly again. */
+  private def checkMeta(store: Store, prefix: String, shingleSize: Int,
+      numHashes: Int, bands: Int): Unit = {
+    val rows = store.read(s"${prefix}_meta", metaSchema).collect()
+    require(rows.nonEmpty,
+      s"corpus index '$prefix' has no ${prefix}_meta table — built by an incompatible version?")
+    val m = rows.head
+    require(m.getInt(0) == shingleSize && m.getInt(1) == numHashes
+        && m.getInt(2) == bands,
+      s"corpus index '$prefix' was built with (shingleSize=${m.getInt(0)}, " +
+        s"numHashes=${m.getInt(1)}, bands=${m.getInt(2)}); caller passed " +
+        s"($shingleSize, $numHashes, $bands)")
+  }
 
   private def indexRows(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int): (DataFrame, DataFrame) = {
@@ -62,6 +84,10 @@ object CorpusIndex {
     store.write(s"${prefix}_bands",
       Dedup.portableBandRows(r, numHashes, bands).toDF("cid", "band", "bsig"))
     r.unpersist(false)
+    store.write(s"${prefix}_meta", corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(shingleSize, numHashes, bands)),
+      metaSchema))
   }
 
   /** Per-batch assignment against the PREBUILT indexes — the hot path of
@@ -72,31 +98,44 @@ object CorpusIndex {
   def assign(store: Store, prefix: String, batch: DataFrame,
       textCol: String, idCol: String, shingleSize: Int = 3,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
-      maxIter: Int = 20): DataFrame =
+      maxIter: Int = 20): DataFrame = {
+    checkMeta(store, prefix, shingleSize, numHashes, bands)
     Dedup.assignAgainstIndexes(
       store.read(s"${prefix}_exact", exactSchema),
       store.read(s"${prefix}_shingles", shingleSchema),
       store.read(s"${prefix}_bands", bandSchema),
       batch, textCol, idCol, shingleSize, numHashes, bands, threshold,
       maxIter)
+  }
 
   /** Append accepted new corpus members (novel self-representatives of an
     * [[assign]] result, with their text re-attached) to all three
-    * indexes. Appends are plain parquet file adds — no read-modify-write
-    * of the existing index data, so the per-batch maintenance cost is
-    * proportional to the BATCH, not the corpus. */
+    * indexes. Appends are file publications tagged by `batchTag` — no
+    * read-modify-write of the existing index data, so the per-batch
+    * maintenance cost is proportional to the BATCH, not the corpus, and
+    * re-publishing the same tag REPLACES the previous attempt's files
+    * instead of duplicating them (replay-safe; pair with [[clearBatch]]
+    * at batch start for exactly-once effects under foreachBatch's
+    * at-least-once delivery). */
   def append(store: Store, prefix: String, accepted: DataFrame,
-      textCol: String, idCol: String, shingleSize: Int = 3,
-      numHashes: Int = 32, bands: Int = 8): Unit = {
+      textCol: String, idCol: String, batchTag: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8): Unit = {
+    checkMeta(store, prefix, shingleSize, numHashes, bands)
     val (exact, rows) = indexRows(accepted, textCol, idCol, shingleSize)
     val r = rows.persist()
-    appendTo(store, s"${prefix}_exact", exact)
-    appendTo(store, s"${prefix}_shingles", r)
-    appendTo(store, s"${prefix}_bands",
-      Dedup.portableBandRows(r, numHashes, bands).toDF("cid", "band", "bsig"))
+    FsUtils.publishBatch(exact, store.path(s"${prefix}_exact"), batchTag)
+    FsUtils.publishBatch(r, store.path(s"${prefix}_shingles"), batchTag)
+    FsUtils.publishBatch(
+      Dedup.portableBandRows(r, numHashes, bands).toDF("cid", "band", "bsig"),
+      store.path(s"${prefix}_bands"), batchTag)
     r.unpersist(false)
   }
 
-  private def appendTo(store: Store, table: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).parquet(store.path(table))
+  /** Purge every index file a previous attempt of `batchTag` published —
+    * the batch-start half of the replay-safety contract: a half-applied
+    * append from a crashed attempt must not be visible to the replayed
+    * batch's [[assign]]. */
+  def clearBatch(store: Store, prefix: String, batchTag: String): Unit =
+    Seq("_exact", "_shingles", "_bands").foreach(sfx =>
+      FsUtils.clearBatch(store.path(s"$prefix$sfx"), batchTag))
 }

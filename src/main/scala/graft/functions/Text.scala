@@ -80,21 +80,6 @@ object Text {
     aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L)
   }
 
-  /** High-frequency character-trigram profiles per language — the
-    * classic n-gram text-categorization approach (Cavnar & Trenkle 1994,
-    * "N-Gram-Based Text Categorization"). Profiles are small public
-    * linguistic constants; the Seq order fixes the argmax tie-break.
-    * zh is the romanized (pinyin) profile — the synthetic corpus is
-    * ASCII. This short hit-count form stays as the cheap MAP-SIDE
-    * prefilter (one codegen'd scan, no shuffle); the classifier proper
-    * is the rank-distance pipeline over [[langProfilesRanked]]. */
-  val langProfiles: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "ein", "ich", "sch", "und", "die", "cht", "gen"),
-    "en" -> Seq("the", " th", "he ", "and", "ing", " an", "ion", " of"),
-    "es" -> Seq(" la", "los", "del", "que", "ado", "cio", " es", "nte"),
-    "fr" -> Seq("les", " le", " qu", "ent", "ait", "eur", "oir", "ois"),
-    "zh" -> Seq("shi", "zhe", "ang", "eng", "ong", "ian", "uan", "hao"))
-
   /** RANK-ORDERED character-trigram profiles (most frequent first,
     * spaces significant) for Cavnar-Trenkle out-of-place scoring —
     * approximate public frequency rankings, wide enough (~40/lang) to
@@ -142,28 +127,6 @@ object Text {
     when(length(s) >= 3,
       transform(sequence(lit(1), length(s) - 2), i => s.substr(i, lit(3))))
       .otherwise(array().cast("array<string>"))
-
-  /** Stable argmax: first label (in seq order) whose score >= every later
-    * score — deterministic and replayable as a SQL CASE chain. */
-  private def stableArgmax(scores: Seq[(String, Column)]): Column =
-    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
-      case ((((lang, s)), i), rest) =>
-        val laterMax = scores.drop(i + 1).map(_._2).reduce((a, b) => greatest(a, b))
-        when(s >= laterMax, lit(lang)).otherwise(rest)
-    }
-
-  /** Trigram-profile language ID over a PRE-BOUND trigram-array column
-    * ([[charTrigrams]] of the lowercased text): score = count of trigram
-    * positions hitting each language's profile, stable argmax in profile
-    * order. Pure column expressions — no UDF, no shuffle, linear in text
-    * length. (A literal-map index variant was measured at parity — the
-    * map constant-folds to a literal probed linearly, same cost as the
-    * isin chain — so the simpler form stays.) */
-  def langIdTrigrams(tg: Column,
-      profiles: Seq[(String, Seq[String])] = langProfiles): Column =
-    stableArgmax(profiles.map { case (lang, tris) =>
-      lang -> size(filter(tg, t => t.isin(tris.map(lit): _*)))
-    })
 
   /** Quality signals: share of alphabetic chars, mean word length — kept
     * as exact integer numerators/denominators for oracle-stable output. */

@@ -250,7 +250,10 @@ object RelationalOps {
     .empty[(SparkSession, String), (String, String)]
 
   def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val (tli, to) = bucketFixture.getOrElseUpdate((spark, dir), {
+    // synchronized: TrieMap.getOrElseUpdate may run a racing builder
+    // twice and discard one — these builders write real tables
+    val (tli, to) = bucketFixture.synchronized {
+      bucketFixture.getOrElseUpdate((spark, dir), {
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = SourceSinkOps.tmp("bucketed", dir)
       val (nli, no) = (s"b_lineitem_$sfx", s"b_orders_$sfx")
@@ -262,7 +265,7 @@ object RelationalOps {
             col("o_totalprice")),
         no, 8, Seq("k"), Some(s"$base/o"))
       (nli, no)
-    })
+    })}
     val j = Bucketing.coLocatedJoin(spark, tli, to, Seq("k"))
     require(Bucketing.exchangeCount(j) == 0,
       "bucketed co-located join planned a shuffle exchange")

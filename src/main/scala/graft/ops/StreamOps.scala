@@ -76,13 +76,7 @@ object StreamOps {
       val base = SourceSinkOps.tmp("stream", dir)
       // clean slate: a partially-built fixture (stale stream checkpoints
       // from an interrupted attempt) must not leak into this build
-      def del(f: java.io.File): Unit = if (f.exists()) {
-        // listFiles() is null on an unreadable dir or one deleted mid-walk
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-        f.delete(); ()
-      }
-      del(new java.io.File(base))
+      graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
       val bLanding = s"$base/landing_b"
       val aLanding = s"$base/landing_a"
       writeLanding(ParseOps.bdeckLines(spark, dir), bLanding)

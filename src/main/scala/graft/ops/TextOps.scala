@@ -98,8 +98,7 @@ object TextOps {
     * Scale shape: explode + two keyed aggregations + a broadcast join
     * against the literal profile table — linear in corpus size,
     * partial-agg friendly, no UDFs. The scoring window (first 96 chars)
-    * bounds per-doc work. The pure-column hit-count variant
-    * ([[Text.langIdTrigrams]]) remains as the map-side prefilter. */
+    * bounds per-doc work. */
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
@@ -384,13 +383,17 @@ object TextOps {
     .empty[(SparkSession, String), graft.pipeline.Store]
 
   def dedupIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val store = cidxCache.getOrElseUpdate((spark, dir), {
-      val st = new graft.pipeline.Store(spark, SourceSinkOps.tmp("cidx", dir))
-      graft.dedup.CorpusIndex.build(st, "corpus",
-        load(spark, dir, "documents").filter(col("doc_id") % 5 =!= 0),
-        "text", "doc_id")
-      st
-    })
+    // synchronized: the builder writes real index tables; a racing
+    // duplicate build must not interleave with the winner's reads
+    val store = cidxCache.synchronized {
+      cidxCache.getOrElseUpdate((spark, dir), {
+        val st = new graft.pipeline.Store(spark, SourceSinkOps.tmp("cidx", dir))
+        graft.dedup.CorpusIndex.build(st, "corpus",
+          load(spark, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+          "text", "doc_id")
+        st
+      })
+    }
     graft.dedup.CorpusIndex.assign(store, "corpus",
         load(spark, dir, "documents").filter(col("doc_id") % 5 === 0),
         "text", "doc_id", threshold = 0.2, maxIter = 20)
@@ -474,14 +477,12 @@ object TextOps {
     .empty[(SparkSession, String), graft.pipeline.Store]
 
   def dedupStreamIngest(spark: SparkSession, dir: String): DataFrame = {
-    val store = sdedupCache.getOrElseUpdate((spark, dir), {
+    // synchronized: a racing duplicate builder would run a second stream
+    // against the same checkpoint dir and store
+    val store = sdedupCache.synchronized {
+      sdedupCache.getOrElseUpdate((spark, dir), {
       val base = SourceSinkOps.tmp("sdedup", dir)
-      def del(f: java.io.File): Unit = if (f.exists()) {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-        f.delete(); ()
-      }
-      del(new java.io.File(base))
+      graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
       val docs = load(spark, dir, "documents")
       val st = new graft.pipeline.Store(spark, s"$base/store")
       graft.dedup.CorpusIndex.build(st, "c",
@@ -496,7 +497,10 @@ object TextOps {
           .filter(_.getName.endsWith(".parquet")).head
         val dst = new java.io.File(s"$landing/$name")
         java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(mtime); ()
+        // the whole micro-batch ORDER rests on these mtimes (the file
+        // source sorts by modification time) — fail loudly, don't flake
+        require(dst.setLastModified(mtime),
+          s"could not pin mtime on $dst — batch order would be undefined")
       }
       val docsBT = docs.select(col("doc_id"), col("text"))
       val t0 = 1700000000000L // any fixed epoch — only the ORDER matters
@@ -516,7 +520,7 @@ object TextOps {
         docsBT.schema, st, "c", s"$base/ck", "text", "doc_id",
         threshold = 0.2, maxIter = 20).awaitTermination()
       st
-    })
+    })}
     spark.read.parquet(store.path("decisions")).orderBy("doc_id")
   }
 

@@ -44,15 +44,7 @@ final class Store(spark: SparkSession, root: String) {
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage)
     val target = new java.io.File(path(table))
-    if (target.exists()) {
-      def del(f: java.io.File): Unit = {
-        // listFiles() is null on an unreadable dir or one deleted mid-walk
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
-        f.delete()
-      }
-      del(target)
-    }
+    if (target.exists()) FsUtils.deleteRecursively(target)
     new java.io.File(stage).renameTo(target)
   }
 

@@ -1,12 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.dedup.CorpusIndex
-import graft.pipeline.Store
+import graft.pipeline.{FsUtils, Store}
 
 /** Continuous corpus ingestion with near-dup gating — the streaming form
   * of [[CorpusIndex]]'s build/assign/append lifecycle: each micro-batch
@@ -40,23 +40,31 @@ object StreamingDedup {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         val b = batch.localCheckpoint() // distributed, lineage-truncated
         if (!b.isEmpty) {
+          // foreachBatch is AT-LEAST-ONCE: a crash between the decision
+          // write and the checkpoint commit replays this batch id. All
+          // effects are therefore keyed by batch id and re-published,
+          // not blindly appended — and any half-applied index files from
+          // a previous attempt are purged BEFORE the assign, so the
+          // replayed decision can't see (and self-match against) them.
+          val tag = bid.toString
+          CorpusIndex.clearBatch(store, prefix, tag)
+          FsUtils.clearBatch(store.path(decisionsTable), tag)
           // pin the decision BEFORE mutating the indexes: the assign plan
           // reads the index parquet, and the accepted-set derivation must
           // see the pre-append decision, not a re-planned one
           val res = CorpusIndex.assign(store, prefix, b, textCol, idCol,
             shingleSize, numHashes, bands, threshold, maxIter)
             .localCheckpoint()
-          res.write.mode(SaveMode.Append)
-            .parquet(store.path(decisionsTable))
+          FsUtils.publishBatch(res, store.path(decisionsTable), tag)
           // accepted new corpus members = novel self-representatives
           val accepted = b.join(
             res.filter(col("matched") === "novel"
                 && col("assigned") === col(idCol))
               .select(idCol), Seq(idCol))
-          CorpusIndex.append(store, prefix, accepted, textCol, idCol,
+          CorpusIndex.append(store, prefix, accepted, textCol, idCol, tag,
             shingleSize, numHashes, bands)
         }
         ()

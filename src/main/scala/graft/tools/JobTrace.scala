@@ -34,6 +34,9 @@ object JobTrace {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async — give queued JobEnd events time to
+      // drain before reading/clearing, or jobs bleed into the next run
+      Thread.sleep(1000)
       println(f"run $r: $dt%.2fs, ${jobLog.size} jobs")
       jobLog.reverse.foreach(println)
     }

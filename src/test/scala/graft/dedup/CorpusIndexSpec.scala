@@ -42,7 +42,7 @@ class CorpusIndexSpec extends AnyFunSuite {
 
     // append the accepted novel representative (its own group rep)
     CorpusIndex.append(st, "c",
-      b1.filter(col("doc_id") === 21L), "text", "doc_id")
+      b1.filter(col("doc_id") === 21L), "text", "doc_id", batchTag = "b1")
 
     // batch 2: an exact copy and a near-dup of the appended doc
     val b2 = Seq(
@@ -63,9 +63,26 @@ class CorpusIndexSpec extends AnyFunSuite {
     val before = spark.read.parquet(st.path("c_shingles")).count()
     CorpusIndex.append(st, "c",
       Seq((40L, "fresh appended payload with brand new shingles"))
-        .toDF("doc_id", "text"), "text", "doc_id")
+        .toDF("doc_id", "text"), "text", "doc_id", batchTag = "b1")
     val after = spark.read.parquet(st.path("c_shingles"))
     assert(after.count() > before)
     assert(after.filter(col("id") < 40L).count() == before)
+    // replaying the SAME batch tag republishes instead of duplicating
+    val n1 = after.count()
+    CorpusIndex.append(st, "c",
+      Seq((40L, "fresh appended payload with brand new shingles"))
+        .toDF("doc_id", "text"), "text", "doc_id", batchTag = "b1")
+    assert(spark.read.parquet(st.path("c_shingles")).count() == n1)
+  }
+
+  test("assign rejects mismatched signature-space parameters") {
+    val st = store()
+    CorpusIndex.build(st, "c", corpus, "text", "doc_id",
+      numHashes = 32, bands = 8)
+    val b = Seq((50L, "whatever text this is")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusIndex.assign(st, "c", b, "text", "doc_id", numHashes = 64)
+    }
+    assert(e.getMessage.contains("was built with"))
   }
 }

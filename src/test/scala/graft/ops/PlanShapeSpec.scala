@@ -43,6 +43,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"), s)
   }
 
+  /** Structural assertion on the join operator itself (not a plan-string
+    * heuristic): the first BroadcastHashJoin's BUILD side must be the
+    * subtree that outputs the batch attribute `bid` — a plan
+    * broadcasting the corpus (`cid`) side fails this even if attribute
+    * naming shifts. Executes the frame first (AQE finalizes plans at
+    * run time), then unwraps adaptive/stage nodes. */
+  private def assertBroadcastsBatchSide(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    df.collect()
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case _ => p.children.flatMap(all)
+    })
+    val bhjs = all(df.queryExecution.executedPlan)
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(bhjs.nonEmpty, df.queryExecution.executedPlan.toString())
+    val j = bhjs.head
+    val build = if (j.buildSide == BuildLeft) j.left else j.right
+    val names = build.output.map(_.name)
+    assert(names.exists(_.startsWith("bid")) && !names.exists(_.startsWith("cid")),
+      s"broadcast side outputs $names — expected the batch (bid) side")
+  }
+
   test("incremental-dedup candidate join broadcasts the batch band rows") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, dir, "documents")
@@ -58,30 +85,8 @@ class PlanShapeSpec extends AnyFunSuite {
       .toDF("bid", "band", "bsig")
     val cBand = graft.dedup.Dedup.portableBandRows(rows(docs), 32, 8)
       .toDF("cid", "band", "bsig")
-    val df = bBand.join(cBand, Seq("band", "bsig"))
-      .select("bid", "cid").distinct()
-    df.collect()
-    // structural assertion on the join operator itself (not a plan-string
-    // heuristic): the BroadcastHashJoin's BUILD side must be the subtree
-    // that outputs the batch attribute `bid` — a plan broadcasting the
-    // corpus side fails this even if attribute naming shifts
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
-    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
-      case q: QueryStageExec => all(q.plan)
-      case _ => p.children.flatMap(all)
-    })
-    val bhjs = all(df.queryExecution.executedPlan)
-      .collect { case j: BroadcastHashJoinExec => j }
-    assert(bhjs.nonEmpty, df.queryExecution.executedPlan.toString())
-    val j = bhjs.head
-    val build = if (j.buildSide == BuildLeft) j.left else j.right
-    val names = build.output.map(_.name)
-    assert(names.exists(_.startsWith("bid")) && !names.exists(_.startsWith("cid")),
-      s"broadcast side outputs $names — expected the batch (bid) side")
+    assertBroadcastsBatchSide(bBand.join(cBand, Seq("band", "bsig"))
+      .select("bid", "cid").distinct())
   }
 
   test("persisted band-index join broadcasts the batch side (CorpusIndex.assign shape)") {
@@ -103,26 +108,8 @@ class PlanShapeSpec extends AnyFunSuite {
       .toDF("bid", "band", "bsig")
     val cBand = spark.read.parquet(store.path("c_bands"))
       .toDF("cid", "band", "bsig")
-    val df = bBand.join(cBand, Seq("band", "bsig"))
-      .select("bid", "cid").distinct()
-    df.collect()
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
-    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
-      case q: QueryStageExec => all(q.plan)
-      case _ => p.children.flatMap(all)
-    })
-    val bhjs = all(df.queryExecution.executedPlan)
-      .collect { case j: BroadcastHashJoinExec => j }
-    assert(bhjs.nonEmpty, df.queryExecution.executedPlan.toString())
-    val j = bhjs.head
-    val build = if (j.buildSide == BuildLeft) j.left else j.right
-    val names = build.output.map(_.name)
-    assert(names.exists(_.startsWith("bid")) && !names.exists(_.startsWith("cid")),
-      s"broadcast side outputs $names — expected the batch (bid) side")
+    assertBroadcastsBatchSide(bBand.join(cBand, Seq("band", "bsig"))
+      .select("bid", "cid").distinct())
   }
 
   test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
