@@ -8,9 +8,19 @@ import org.apache.spark.sql.SparkSession
   * JIT/codegen AND populates any memoized fixture state (generated deck
   * lines, the ref-track store) at the scale being measured, so the timed
   * runs measure engine throughput on the operator — not one-time codegen
-  * or fixture construction. The target-SF run is then timed twice and the
-  * MIN reported — steady-state throughput, robust to one-off JIT/GC/
-  * scheduler stalls on a contended host.
+  * or fixture construction. Timed repeats (default 3) are then run
+  * ROUND-ROBIN across the whole suite — repeat 1 of every query, then
+  * repeat 2 of every query, ... — and the per-query MIN reported. Why
+  * interleaved rather than back-to-back: the round-7 driver run hit a
+  * multi-minute host-contention window that inflated a contiguous
+  * alphabetical span of queries up to 87x; with back-to-back repeats
+  * both samples of an affected query sit inside the same window, so
+  * min-of-N is no defense. Interleaving spaces a query's samples the
+  * whole suite apart (~1 min+), so a window inflates ONE sample of many
+  * queries instead of ALL samples of a few, and the min recovers the
+  * clean number. Per-repeat durations and suite-relative start offsets
+  * are written to the detail file so a contiguous slow span is
+  * self-diagnosing from the artifact alone.
   *
   * Regression tripwire: before overwriting bench_full.json the previous
   * round's per-query map is loaded and every DRIFT-CORRECTED mover
@@ -49,18 +59,23 @@ object Bench {
       try parseQueries(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench_full.json")), "UTF-8"))
       catch { case _: Throwable => Map.empty }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => only(q._1)).map { case (name, fn) =>
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => only(q._1))
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      val timed = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> timed.min
+    qs.foreach { case (_, fn) => runOnce(fn) } // warm pass, untimed
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(3)
+    val samples = Array.fill(qs.size)(Array.fill(repeats)(0.0))
+    val starts = Array.fill(qs.size)(Array.fill(repeats)(0.0))
+    val suiteT0 = System.nanoTime()
+    for (r <- 0 until repeats; i <- qs.indices) {
+      starts(i)(r) = (System.nanoTime() - suiteT0) / 1e9
+      val t0 = System.nanoTime()
+      runOnce(qs(i)._2)
+      samples(i)(r) = (System.nanoTime() - t0) / 1e9
     }
+    val results = qs.indices.map(i => qs(i)._1 -> samples(i).min)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full per-query detail goes to a file (and an early log line): the
     // harness only retains the LAST ~2000 chars of stdout, so the line it
@@ -70,11 +85,24 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    // Detail line adds per-repeat samples and suite-relative start offsets
+    // (file only — stdout stays compact): a contention window shows up as
+    // one inflated sample column across a contiguous start-offset span.
+    val perRepeat = qs.indices.map { i =>
+      "\"" + qs(i)._1 + "\":[" +
+        samples(i).map(s => f"$s%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val startOffsets = qs.indices.map { i =>
+      "\"" + qs(i)._1 + "\":[" +
+        starts(i).map(s => f"$s%.1f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val detailLine = fullLine.dropRight(1) +
+      s""","repeats":$repeats,"samples":$perRepeat,"starts":$startOffsets}"""
     val outFile =
       if (filtered.isDefined) "bench_filtered.json" else "bench_full.json"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
-      (fullLine + "\n").getBytes("UTF-8"))
+      (detailLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(fullLine)
     // Tripwire vs the previous full-suite run, DRIFT-CORRECTED: uniform
@@ -110,6 +138,11 @@ object Bench {
         f" SUITE-WIDE SHIFT ${med}%.2fx — global regression or host change?" else ""
       println(f"TRIPWIRE$tag: suite median ratio ${med}%.2fx over ${ratios.size} queries; ${movers.size} movers.$alarm")
       movers.foreach(m => println("  " + m))
+    } else if (prev.nonEmpty) {
+      // A baseline exists but shares no comparable queries (renames, or
+      // everything under the 0.05s floor): say so explicitly — silence
+      // here is indistinguishable from a clean run.
+      println("TRIPWIRE: no comparable queries vs baseline — regression check did NOT run.")
     }
     spark.stop()
     // Compact summary line, printed LAST: total over ALL queries, plus the
