@@ -48,17 +48,28 @@ object CorpusIndex {
     * require-checked on every assign/append: a mismatched caller would
     * otherwise silently match nothing on the band join (different bsig
     * lengths) and, worse, append incompatible signatures the index can
-    * never query correctly again. */
+    * never query correctly again.
+    *
+    * The stored triple is cached per meta-table path after the first
+    * read — the parameters are immutable for the life of a built index
+    * ([[build]] invalidates on rebuild), and the per-call collect was a
+    * measurable fixed cost at the head of every [[assign]], i.e. of
+    * every streaming micro-batch. */
+  private val metaCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Int, Int)]
+
   private def checkMeta(store: Store, prefix: String, shingleSize: Int,
       numHashes: Int, bands: Int): Unit = {
-    val rows = store.read(s"${prefix}_meta", metaSchema).collect()
-    require(rows.nonEmpty,
-      s"corpus index '$prefix' has no ${prefix}_meta table — built by an incompatible version?")
-    val m = rows.head
-    require(m.getInt(0) == shingleSize && m.getInt(1) == numHashes
-        && m.getInt(2) == bands,
-      s"corpus index '$prefix' was built with (shingleSize=${m.getInt(0)}, " +
-        s"numHashes=${m.getInt(1)}, bands=${m.getInt(2)}); caller passed " +
+    val stored = metaCache.getOrElseUpdate(store.path(s"${prefix}_meta"), {
+      val rows = store.read(s"${prefix}_meta", metaSchema).collect()
+      require(rows.nonEmpty,
+        s"corpus index '$prefix' has no ${prefix}_meta table — built by an incompatible version, or a rebuild died mid-replace?")
+      val m = rows.head
+      (m.getInt(0), m.getInt(1), m.getInt(2))
+    })
+    require(stored == ((shingleSize, numHashes, bands)),
+      s"corpus index '$prefix' was built with (shingleSize=${stored._1}, " +
+        s"numHashes=${stored._2}, bands=${stored._3}); caller passed " +
         s"($shingleSize, $numHashes, $bands)")
   }
 
@@ -73,10 +84,21 @@ object CorpusIndex {
     (exact, rows)
   }
 
-  /** One-time full-corpus index build (replaces any existing tables). */
+  /** One-time full-corpus index build (replaces any existing tables).
+    *
+    * Rebuild atomicity: the `_meta` table is DELETED first and written
+    * LAST. A rebuild over an existing prefix replaces the three data
+    * tables one by one; without this ordering a crash mid-replace would
+    * leave the OLD meta (same parameters) readable over a
+    * mixed-generation index, which [[checkMeta]] would accept and
+    * [[assign]] silently mis-match against. With it, a half-replaced
+    * index has no meta and fails loudly on the next use. */
   def build(store: Store, prefix: String, corpus: DataFrame,
       textCol: String, idCol: String, shingleSize: Int = 3,
       numHashes: Int = 32, bands: Int = 8): Unit = {
+    metaCache.remove(store.path(s"${prefix}_meta"))
+    FsUtils.deleteRecursively(
+      new java.io.File(store.path(s"${prefix}_meta")))
     val (exact, rows) = indexRows(corpus, textCol, idCol, shingleSize)
     val r = rows.persist() // feeds both the shingle and the band table
     store.write(s"${prefix}_exact", exact)

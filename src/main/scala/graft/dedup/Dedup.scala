@@ -413,92 +413,118 @@ object Dedup {
       textCol: String, idCol: String,
       shingleSize: Int, numHashes: Int, bands: Int,
       threshold: Double, maxIter: Int): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
     val b = batch.select(col(idCol).as("id"), col(textCol).as("t"))
 
     // Materialization strategy (measured, not guessed): frames that
-    // cross ACTION boundaries (the novel probe, the closure loop, the
-    // caller's final write) carry an EAGER localCheckpoint — truncated
+    // cross ACTION boundaries carry an EAGER localCheckpoint — truncated
     // LogicalRDD leaves keep every downstream plan small, which is what
     // bounds driver-side analysis + AQE per-stage re-optimization (a
     // persist()-based variant kept full logical plans and measured 3-5x
-    // slower on pure driver overhead). Frames referenced multiple times
-    // WITHIN one action (cand, the corpus rows inside `near`) get
-    // nothing: AQE's query-stage cache reuses their identical exchange
-    // subtrees inside that action.
+    // slower on pure driver overhead). The round-7 shape paid those
+    // checkpoints as ~9 SEQUENTIAL driver barriers (TimeParts: exec
+    // 0.5-0.7 s, the rest barrier latency — a cost every micro-batch of
+    // StreamingDedup.corpusIngest repeats), so this shape halves the
+    // critical path by running independent chains as CONCURRENT driver
+    // jobs, two waves of two:
+    //   wave 1: {exact-match vs corpus} || {shingle all batch reps}
+    //   wave 2: {LSH verify vs corpus}  || {batch-local rep pair edges}
     //
     // batch exact collapse to representatives — window-min over the
-    // content hash: one shuffle, no self-join. Materialized once: four
-    // separate actions consume it, and at production batch sizes four
-    // scan+window recomputes cost more than the one barrier (a lazy
-    // variant measured neutral at toy scale).
+    // content hash: one shuffle, no self-join. LAZY: its recomputes land
+    // inside wave-1's two CONCURRENT jobs (plus the final assembly), so
+    // a dedicated barrier here would serialize more latency than the
+    // duplicated window costs — the wave-1 jobs were already scanning
+    // the batch.
     val bToRep = b
       .select(col("id"), sha2(col("t"), 256).as("__h"))
       .select(col("id"), col("__h"), min("id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("__h"))
         .as("rep"))
-      .localCheckpoint()
     val bReps = bToRep.filter(col("id") === col("rep"))
     val repDocs = b.join(bReps.select("id"), Seq("id"))
 
-    // exact corpus assignment per batch representative — the hash was
-    // already computed in the rep collapse, reuse it. NOT checkpointed:
-    // both uses re-derive it as a broadcast join of two materialized
-    // leaves (a stage inside existing jobs, not another barrier).
-    // Forcing cexIn here is the from-scratch path's Await point — the
-    // corpus sha2 scan has been running since before bToRep's barrier.
-    val repExact = bReps.select(col("id"), col("__h"))
-      .join(cexIn, Seq("__h"))
-      .select(col("id"), col("cid"))
-    val rem = repDocs.join(repExact.select("id"), Seq("id"), "left_anti")
+    // wave 1 — exact corpus assignment per batch representative, and the
+    // shingle rows of ALL batch representatives (not just the
+    // non-exact remainder, which would chain it AFTER the exact join):
+    // independent of each other, materialized as concurrent driver jobs.
+    // Forcing cexIn inside the future is the from-scratch path's Await
+    // point — its corpus sha2 scan overlaps this whole wave.
+    val repExactF = Future {
+      bReps.select(col("id"), col("__h"))
+        .join(cexIn, Seq("__h"))
+        .select(col("id"), col("cid"))
+        .localCheckpoint()
+    }
+    val bRowsAllF = Future {
+      shingleStringRows(repDocs, "t", "id", shingleSize)
+        .select(col("id"), md5Hash60(col("sh")).as("h")).distinct()
+        .localCheckpoint()
+    }
+    val repExact = Await.result(repExactF, Duration.Inf)
+    val bRowsAll = Await.result(bRowsAllF, Duration.Inf)
+    // shingle rows of the non-exact remainder — a broadcast anti-join of
+    // two materialized leaves, re-derived inside wave-2's jobs
+    val bRows = bRowsAll.join(repExact.select("id"), Seq("id"), "left_anti")
 
-    // band-collision candidates against the corpus signature index.
-    // bRows crosses actions (the near materialization AND the novel edge
-    // computation) — cached; cand's three references all live inside the
-    // near plan — stage reuse covers it
-    val bRows = shingleStringRows(rem, "t", "id", shingleSize)
-      .select(col("id"), md5Hash60(col("sh")).as("h")).distinct()
-      .localCheckpoint()
-    val cand = portableBandRows(bRows, numHashes, bands)
-        .toDF("bid", "band", "bsig")
-      .join(cBandIn, Seq("band", "bsig"))
-      .select("bid", "cid").distinct()
-
-    // verify candidates with exact Jaccard; corpus shingles materialize
-    // only for the candidate docs
-    val cRowsCand = cRowsIn
-      .join(cand.select(col("cid").as("id")).distinct(), Seq("id"))
-    val bSz = bRows.groupBy("id").agg(count(lit(1)).as("sz_b"))
-      .withColumnRenamed("id", "bid")
-    val cSz = cRowsCand.groupBy("id").agg(count(lit(1)).as("sz_c"))
-      .withColumnRenamed("id", "cid")
-    val near = cand
-      .join(bRows.toDF("bid", "h"), Seq("bid"))
-      .join(cRowsCand.toDF("cid", "h"), Seq("cid", "h"))
-      .groupBy("bid", "cid").agg(count(lit(1)).as("ni"))
-      .join(bSz, Seq("bid"))
-      .join(cSz, Seq("cid"))
-      .filter(col("ni") / (col("sz_b") + col("sz_c") - col("ni"))
-        >= threshold)
-      .groupBy("bid").agg(min("cid").as("cid"))
-      .localCheckpoint()
+    // wave 2 — corpus near-match verify and batch-local pair edges:
+    // independent of each other, concurrent. Edges are computed over ALL
+    // remainder reps and filtered to novel endpoints afterwards — pair
+    // existence (band collision + Jaccard) is pairwise, so the filtered
+    // set is identical to computing over the novel set directly, and it
+    // unchains the edge work from `near`'s barrier.
+    val nearF = Future {
+      // band-collision candidates; cand's references all live inside
+      // this one action — AQE stage reuse covers them
+      val cand = portableBandRows(bRows, numHashes, bands)
+          .toDF("bid", "band", "bsig")
+        .join(cBandIn, Seq("band", "bsig"))
+        .select("bid", "cid").distinct()
+      // verify candidates with exact Jaccard; corpus shingles
+      // materialize only for the candidate docs
+      val cRowsCand = cRowsIn
+        .join(cand.select(col("cid").as("id")).distinct(), Seq("id"))
+      val bSz = bRows.groupBy("id").agg(count(lit(1)).as("sz_b"))
+        .withColumnRenamed("id", "bid")
+      val cSz = cRowsCand.groupBy("id").agg(count(lit(1)).as("sz_c"))
+        .withColumnRenamed("id", "cid")
+      cand
+        .join(bRows.toDF("bid", "h"), Seq("bid"))
+        .join(cRowsCand.toDF("cid", "h"), Seq("cid", "h"))
+        .groupBy("bid", "cid").agg(count(lit(1)).as("ni"))
+        .join(bSz, Seq("bid"))
+        .join(cSz, Seq("cid"))
+        .filter(col("ni") / (col("sz_b") + col("sz_c") - col("ni"))
+          >= threshold)
+        .groupBy("bid").agg(min("cid").as("cid"))
+        .localCheckpoint()
+    }
+    val remPairsF = Future {
+      portablePairsFromRows(bRows, numHashes, bands, threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    }
+    val near = Await.result(nearF, Duration.Inf)
+    val remPairs = Await.result(remPairsF, Duration.Inf)
 
     // batch-local closure over what matched nothing. Not checkpointed —
-    // every consumer re-derives it from materialized leaves (batch scan
-    // + three broadcast-sized joins); the isEmpty probe short-circuits
-    // the novel closure BEFORE any edge banding/verify work when every
-    // rep matched the corpus.
+    // every consumer re-derives it from materialized leaves; the former
+    // novel.isEmpty pre-probe is gone (one fewer barrier) because
+    // propagateMinLabels' own empty-edge probe short-circuits the loop,
+    // and the edge work it guarded already ran concurrently in wave 2.
+    val rem = repDocs.join(repExact.select("id"), Seq("id"), "left_anti")
     val novel = rem.join(near.select(col("bid").as("id")), Seq("id"),
       "left_anti")
-    val labels =
-      if (novel.isEmpty)
-        novel.select(col("id"), col("id").as("label")).limit(0)
-      else
-        propagateMinLabels(
-          portablePairsFromRows(
-              bRows.join(novel.select("id"), Seq("id")), numHashes, bands,
-              threshold)
-            .select("id_a", "id_b"),
-          maxIter)
+    val novelIds = novel.select("id")
+    val labels = propagateMinLabels(
+      remPairs
+        .join(novelIds.toDF("id_a"), Seq("id_a"), "left_semi")
+        .join(novelIds.toDF("id_b"), Seq("id_b"), "left_semi")
+        .select("id_a", "id_b"), // using-col joins reorder; restore (a, b)
+      maxIter)
 
     val repAssign = repExact
       .select(col("id"), col("cid").as("assigned"),
