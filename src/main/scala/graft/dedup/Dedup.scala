@@ -540,8 +540,66 @@ object Dedup {
       .select(col("id").as(idCol), col("assigned"), col("matched"))
   }
 
-  /** Embedding near-dup: cosine >= threshold within a blocking key (label
-    * here; at scale an LSH hyperplane bucket). */
+  /** Deterministic random-hyperplane tables, shared by the Spark path and
+    * the oracle's SQL replay — both must see the IDENTICAL draw sequence,
+    * so this is the single generation point (`tables` outer, then bits,
+    * then dims, one `nextGaussian` per coefficient). */
+  def hyperplaneTables(tables: Int, bitsPerTable: Int, dim: Int,
+      seed: Long): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bitsPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Embedding near-dup with INTERNAL hyperplane-LSH blocking — the
+    * default entry point: callers supply no blocking key and get
+    * banded-LSH candidate generation instead of an all-pairs join.
+    *
+    * Candidates are id pairs sharing a bucket in AT LEAST ONE of `tables`
+    * independent `bitsPerTable`-bit random-hyperplane tables; exact
+    * cosine then verifies every candidate. For a pair at angle theta,
+    * P(candidate) = 1 - (1 - (1 - theta/pi)^bitsPerTable)^tables — at the
+    * defaults (8 bits x 6 tables) a cosine-0.95 pair is recalled with
+    * p ~ 0.96, and misses decay geometrically in `tables`.
+    *
+    * 100 TB shape: bucket rows are (table, bucket, id) triples — vectors
+    * do NOT ride the candidate shuffle; the self-join is per-(table,
+    * bucket), pairs are distinct-ed as bare id pairs, and only then are
+    * the two vectors re-joined for the verify pass. Within-bucket work is
+    * quadratic in bucket occupancy, so `bitsPerTable` must grow with
+    * corpus size (~log2(N / target bucket size)); raise `tables` to buy
+    * recall back. The caller-block overload below remains for when a
+    * domain key (URL host, shard, label) already bounds the pair space. */
+  def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, dim: Int, bitsPerTable: Int, tables: Int,
+      seed: Long): DataFrame = {
+    import graft.functions.expressions.CosineSimilarity.cosineNative
+    import graft.functions.expressions.HyperplaneBuckets.bucketsNative
+    val planes = hyperplaneTables(tables, bitsPerTable, dim, seed)
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // all table buckets in ONE fused codegen'd loop per row (the composed
+    // hyperplaneBit form costs tables*bits interpreted HOF folds per row)
+    val bucketRows = base
+      .select(col("id"), bucketsNative(col("v"), planes).as("bkts"))
+      .select(col("id"), posexplode(col("bkts")).as(Seq("tbl", "bkt")))
+    val pairs = bucketRows.as("a")
+      .join(bucketRows.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("cos", cosineNative(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Embedding near-dup within a CALLER-SUPPLIED blocking key — all pairs
+    * inside a block are compared, so this is only safe when the key is
+    * known to bound block sizes (a low-cardinality key is quadratic at
+    * scale). Prefer the internal-LSH overload above when no such domain
+    * key exists. */
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     // cosine via the fused native expression (codegen'd single loop per

@@ -25,12 +25,72 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
-  /** Embedding near-dup pairs: cosine >= 0.9 within the same label block. */
+  /** Embedding near-dup pairs: cosine >= 0.9 within the same label block
+    * (the caller-block overload — `label` is a genuine domain key here). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(load(spark, dir, "embeddings"),
         "embedding", "vec_id", "label", threshold = 0.9)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
+
+  /** The driver's embeddings carry no pair above cosine ~0.52 at any SF,
+    * so a threshold-0.9 near-dup over the raw table is vacuous (the
+    * caller-block gate above inherits that — it validates the join shape
+    * on an empty survivor set). Like [[annIvfRecall]]'s planted clusters,
+    * this fixture PLANTS a deterministic twin (vec_id + 100000) for every
+    * vec_id < 50: coordinate j scaled by (1 + 0.001*(j mod 5)) — pure
+    * double arithmetic, replayed bit-for-bit by the oracle (DuckDB lambda
+    * index is 1-based; Spark's is 0-based, hence the (j+1) below). Twin
+    * pairs land at cosine ~0.999997; everything else stays far below
+    * threshold, so the LSH path must surface exactly the planted pairs. */
+  private def plantedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val twins = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          x * (lit(1.0) + lit(0.001) * (((j + lit(1)) % 5).cast("double"))))
+          .as("embedding"))
+    e.unionAll(twins)
+  }
+
+  /** Embedding near-dup with NO caller blocking key: the internal
+    * hyperplane-LSH path generates candidates (6 tables x 5 bits), exact
+    * cosine verifies, over [[plantedEmbeddings]]. Fully differential —
+    * the oracle replays the same seeded planes, the OR-of-tables
+    * candidate join, and the verify. */
+  def dedupEmbeddingAuto(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(plantedEmbeddings(spark, dir),
+        "embedding", "vec_id", threshold = 0.9, dim = 64,
+        bitsPerTable = 5, tables = 6, seed = 42)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+
+  /** Recall of the internal-LSH near-dup path against the exact all-pairs
+    * answer over [[plantedEmbeddings]], as one differential row (n_exact,
+    * n_recalled, recall) — the all-pairs side is the oracle baseline by
+    * design, same as [[annBruteForce]]. */
+  def dedupEmbeddingRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.CosineSimilarity.cosineNative
+    val base = plantedEmbeddings(spark, dir)
+    val ids = base.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val exact = ids.select(col("id").as("id_a"), col("v").as("v_a"))
+      .join(ids.select(col("id").as("id_b"), col("v").as("v_b")),
+        col("id_a") < col("id_b"))
+      .filter(cosineNative(col("v_a"), col("v_b")) >= 0.9)
+      .select("id_a", "id_b")
+    val lsh = Dedup.embeddingNearDup(base, "embedding", "vec_id",
+        threshold = 0.9, dim = 64, bitsPerTable = 5, tables = 6, seed = 42)
+      .select("id_a", "id_b")
+    val hit = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_recalled")))
+      .select(col("n_exact"), col("n_recalled"),
+        round(col("n_recalled").cast("double") /
+          when(col("n_exact") === 0, lit(null)).otherwise(col("n_exact")),
+          6).as("recall"))
+  }
 
   /** IVF top-3 at FULL probe (nProbe = #cells): every cell is scanned, so
     * the result is provably the exact brute-force answer and the whole
@@ -169,6 +229,68 @@ object VectorOps {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB bucket expressions for the internal-LSH near-dup path: one
+    * expression per hyperplane table, generated from the SAME
+    * [[Dedup.hyperplaneTables]] draw the Spark path uses (Double.toString
+    * literals round-trip exactly; list_reduce replays the left fold). */
+  private def nearDupBucketExprs(
+      tables: Int, bits: Int, dim: Int, seed: Long): Seq[String] =
+    Dedup.hyperplaneTables(tables, bits, dim, seed).map { tp =>
+      tp.zipWithIndex.map { case (p, i) =>
+        val lst = p.mkString("[", ", ", "]")
+        s"""(CASE WHEN list_reduce(
+           |      list_transform(generate_series(1, $dim), j -> v[j] * ($lst)[j]),
+           |      (a, x) -> a + x) >= 0
+           |    THEN 1::BIGINT ELSE 0::BIGINT END << $i)""".stripMargin
+      }.mkString(" +\n  ")
+    }
+
+  /** Shared WITH-clause prefix: the planted-twin fixture (mirrors
+    * [[plantedEmbeddings]]; DuckDB lambda index j is 1-based where
+    * Spark's is 0-based, so `j % 5` here pairs with `(j+1) % 5` there) +
+    * per-table hyperplane buckets bkt_0..bkt_{n-1}. */
+  private def nearDupBucketedCte: String = {
+    val exprs = nearDupBucketExprs(tables = 6, bits = 5, dim = 64, seed = 42)
+    val cols = exprs.zipWithIndex
+      .map { case (e, t) => s"$e AS bkt_$t" }.mkString(",\n  ")
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |tw AS (SELECT vec_id + 100000 AS vec_id,
+       |  list_transform(v, (x, j) -> x * (1.0 + 0.001 * CAST(j % 5 AS DOUBLE))) AS v
+       |  FROM e0 WHERE vec_id < 50),
+       |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM tw),
+       |b AS (SELECT vec_id, v,
+       |  $cols
+       |  FROM e)""".stripMargin
+  }
+
+  private def anyBucketMatch: String =
+    (0 until 6).map(t => s"a.bkt_$t = c.bkt_$t").mkString(" OR ")
+
+  private val dedupEmbeddingAutoOracle: String =
+    s"""WITH $nearDupBucketedCte,
+       |cand AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.v AS va, c.v AS vb
+       |  FROM b a JOIN b c ON a.vec_id < c.vec_id
+       |    AND ($anyBucketMatch))
+       |SELECT id_a, id_b, round(list_cosine_similarity(va, vb), 6) AS cos
+       |FROM cand WHERE list_cosine_similarity(va, vb) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val dedupEmbeddingRecallOracle: String =
+    s"""WITH $nearDupBucketedCte,
+       |exact AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM e a JOIN e c ON a.vec_id < c.vec_id
+       |    AND list_cosine_similarity(a.v, c.v) >= 0.9),
+       |cand AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM b a JOIN b c ON a.vec_id < c.vec_id
+       |    AND ($anyBucketMatch)
+       |    AND list_cosine_similarity(a.v, c.v) >= 0.9),
+       |hit AS (SELECT e.id_a, e.id_b FROM exact e
+       |  JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b)
+       |SELECT (SELECT count(*) FROM exact) AS n_exact,
+       |  (SELECT count(*) FROM hit) AS n_recalled,
+       |  round(CAST((SELECT count(*) FROM hit) AS DOUBLE) /
+       |    nullif((SELECT count(*) FROM exact), 0), 6) AS recall""".stripMargin
+
   /** Exact top-3 oracle — shared by brute force and full-probe IVF (at
     * nProbe = #cells the IVF candidate set is the whole corpus, so both
     * must produce the identical ranking). */
@@ -196,5 +318,9 @@ object VectorOps {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin), "dedup/embedding-cosine"),
+    QuerySpec("q_dedup_embedding_auto", dedupEmbeddingAuto,
+      Some(dedupEmbeddingAutoOracle), "dedup/embedding-lsh-auto"),
+    QuerySpec("q_dedup_embedding_recall", dedupEmbeddingRecall,
+      Some(dedupEmbeddingRecallOracle), "dedup/embedding-lsh-recall"),
   )
 }

@@ -71,6 +71,25 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L)))
   }
 
+  test("embedding near-dup with internal LSH blocking recalls planted twins") {
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(40)(Array.fill(16)(rnd.nextGaussian()))
+    // plant a near-identical twin (id + 1000) for the first 10 vectors
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      base.take(10).zipWithIndex.map { case (v, i) =>
+        (i + 1000L, v.zipWithIndex.map { case (x, j) =>
+          x * (1.0 + 0.002 * (j % 3)) }.toSeq)
+      }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+        threshold = 0.99, dim = 16, bitsPerTable = 4, tables = 6, seed = 42)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 10).map(i => (i.toLong, i + 1000L)).toSet
+    // every planted twin pair recalled; no far pair survives the verify
+    assert(planted.subsetOf(out), s"missed ${planted -- out}")
+    assert(out.forall { case (a, b) => planted.contains((a, b)) })
+  }
+
   test("ANN brute force returns exact neighbors; LSH recalls them") {
     val rnd = new scala.util.Random(7)
     val base = Seq.fill(30)(Array.fill(16)(rnd.nextGaussian().toFloat))
