@@ -524,6 +524,67 @@ object TextOps {
     spark.read.parquet(store.path("decisions")).orderBy("doc_id")
   }
 
+  /** The [[dedupStreamIngest]] fixture re-run with `compactEvery =
+    * Some(1)`: every micro-batch folds the index and decision batch
+    * files into one compacted generation (always excluding the current
+    * tag — the replay-fencing contract [[graft.dedup.CorpusIndex.compact]]
+    * documents). Shares the [[streamDedupOracle]]: compaction must be
+    * INVISIBLE in the decisions — same rows, same hashes — while the
+    * builder require-asserts it actually ran and bounded the file counts
+    * (without it this fixture leaves 2 batch drops per table; a
+    * long-running ingest leaves one per batch). */
+  def dedupStreamCompact(spark: SparkSession, dir: String): DataFrame = {
+    val store = sdedupCache.synchronized {
+      sdedupCache.getOrElseUpdate((spark, dir + "#compact"), {
+      val base = SourceSinkOps.tmp("sdedupc", dir)
+      graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+      val docs = load(spark, dir, "documents")
+      val st = new graft.pipeline.Store(spark, s"$base/store")
+      graft.dedup.CorpusIndex.build(st, "c",
+        docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+      val landing = s"$base/landing"
+      new java.io.File(landing).mkdirs()
+      def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmpd = s"$base/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+        val part = new java.io.File(tmpd).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$landing/$name")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(mtime),
+          s"could not pin mtime on $dst — batch order would be undefined")
+      }
+      val docsBT = docs.select(col("doc_id"), col("text"))
+      val t0 = 1700000000000L
+      writeBatchFile(docsBT.filter(col("doc_id") % 10 === 0), "b0.parquet", t0)
+      writeBatchFile(docsBT.filter(col("doc_id") % 10 === 5)
+          .unionAll(docsBT.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))),
+        "b1.parquet", t0 + 3600000L)
+      graft.streaming.StreamingDedup.corpusIngest(spark, landing,
+        docsBT.schema, st, "c", s"$base/ck", "text", "doc_id",
+        threshold = 0.2, maxIter = 20, compactEvery = Some(1))
+        .awaitTermination()
+      // compaction really ran and bounded the per-table file counts:
+      // each index table is down to one compacted generation plus the
+      // final (excluded) batch's files
+      Seq("c_exact", "c_shingles", "c_bands", "decisions").foreach { t =>
+        val files = Option(new java.io.File(st.path(t)).listFiles())
+          .getOrElse(Array.empty).map(_.getName)
+          .filter(_.endsWith(".parquet"))
+        require(files.exists(_.startsWith("compacted_")),
+          s"$t: compaction never produced a compacted generation")
+        // the bound: one compacted generation + the excluded (still
+        // replayable) final batch — nothing older survives as a drop
+        require(files.forall(n => n.startsWith("compacted_")
+            || n.startsWith("batch_1_")),
+          s"$t: stale uncompacted files: ${files.mkString(", ")}")
+      }
+      st
+    })}
+    spark.read.parquet(store.path("decisions")).orderBy("doc_id")
+  }
+
   // AS MATERIALIZED throughout: the decision body references its corpus
   // ~6 times, so an inlined acc0 (which embeds the ENTIRE d0 decision)
   // would replay d0 per reference — and per-reference parquet scans of
@@ -686,5 +747,7 @@ object TextOps {
       Some(incrementalOracle), "dedup/incremental-indexed"),
     QuerySpec("q_dedup_stream_ingest", dedupStreamIngest,
       Some(streamDedupOracle), "dedup/streaming-ingest"),
+    QuerySpec("q_dedup_stream_compact", dedupStreamCompact,
+      Some(streamDedupOracle), "dedup/streaming-ingest-compacted"),
   )
 }

@@ -26,8 +26,12 @@ final class Store(spark: SparkSession, root: String) {
     * Extra partition columns some callers append (e.g. season on the
     * ref-track steps) are still discovered and appended by Spark. */
   def read(table: String, schema: StructType): DataFrame =
-    if (exists(table)) spark.read.schema(schema).parquet(path(table))
-    else spark.createDataFrame(
+    if (exists(table)) {
+      // self-heal a compaction swap whose process died mid-way (cheap:
+      // one marker-existence check when nothing is pending)
+      recoverCompact(table)
+      spark.read.schema(schema).parquet(path(table))
+    } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Full-table replace (read-modify-write MERGE target). The frame is
@@ -87,5 +91,91 @@ final class Store(spark: SparkSession, root: String) {
       }
     writeStaged(table, planned,
       Map("maxRecordsPerFile" -> maxRecordsPerFile.toString))
+  }
+
+  /** Small-file compaction for a BATCH-PUBLISHED table (one
+    * `batch_<tag>_p*.parquet` drop per [[FsUtils.publishBatch]] call —
+    * the unbounded-growth pathology of a long-running ingest), preserving
+    * the batch-tag replay contract that [[compact]]'s full rewrite would
+    * break: every data file EXCEPT those of `excludeTags` is folded into
+    * `targetFiles` `compacted_<gen>_p*.parquet` files. Callers exclude
+    * any tag that could still be REPLAYED (under foreachBatch
+    * at-least-once, only the current batch — earlier ones are fenced by
+    * the checkpoint commit), so `FsUtils.clearBatch` on a replayed tag
+    * still removes exactly that batch's contribution.
+    *
+    * Crash-recoverable two-phase swap: the compacted output is fully
+    * staged under a hidden dir and renamed to deterministic part names,
+    * THEN a `_compacting` marker (generation + consumed file names) is
+    * written — the commit point — then consumed files are deleted and
+    * staged parts moved in. A crash before the marker changes nothing
+    * (orphan staging is purged on the next attempt); a crash after it is
+    * completed by [[recoverCompact]], which [[read]] runs automatically,
+    * because deletes of named files and moves of staged parts are both
+    * idempotent. Single-writer assumed, like every Store mutation; run
+    * it between micro-batches (e.g. inside foreachBatch) or offline —
+    * a concurrently EXECUTING query may hold the old file list. On an
+    * object store this two-phase swap would be a manifest commit
+    * instead; the marker file IS the manifest, scoped to one swap. */
+  def compactBatched(table: String, schema: StructType,
+      excludeTags: Set[String], targetFiles: Int = 1): Unit = {
+    recoverCompact(table)
+    val dir = new java.io.File(path(table))
+    if (!dir.exists()) return
+    val excludedPrefixes = excludeTags.map(t => s"batch_${t}_")
+    val consumed = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet")
+        && !excludedPrefixes.exists(f.getName.startsWith))
+      .sortBy(_.getName)
+    // batch drops are ALWAYS worth folding (they are the unbounded
+    // growth, and folding retires their tags); short-circuit only an
+    // already-compacted state
+    val hasBatchFiles = consumed.exists(_.getName.startsWith("batch_"))
+    if (consumed.isEmpty || (!hasBatchFiles && consumed.length <= targetFiles))
+      return
+    val gen = 1L + Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "compacted_(\\d+)_".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toLong)).foldLeft(0L)(math.max)
+    val stage = new java.io.File(dir, ".compact_stage")
+    FsUtils.deleteRecursively(stage)
+    spark.read.schema(schema).parquet(consumed.map(_.getPath).toSeq: _*)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(stage.getPath)
+    Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+      .foreach { case (p, i) =>
+        java.nio.file.Files.move(p.toPath,
+          new java.io.File(stage, s"c_p$i.parquet").toPath)
+      }
+    val marker = new java.io.File(dir, "_compacting")
+    java.nio.file.Files.write(marker.toPath,
+      (gen.toString +: consumed.map(_.getName).toSeq).mkString("\n")
+        .getBytes("UTF-8"))
+    finishCompact(dir, marker)
+  }
+
+  /** Complete a compaction swap whose process died after the commit
+    * point. No-op when no `_compacting` marker exists. */
+  def recoverCompact(table: String): Unit = {
+    val dir = new java.io.File(path(table))
+    val marker = new java.io.File(dir, "_compacting")
+    if (marker.exists()) finishCompact(dir, marker)
+  }
+
+  private def finishCompact(dir: java.io.File,
+      marker: java.io.File): Unit = {
+    val lines = java.nio.file.Files.readAllLines(marker.toPath)
+    val gen = lines.get(0).toLong
+    lines.subList(1, lines.size).forEach(n => new java.io.File(dir, n).delete())
+    val stage = new java.io.File(dir, ".compact_stage")
+    Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("c_p")
+        && f.getName.endsWith(".parquet"))
+      .foreach { p =>
+        java.nio.file.Files.move(p.toPath, new java.io.File(dir,
+          s"compacted_${gen}_${p.getName.stripPrefix("c_")}").toPath)
+      }
+    FsUtils.deleteRecursively(stage)
+    marker.delete(); ()
   }
 }

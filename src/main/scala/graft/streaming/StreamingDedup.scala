@@ -28,12 +28,20 @@ object StreamingDedup {
     * micro-batch by micro-batch. `maxFilesPerTrigger=1` makes each file
     * one batch; `AvailableNow` drains the backlog then stops — the
     * deterministic replay shape the differential gate needs. */
+  /** `compactEvery = Some(n)` folds the per-batch index and decision
+    * file drops into one compacted generation after every n-th batch —
+    * without it a long-running ingest grows one+ file per batch per
+    * table without bound. Compaction runs INSIDE foreachBatch (the
+    * single-writer window) and always excludes the current tag, so a
+    * post-crash replay of this batch can still retract its own files
+    * ([[CorpusIndex.compact]] documents the fencing argument). */
   def corpusIngest(spark: SparkSession, landing: String,
       schema: StructType, store: Store, prefix: String, checkpoint: String,
       textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxIter: Int = 20,
-      decisionsTable: String = "decisions"): StreamingQuery =
+      decisionsTable: String = "decisions",
+      compactEvery: Option[Int] = None): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(landing)
@@ -66,6 +74,13 @@ object StreamingDedup {
               .select(idCol), Seq(idCol))
           CorpusIndex.append(store, prefix, accepted, textCol, idCol, tag,
             shingleSize, numHashes, bands)
+          compactEvery.foreach { n =>
+            if ((bid + 1) % n == 0) {
+              CorpusIndex.compact(store, prefix, excludeTags = Set(tag))
+              store.compactBatched(decisionsTable, res.schema,
+                excludeTags = Set(tag))
+            }
+          }
         }
         ()
       }
