@@ -28,6 +28,25 @@ class IvfSkewSpec extends AnyFunSuite {
     assert(approx.intersect(exact).size >= exact.size / 2)
   }
 
+  test("persisted index serves the same answers as the in-memory one") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val mem = Ivf.build(emb, k = 8)
+    val st = new graft.pipeline.Store(spark,
+      s"/tmp/graft_ss/p${ProcessHandle.current().pid}/ivf_spec_${System.nanoTime()}")
+    Ivf.buildPersisted(st, "ivf", emb, k = 8)
+    val loaded = Ivf.load(st, "ivf")
+    assert(loaded.centroids.map(_._1).toSeq == mem.centroids.map(_._1).toSeq)
+    def res(ix: Ivf.Index) = Ivf.topK(ix, queries, k = 5, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor"))).toSet
+    assert(res(loaded) == res(mem))
+    val e = intercept[IllegalArgumentException] {
+      Ivf.load(st, "nope")
+    }
+    assert(e.getMessage.contains("buildPersisted"))
+  }
+
   test("planted-cluster IVF recall gate stays >= 0.9 at nProbe 2/10") {
     val row = graft.ops.VectorOps
       .annIvfRecall(spark, "/root/testdata/sf0.001").collect().head
