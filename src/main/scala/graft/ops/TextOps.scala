@@ -82,18 +82,24 @@ object TextOps {
     "zh" -> "zhe shi yi zhang hen chang de wen jian shang mian you hao duo sheng yong chuan")
 
   /** Out-of-place penalty for a document trigram absent from a language
-    * profile (Cavnar & Trenkle: the profile length). */
-  private val oopPenalty: Int =
-    Text.langProfilesRanked.map(_._2.size).max
+    * profile — Cavnar & Trenkle use EACH language's own profile length
+    * (a global max would bias distances toward shorter-profiled
+    * languages if profile depths ever diverge), so both engines derive
+    * it per language from the profile relation itself. */
+  private val langProfileLengths: Seq[(String, Int)] =
+    Text.langProfilesRanked.map { case (l, ts) => (l, ts.size) }
 
   /** Char-trigram language identification, full Cavnar & Trenkle: the
     * document's OWN trigram frequency ranking (count desc, trigram asc —
     * a total order both engines replay) is compared against each
-    * language's rank-ordered profile ([[Text.langProfilesRanked]], ~40
+    * language's rank-ordered profile ([[Text.langProfilesRanked]], 100
     * trigrams/language) by out-of-place distance — sum |doc rank −
-    * profile rank| over matched trigrams plus [[oopPenalty]] per
-    * unmatched one; guess = min-distance language (ties by name).
-    * Output = planted-lang x guess confusion counts.
+    * profile rank| over matched trigrams plus that language's OWN
+    * profile length per unmatched one; guess = min-distance language
+    * (ties by name). A document whose scoring window yields no trigrams
+    * at all keeps a row with guess 'und' — the confusion matrix counts
+    * every document, degenerate or not. Output = planted-lang x guess
+    * confusion counts.
     *
     * Scale shape: explode + two keyed aggregations + a broadcast join
     * against the literal profile table — linear in corpus size,
@@ -127,17 +133,24 @@ object TextOps {
       .groupBy("doc_id", "plang")
       .agg(sum(abs(col("rd") - col("rp"))).as("md"),
         count(lit(1)).as("nm"))
-    val langsDf = Text.langProfilesRanked.map(_._1).toDF("plang")
-    nDoc.crossJoin(broadcast(langsDf))
+    val langsDf = langProfileLengths.toDF("plang", "plen")
+    val guessed = nDoc.crossJoin(broadcast(langsDf))
       .join(matched, Seq("doc_id", "plang"), "left_outer")
-      .select(col("doc_id"), col("elang"), col("plang"),
+      .select(col("doc_id"), col("plang"),
         (coalesce(col("md"), lit(0L))
-          + (col("ntg") - coalesce(col("nm"), lit(0L))) * oopPenalty)
+          + (col("ntg") - coalesce(col("nm"), lit(0L))) * col("plen"))
           .as("dist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("dist").asc, col("plang").asc)))
       .filter(col("rn") === 1)
-      .groupBy(col("elang").as("lang"), col("plang").as("guess"))
+      .select(col("doc_id"), col("plang"))
+    // re-attach documents that produced NO trigram (window shorter than
+    // 3 chars): they get a deterministic 'und' instead of dropping out
+    // of the totals
+    scored.select(col("doc_id"), col("elang"))
+      .join(guessed, Seq("doc_id"), "left_outer")
+      .groupBy(col("elang").as("lang"),
+        coalesce(col("plang"), lit("und")).as("guess"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "guess")
   }
@@ -175,17 +188,19 @@ object TextOps {
        |    sum(abs(rk.rd - prof.rp)) AS md, count(*) AS nm
        |  FROM rk JOIN prof ON rk.t = prof.t
        |  GROUP BY rk.doc_id, prof.plang),
-       |langs AS (SELECT DISTINCT plang FROM prof),
-       |dist AS (SELECT nd.doc_id, nd.elang, langs.plang,
-       |    coalesce(mt.md, 0) + (nd.ntg - coalesce(mt.nm, 0)) * $oopPenalty AS dist
+       |langs AS (SELECT plang, count(*) AS plen FROM prof GROUP BY plang),
+       |dist AS (SELECT nd.doc_id, langs.plang,
+       |    coalesce(mt.md, 0) + (nd.ntg - coalesce(mt.nm, 0)) * langs.plen AS dist
        |  FROM nd CROSS JOIN langs
        |  LEFT JOIN mt ON mt.doc_id = nd.doc_id AND mt.plang = langs.plang),
-       |guess AS (SELECT doc_id, elang, plang FROM (
-       |    SELECT doc_id, elang, plang, row_number() OVER (
+       |guess AS (SELECT doc_id, plang FROM (
+       |    SELECT doc_id, plang, row_number() OVER (
        |      PARTITION BY doc_id ORDER BY dist ASC, plang ASC) AS rn
        |    FROM dist) t WHERE rn = 1)
-       |SELECT elang AS lang, plang AS guess, count(*) AS n
-       |FROM guess GROUP BY elang, plang ORDER BY lang, guess""".stripMargin
+       |SELECT sc.elang AS lang, coalesce(g.plang, 'und') AS guess,
+       |  count(*) AS n
+       |FROM sc LEFT JOIN guess g ON g.doc_id = sc.doc_id
+       |GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin
   }
 
   /** Rolling-hash document fingerprint (first 64 chars, poly-31 mod 1e9+7). */
