@@ -26,9 +26,12 @@ object VectorOps {
   }
 
   /** Embedding near-dup pairs: cosine >= 0.9 within the same label block
-    * (the caller-block overload — `label` is a genuine domain key here). */
+    * (the caller-block overload — `label` is a genuine domain key here).
+    * Runs over [[plantedEmbeddings]]: the raw table has no pair above
+    * cosine ~0.52, so the un-planted gate compared empty sets; the twins
+    * share their source's label, so the block path must surface them. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDup(load(spark, dir, "embeddings"),
+    Dedup.embeddingNearDup(plantedEmbeddings(spark, dir),
         "embedding", "vec_id", "label", threshold = 0.9)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
@@ -46,12 +49,14 @@ object VectorOps {
   private def plantedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     val e = load(spark, dir, "embeddings")
       .select(col("vec_id").cast("long").as("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        transform(col("embedding"), x => x.cast("double")).as("embedding"),
+        col("label"))
     val twins = e.filter(col("vec_id") < 50)
       .select((col("vec_id") + lit(100000L)).as("vec_id"),
         transform(col("embedding"), (x, j) =>
           x * (lit(1.0) + lit(0.001) * (((j + lit(1)) % 5).cast("double"))))
-          .as("embedding"))
+          .as("embedding"),
+        col("label")) // a twin shares its source's domain block
     e.unionAll(twins)
   }
 
@@ -282,15 +287,20 @@ object VectorOps {
     val exprs = nearDupBucketExprs(tables = 6, bits = 5, dim = 64, seed = 42)
     val cols = exprs.zipWithIndex
       .map { case (e, t) => s"$e AS bkt_$t" }.mkString(",\n  ")
-    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |tw AS (SELECT vec_id + 100000 AS vec_id,
-       |  list_transform(v, (x, j) -> x * (1.0 + 0.001 * CAST(j % 5 AS DOUBLE))) AS v
-       |  FROM e0 WHERE vec_id < 50),
-       |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM tw),
+    s"""$plantedCte,
        |b AS (SELECT vec_id, v,
        |  $cols
        |  FROM e)""".stripMargin
   }
+
+  /** The planted-twin fixture alone (label preserved — a twin shares its
+    * source's domain block), for oracles that need no hyperplane CTE. */
+  private val plantedCte: String =
+    """e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |tw AS (SELECT vec_id + 100000 AS vec_id, label,
+      |  list_transform(v, (x, j) -> x * (1.0 + 0.001 * CAST(j % 5 AS DOUBLE))) AS v
+      |  FROM e0 WHERE vec_id < 50),
+      |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM tw)""".stripMargin
 
   private def anyBucketMatch: String =
     (0 until 6).map(t => s"a.bkt_$t = c.bkt_$t").mkString(" OR ")
@@ -343,7 +353,7 @@ object VectorOps {
     QuerySpec("q_ann_ivf_recall", annIvfRecall, Some(annIvfRecallOracle),
       "similarity/ann-ivf-recall"),
     QuerySpec("q_dedup_embedding", dedupEmbedding, Some(
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      s"""WITH $plantedCte
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
