@@ -45,7 +45,7 @@ object Dedup {
       .filter(col("w") =!= "")
     val w = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until n).map(k => lead(col("w"), k).over(w).as(s"w$k"))
-    toks.select((Seq(col("id"), col("w").as("w0")) ++ leads): _*)
+    toks.select((Seq(col("id"), col("pos"), col("w").as("w0")) ++ leads): _*)
       .filter(col(s"w${n - 1}").isNotNull)
   }
 
@@ -538,6 +538,44 @@ object Dedup {
           lit("novel").as("matched")))
     bToRep.join(repAssign.withColumnRenamed("id", "rep"), Seq("rep"))
       .select(col("id").as(idCol), col("assigned"), col("matched"))
+  }
+
+  /** Exact duplicate-SPAN detection (the substring-dedup signal of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022, arXiv:2107.06499 — there suffix-array based; here the
+    * relational equivalent over fixed k-token windows): every k-token
+    * window of every document, hashed (portable md5-60 of the
+    * space-joined tokens), marked duplicated when it occurs in at least
+    * `minDocs` DISTINCT documents. Returns one row per document:
+    * (idCol, n_windows, n_dup_windows, dup_frac) — the per-document
+    * contamination fraction a curation pass thresholds on.
+    *
+    * Scale shape: one explode + window-lead pass per document (the same
+    * whole-stage-codegen shingle machinery the MinHash path uses — no
+    * interpreted array lambdas), one hash-partitioned distinct-doc count
+    * per window hash, and a semi-join back — never any doc-x-doc pair
+    * work, so cost is linear in total token count however large the
+    * corpus. Window occurrences are counted per OCCURRENCE (a doc
+    * repeating a duplicated span twice has both counted), duplication is
+    * across DOCUMENTS (`minDocs` distinct ids). */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    val wrows = shingleTokenRows(docs, textCol, idCol, k)
+      .select(col("id"),
+        md5Hash60(concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*))
+          .as("h"))
+    val dup = wrows.groupBy("h")
+      .agg(countDistinct("id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val perDoc = wrows.groupBy("id").agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = wrows.join(dup, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPerDoc, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double")
+          / col("n_windows"), 6).as("dup_frac"))
   }
 
   /** Deterministic random-hyperplane tables, shared by the Spark path and

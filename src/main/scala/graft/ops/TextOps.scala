@@ -627,6 +627,38 @@ object TextOps {
   /** DuckDB replica of the portable SimHash — generated SQL: 60 bit-sum
     * aggregates, sign bits reassembled, 15-bit quarter banding, hamming
     * via bit_count(xor). */
+  /** Per-document duplicate-SPAN contamination
+    * ([[graft.dedup.Dedup.duplicateSpans]]): 8-token windows occurring
+    * in >= 2 distinct documents. */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.duplicateSpans(load(spark, dir, "documents"),
+        "text", "doc_id", k = 8)
+      .orderBy("doc_id")
+
+  /** DuckDB replica of the span detector: same filtered whitespace
+    * tokenization, same 1-based inclusive window slices, same md5-60
+    * window hash, same distinct-doc duplication rule. */
+  private val dedupSpansOracle: String = {
+    val k = 8
+    s"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, ' +'),
+       |    w -> w != '') AS toks FROM documents),
+       |w AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(array_to_string(toks[i:i+${k - 1}], ' ')), 2, 15)
+       |      AS BIGINT) AS h
+       |  FROM t, unnest(generate_series(1, greatest(len(toks) - ${k - 1}, 0))) AS u(i)),
+       |dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+       |    FROM w GROUP BY h) d WHERE nd >= 2),
+       |pd AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
+       |dd AS (SELECT doc_id, count(*) AS n_dup FROM w
+       |  JOIN dup USING (h) GROUP BY doc_id)
+       |SELECT pd.doc_id AS doc_id, CAST(pd.n_windows AS BIGINT) AS n_windows,
+       |  CAST(coalesce(dd.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       |  round(CAST(coalesce(dd.n_dup, 0) AS DOUBLE) / pd.n_windows, 6)
+       |    AS dup_frac
+       |FROM pd LEFT JOIN dd ON dd.doc_id = pd.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val simhashPortableOracle: String = {
     val bitSums = (0 until 60).map(i =>
       s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n  ")
@@ -764,5 +796,7 @@ object TextOps {
       Some(streamDedupOracle), "dedup/streaming-ingest"),
     QuerySpec("q_dedup_stream_compact", dedupStreamCompact,
       Some(streamDedupOracle), "dedup/streaming-ingest-compacted"),
+    QuerySpec("q_dedup_spans", dedupSpans,
+      Some(dedupSpansOracle), "dedup/duplicate-spans"),
   )
 }

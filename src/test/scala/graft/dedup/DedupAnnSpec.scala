@@ -71,6 +71,28 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L)))
   }
 
+  test("duplicateSpans counts cross-doc window duplication per document") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique one two"),
+      (2L, "prefix alpha beta gamma delta suffix"),
+      (3L, "alpha beta gamma delta alpha beta gamma delta"),
+      (4L, "nothing shared here at all whatsoever"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "text", "doc_id", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: windows = 4; "alpha beta gamma delta" (pos 0) is in docs 2,3
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    // doc 2: 3 windows, only the middle one duplicated
+    assert(out(2L) == ((3L, 1L, 0.333333)))
+    // doc 3: 5 windows; the shared span occurs at pos 0 AND pos 4 — both
+    // occurrences count; "delta alpha", "gamma delta alpha"… windows are
+    // unique to doc 3
+    assert(out(3L) == ((5L, 2L, 0.4)))
+    // doc 4: nothing duplicated, still present with its 3 windows
+    assert(out(4L) == ((3L, 0L, 0.0)))
+  }
+
   test("embedding near-dup with internal LSH blocking recalls planted twins") {
     val rnd = new scala.util.Random(11)
     val base = Seq.fill(40)(Array.fill(16)(rnd.nextGaussian()))
