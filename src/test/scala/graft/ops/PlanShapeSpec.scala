@@ -112,6 +112,67 @@ class PlanShapeSpec extends AnyFunSuite {
       .select("bid", "cid").distinct())
   }
 
+  test("internal-LSH embedding near-dup: vectors never ride the candidate shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val df = graft.dedup.Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+      threshold = 0.9, dim = 64, bitsPerTable = 5, tables = 6, seed = 42)
+    df.collect()
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case _ => p.children.flatMap(all)
+    })
+    val nodes = all(df.queryExecution.executedPlan)
+    // no all-pairs fallback anywhere in the plan
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Cartesian")),
+      df.queryExecution.executedPlan.toString())
+    // every shuffle carries only ids/buckets/counts — an exchange whose
+    // rows include an embedding array means the vectors are riding the
+    // candidate or dedup shuffle instead of being re-joined after it
+    val arrayShuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.output.exists(_.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType]))
+    assert(arrayShuffles.isEmpty,
+      arrayShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
+  }
+
+  test("persisted IVF serving broadcasts the probes; the cell table never shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.col
+    val store = new graft.pipeline.Store(spark,
+      s"/tmp/graft_ss/p${ProcessHandle.current().pid}/ivf_shape")
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    graft.similarity.Ivf.buildPersisted(store, "ivf", emb, k = 8)
+    val index = graft.similarity.Ivf.load(store, "ivf")
+    val df = graft.similarity.Ivf.topK(index,
+      emb.filter(col("vec_id") < 5), k = 3, nProbe = 2)
+    df.collect()
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case _ => p.children.flatMap(all)
+    })
+    val nodes = all(df.queryExecution.executedPlan)
+    // the cell join is a broadcast hash join (probes build side — the
+    // corpus side outputs the cell-table embedding column `emb`)
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, df.queryExecution.executedPlan.toString())
+    // the serving scan of the persisted cell table reaches the final
+    // top-k without ANY shuffle of the corpus rows: the only exchanges
+    // are for the tiny probe ranking and the final window, none of which
+    // carry the corpus embedding column
+    val corpusShuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.output.exists(a => a.name == "emb"))
+    assert(corpusShuffles.isEmpty,
+      corpusShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
+  }
+
   test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
     val s = plan(RelationalOps.aggPricingSummary(spark, dir))
     // `*(N)` prefixes mark whole-stage-codegen spans in the compact plan
