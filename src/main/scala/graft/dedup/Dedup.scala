@@ -588,6 +588,47 @@ object Dedup {
     Seq.fill(tables)(Seq.fill(bitsPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
   }
 
+  /** Hyperplane-LSH parameters for a corpus of `n` vectors deduped at
+    * `threshold`: enough bits that mean bucket occupancy stays near 256
+    * (within-bucket work is quadratic in occupancy — a fixed bit width
+    * measured 360x cost at 32x data before this), and enough tables that
+    * a pair AT the threshold is still recalled with ~98% probability
+    * (p_table = (1 - theta/pi)^bits; tables = ln(.02)/ln(1-p_table)).
+    * Deterministic in (n, threshold), so an oracle replays it by fixing
+    * the same n regime — all three testdata scales land on (4, 6).
+    * Total verify work is ~n * occupancy/2 * tables: linear in n with a
+    * slow multiplicative drift as `tables` buys recall back from the
+    * deeper bit width (the price of holding recall at a FIXED threshold;
+    * production near-dup thresholds of 0.95+ need fewer tables). */
+  def lshParamsFor(n: Long, threshold: Double): (Int, Int) = {
+    val theta = math.acos(math.min(1.0, math.max(-1.0, threshold)))
+    val pBase = 1.0 - theta / math.Pi
+    // deepest width 24 tables can still recall ~98% at — deeper than
+    // this and the tables clamp would silently eat recall instead;
+    // beyond the n this cap binds at (2^cap * 256 vectors), occupancy
+    // regrows with n: the fixed-threshold LSH limit. Raise the
+    // threshold or pass explicit parameters there.
+    val recallCap = math.max(4, (math.log(1.0 - math.pow(0.02, 1.0 / 24))
+      / math.log(pBase)).toInt)
+    val bits = math.min(math.min(20, recallCap), math.max(4,
+      math.ceil(math.log(math.max(1.0, n / 256.0)) / math.log(2.0)).toInt))
+    val pTab = math.pow(pBase, bits)
+    val tables = math.min(24, math.max(2,
+      math.ceil(math.log(0.02) / math.log1p(-pTab)).toInt))
+    (bits, tables)
+  }
+
+  /** Adaptive-parameter internal-LSH near-dup: one `count()` pass picks
+    * (bitsPerTable, tables) via [[lshParamsFor]], then delegates to the
+    * explicit overload below — the default entry point when the caller
+    * knows the threshold but not the right LSH geometry for their
+    * corpus size. */
+  def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, dim: Int): DataFrame = {
+    val (bits, tables) = lshParamsFor(emb.count(), threshold)
+    embeddingNearDup(emb, vecCol, idCol, threshold, dim, bits, tables, 42L)
+  }
+
   /** Embedding near-dup with INTERNAL hyperplane-LSH blocking — the
     * default entry point: callers supply no blocking key and get
     * banded-LSH candidate generation instead of an all-pairs join.

@@ -60,15 +60,16 @@ object VectorOps {
     e.unionAll(twins)
   }
 
-  /** Embedding near-dup with NO caller blocking key: the internal
-    * hyperplane-LSH path generates candidates (6 tables x 5 bits), exact
-    * cosine verifies, over [[plantedEmbeddings]]. Fully differential —
-    * the oracle replays the same seeded planes, the OR-of-tables
-    * candidate join, and the verify. */
+  /** Embedding near-dup with NO caller blocking key: the ADAPTIVE
+    * internal-LSH path ([[graft.dedup.Dedup.lshParamsFor]] picks the
+    * geometry from corpus size + threshold — (4 bits, 6 tables) at every
+    * testdata scale, which is what the oracle replays), exact cosine
+    * verifies, over [[plantedEmbeddings]]. Fully differential — the
+    * oracle replays the same seeded planes, the OR-of-tables candidate
+    * join, and the verify. */
   def dedupEmbeddingAuto(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(plantedEmbeddings(spark, dir),
-        "embedding", "vec_id", threshold = 0.9, dim = 64,
-        bitsPerTable = 5, tables = 6, seed = 42)
+        "embedding", "vec_id", threshold = 0.9, dim = 64)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
 
@@ -86,7 +87,7 @@ object VectorOps {
       .filter(cosineNative(col("v_a"), col("v_b")) >= 0.9)
       .select("id_a", "id_b")
     val lsh = Dedup.embeddingNearDup(base, "embedding", "vec_id",
-        threshold = 0.9, dim = 64, bitsPerTable = 5, tables = 6, seed = 42)
+        threshold = 0.9, dim = 64)
       .select("id_a", "id_b")
     val hit = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
@@ -284,7 +285,9 @@ object VectorOps {
     * Spark's is 0-based, so `j % 5` here pairs with `(j+1) % 5` there) +
     * per-table hyperplane buckets bkt_0..bkt_{n-1}. */
   private def nearDupBucketedCte: String = {
-    val exprs = nearDupBucketExprs(tables = 6, bits = 5, dim = 64, seed = 42)
+    // (bits, tables) = Dedup.lshParamsFor at every testdata scale — the
+    // adaptive gate path resolves to exactly this geometry there
+    val exprs = nearDupBucketExprs(tables = 6, bits = 4, dim = 64, seed = 42)
     val cols = exprs.zipWithIndex
       .map { case (e, t) => s"$e AS bkt_$t" }.mkString(",\n  ")
     s"""$plantedCte,

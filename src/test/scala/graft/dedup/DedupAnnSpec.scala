@@ -93,6 +93,32 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(out(4L) == ((3L, 0L, 0.0)))
   }
 
+  test("adaptive LSH geometry grows bits with corpus size, tables with depth") {
+    // all three testdata scales land on the oracle-pinned (4, 6)
+    assert(Dedup.lshParamsFor(550, 0.9) == ((4, 6)))
+    assert(Dedup.lshParamsFor(2050, 0.9) == ((4, 6)))
+    // a 32x corpus deepens the bit width (bucket occupancy held ~flat —
+    // a fixed width measured 360x cost at 32x data) and buys recall back
+    // with more tables
+    val (b32, t32) = Dedup.lshParamsFor(65650, 0.9)
+    assert(b32 > 4 && t32 > 6, (b32, t32))
+    // a billion-vector corpus stays inside the clamps
+    val (bB, tB) = Dedup.lshParamsFor(1000000000L, 0.95)
+    assert(bB <= 20 && tB <= 24, (bB, tB))
+    // the adaptive entry point itself still recalls the planted twins
+    val rnd = new scala.util.Random(13)
+    val base = Seq.fill(40)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      base.take(10).zipWithIndex.map { case (v, i) =>
+        (i + 1000L, v.zipWithIndex.map { case (x, j) =>
+          x * (1.0 + 0.002 * (j % 3)) }.toSeq)
+      }
+    val out = Dedup.embeddingNearDup(rows.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", threshold = 0.99, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 10).map(i => (i.toLong, i + 1000L)).forall(out.contains))
+  }
+
   test("embedding near-dup with internal LSH blocking recalls planted twins") {
     val rnd = new scala.util.Random(11)
     val base = Seq.fill(40)(Array.fill(16)(rnd.nextGaussian()))
