@@ -124,7 +124,7 @@ object CorpusIndex {
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
       maxIter: Int = 20): DataFrame = {
     checkMeta(store, prefix, shingleSize, numHashes, bands)
-    validateAppends(store, prefix)
+    IndexCommits.validate(store, prefix, Seq("_exact", "_shingles", "_bands"))
     Dedup.assignAgainstIndexes(
       store.read(s"${prefix}_exact", exactSchema),
       store.read(s"${prefix}_shingles", shingleSchema),
@@ -155,9 +155,9 @@ object CorpusIndex {
       store.path(s"${prefix}_bands"), batchTag)
     r.unpersist(false)
     // cross-table commit point, written LAST: a crash anywhere above
-    // leaves the tag uncommitted and [[validateAppends]] fails the next
+    // leaves the tag uncommitted and [[IndexCommits.validate]] fails the next
     // assign loudly instead of near-matching against a partial batch
-    markCommitted(store, prefix, batchTag)
+    IndexCommits.mark(store, prefix, batchTag)
   }
 
   /** Purge every index file a previous attempt of `batchTag` published —
@@ -167,7 +167,7 @@ object CorpusIndex {
     * moment the old attempt is invalid, so no ordering of the subsequent
     * file purges can present a partial batch as committed. */
   def clearBatch(store: Store, prefix: String, batchTag: String): Unit = {
-    new java.io.File(commitsDir(store, prefix), batchTag).delete()
+    IndexCommits.unmark(store, prefix, batchTag)
     Seq("_exact", "_shingles", "_bands").foreach(sfx =>
       FsUtils.clearBatch(store.path(s"$prefix$sfx"), batchTag))
   }
@@ -187,42 +187,6 @@ object CorpusIndex {
         "_bands" -> bandSchema).foreach { case (sfx, schema) =>
       store.compactBatched(s"$prefix$sfx", schema, excludeTags, targetFiles)
     }
-    Option(commitsDir(store, prefix).listFiles()).getOrElse(Array.empty)
-      .filter(f => !excludeTags.contains(f.getName))
-      .foreach(_.delete())
-  }
-
-  private def commitsDir(store: Store, prefix: String): java.io.File =
-    new java.io.File(store.path(s"${prefix}_commits"))
-
-  private def markCommitted(store: Store, prefix: String,
-      batchTag: String): Unit = {
-    val dir = commitsDir(store, prefix)
-    dir.mkdirs()
-    java.nio.file.Files.write(new java.io.File(dir, batchTag).toPath,
-      Array.empty[Byte])
-    ()
-  }
-
-  /** Every batch tag with index files present must carry a commit
-    * marker; one without crashed mid-[[append]]. The fix is the replay
-    * contract itself: [[clearBatch]] + re-[[append]] with the SAME tag
-    * (what a streaming replay does automatically), or [[clearBatch]]
-    * alone to drop the batch. */
-  private def validateAppends(store: Store, prefix: String): Unit = {
-    val tagRe = "^batch_(.+)_p\\d+\\.parquet$".r
-    val present = Seq("_exact", "_shingles", "_bands").flatMap { sfx =>
-      Option(new java.io.File(store.path(s"$prefix$sfx")).listFiles())
-        .getOrElse(Array.empty)
-        .flatMap(f => tagRe.findFirstMatchIn(f.getName).map(_.group(1)))
-    }.toSet
-    val committed = Option(commitsDir(store, prefix).listFiles())
-      .getOrElse(Array.empty).map(_.getName).toSet
-    val partial = present.diff(committed)
-    require(partial.isEmpty,
-      s"corpus index '$prefix' has uncommitted append batch(es) " +
-        s"${partial.mkString(", ")} — an append crashed between table " +
-        "publications. Retry with the SAME batchTag (clearBatch + append," +
-        " as a streaming replay does) or clearBatch to drop the batch.")
+    IndexCommits.retireExcept(store, prefix, excludeTags)
   }
 }

@@ -674,6 +674,88 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** The incremental-assignment core for EMBEDDINGS: match a batch of
+    * vectors against a corpus represented ONLY by its two index
+    * relations — `cBuckets(id, tbl, bkt)` hyperplane bucket rows and
+    * `cVecs(id, v)` the vectors (read back only to verify candidates).
+    * Mirrors [[assignAgainstIndexes]]'s decision asymmetry: a batch
+    * vector that near-matches the corpus takes its BEST corpus match
+    * (highest round-6 cosine, ties to the smallest corpus id — corpus
+    * group ids stay stable); what matches nothing is grouped
+    * batch-locally by min-label propagation over verified pairs.
+    * Embeddings have no exact tier — byte-equal vectors land at cosine
+    * 1.0 and resolve through the near path.
+    *
+    * Same two-wave concurrency shape as the text core: batch bucket rows
+    * checkpoint once (wave 1), then the corpus-candidate verify and the
+    * batch-local pair edges run as concurrent driver jobs (wave 2), the
+    * edges computed over ALL batch ids and semi-joined to novel
+    * endpoints afterwards — pairwise-identical, and unchained from the
+    * corpus-match barrier. */
+  private[dedup] def assignEmbeddings(cBuckets: => DataFrame,
+      cVecs: => DataFrame, batch: DataFrame, vecCol: String, idCol: String,
+      planes: Seq[Seq[Seq[Double]]], threshold: Double,
+      maxIter: Int): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.functions.expressions.CosineSimilarity.cosineNative
+    import graft.functions.expressions.HyperplaneBuckets.bucketsNative
+
+    val b = batch.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val bBuckets = b
+      .select(col("id"), posexplode(bucketsNative(col("v"), planes))
+        .as(Seq("tbl", "bkt")))
+      .localCheckpoint()
+
+    val nearF = Future {
+      val cand = bBuckets.toDF("bid", "tbl", "bkt")
+        .join(cBuckets.toDF("cid", "tbl", "bkt"), Seq("tbl", "bkt"))
+        .select("bid", "cid").distinct()
+      cand
+        .join(b.select(col("id").as("bid"), col("v").as("v_b")), Seq("bid"))
+        .join(cVecs.toDF("cid", "v_c"), Seq("cid"))
+        .withColumn("cos", cosineNative(col("v_b"), col("v_c")))
+        .filter(col("cos") >= threshold)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bid")
+            .orderBy(round(col("cos"), 6).desc, col("cid").asc)))
+        .filter(col("rn") === 1)
+        .select(col("bid"), col("cid"))
+        .localCheckpoint()
+    }
+    val pairsF = Future {
+      val x = bBuckets.toDF("id_a", "tbl", "bkt")
+      x.join(bBuckets.toDF("id_b", "tbl", "bkt"), Seq("tbl", "bkt"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .join(b.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+        .join(b.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+        .filter(cosineNative(col("v_a"), col("v_b")) >= threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    }
+    val near = Await.result(nearF, Duration.Inf)
+    val pairs = Await.result(pairsF, Duration.Inf)
+
+    val novel = b.select("id")
+      .join(near.select(col("bid").as("id")), Seq("id"), "left_anti")
+    val labels = propagateMinLabels(
+      pairs
+        .join(novel.toDF("id_a"), Seq("id_a"), "left_semi")
+        .join(novel.toDF("id_b"), Seq("id_b"), "left_semi")
+        .select("id_a", "id_b"),
+      maxIter)
+    near.select(col("bid").as(idCol), col("cid").as("assigned"),
+        lit("near").as("matched"))
+      .unionAll(novel
+        .join(labels, Seq("id"), "left_outer")
+        .select(col("id").as(idCol),
+          coalesce(col("label"), col("id")).as("assigned"),
+          lit("novel").as("matched")))
+  }
+
   /** Embedding near-dup within a CALLER-SUPPLIED blocking key — all pairs
     * inside a block are compared, so this is only safe when the key is
     * known to bound block sizes (a low-cardinality key is quadratic at

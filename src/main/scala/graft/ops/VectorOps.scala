@@ -111,6 +111,97 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** Incremental EMBEDDING assignment against a PERSISTED hyperplane
+    * index ([[graft.dedup.EmbeddingIndex]] — the vector analog of the
+    * q_dedup_incremental_indexed lifecycle): corpus = vec_id % 5 != 0
+    * (built once, memoized), batch = vec_id % 5 = 0 plus planted twins
+    * (+100000) of the 10 smallest corpus ids. Twins must come back
+    * 'near' assigned to their source; everything else is 'novel' (the
+    * raw table has no cosine-0.9 pairs). Per call — per bench repeat —
+    * only the assign runs: the serving cost of continuous ingestion. */
+  private val eidxStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Store]
+
+  def dedupEmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+    val store = eidxStoreCache.synchronized {
+      eidxStoreCache.getOrElseUpdate((spark, dir), {
+        val base = SourceSinkOps.tmp("eidx", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        val st = new graft.pipeline.Store(spark, base)
+        graft.dedup.EmbeddingIndex.build(st, "e", corpus,
+          "embedding", "vec_id", dim = 64, bitsPerTable = 4, tables = 6)
+        st
+      })
+    }
+    val twins = corpus.orderBy("vec_id").limit(10)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          x * (lit(1.0) + lit(0.001) * (((j + lit(1)) % 5).cast("double"))))
+          .as("embedding"))
+    val batch = e.filter(col("vec_id") % 5 === 0).unionAll(twins)
+    graft.dedup.EmbeddingIndex.assign(store, "e", batch,
+        "embedding", "vec_id", threshold = 0.9)
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB replica of the whole persisted-index decision: same planes
+    * (shared generator), same OR-of-tables candidates, best-match
+    * ranking by round-6 cosine with ties to the smallest corpus id, and
+    * the recursive min-label closure over verified novel pairs. */
+  private val dedupEmbeddingIncrementalOracle: String = {
+    val exprs = nearDupBucketExprs(tables = 6, bits = 4, dim = 64, seed = 42)
+    def bucketUnion(rel: String): String = exprs.zipWithIndex.map {
+      case (ex, t) => s"SELECT vec_id, $t AS tbl, $ex AS bkt FROM $rel"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE
+       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |corpus AS MATERIALIZED (SELECT vec_id, v FROM e0 WHERE vec_id % 5 <> 0),
+       |tsrc AS (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 10),
+       |tw AS (SELECT vec_id + 100000 AS vec_id,
+       |  list_transform(v, (x, j) -> x * (1.0 + 0.001 * CAST(j % 5 AS DOUBLE))) AS v
+       |  FROM tsrc),
+       |batch AS MATERIALIZED (SELECT vec_id, v FROM e0 WHERE vec_id % 5 = 0
+       |  UNION ALL SELECT vec_id, v FROM tw),
+       |cb AS MATERIALIZED (${bucketUnion("corpus")}),
+       |bb AS MATERIALIZED (${bucketUnion("batch")}),
+       |cand AS (SELECT DISTINCT b.vec_id AS bid, c.vec_id AS cid
+       |  FROM bb b JOIN cb c ON b.tbl = c.tbl AND b.bkt = c.bkt),
+       |sc AS (SELECT cand.bid, cand.cid,
+       |    round(list_cosine_similarity(bv.v, cv.v), 6) AS cos
+       |  FROM cand JOIN batch bv ON bv.vec_id = cand.bid
+       |  JOIN corpus cv ON cv.vec_id = cand.cid
+       |  WHERE list_cosine_similarity(bv.v, cv.v) >= 0.9),
+       |near AS MATERIALIZED (SELECT bid, cid FROM (SELECT bid, cid,
+       |    row_number() OVER (PARTITION BY bid ORDER BY cos DESC, cid ASC)
+       |      AS rn FROM sc) t WHERE rn = 1),
+       |novel AS MATERIALIZED (SELECT vec_id FROM batch
+       |  WHERE vec_id NOT IN (SELECT bid FROM near)),
+       |np AS MATERIALIZED (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |  FROM bb a JOIN bb b2 ON a.tbl = b2.tbl AND a.bkt = b2.bkt
+       |    AND a.vec_id < b2.vec_id
+       |  JOIN novel na ON na.vec_id = a.vec_id
+       |  JOIN novel nb ON nb.vec_id = b2.vec_id
+       |  JOIN batch va ON va.vec_id = a.vec_id
+       |  JOIN batch vb ON vb.vec_id = b2.vec_id
+       |  WHERE list_cosine_similarity(va.v, vb.v) >= 0.9),
+       |edges AS MATERIALIZED (SELECT id_a AS id, id_b AS nbr FROM np
+       |  UNION ALL SELECT id_b, id_a FROM np),
+       |reach AS (SELECT vec_id AS id, vec_id AS label FROM novel
+       |  UNION
+       |  SELECT e.id, r.label FROM edges e JOIN reach r ON r.id = e.nbr),
+       |nlab AS (SELECT id, min(label) AS lbl FROM reach GROUP BY id)
+       |SELECT near.bid AS vec_id, near.cid AS assigned, 'near' AS matched
+       |FROM near
+       |UNION ALL
+       |SELECT novel.vec_id AS vec_id, nlab.lbl AS assigned, 'novel' AS matched
+       |FROM novel JOIN nlab ON nlab.id = novel.vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** The persisted-index SERVING path: [[graft.similarity.Ivf
     * .buildPersisted]] fits and writes the index ONCE (memoized fixture);
     * every call — every bench repeat — then measures what production
@@ -366,5 +457,7 @@ object VectorOps {
       Some(dedupEmbeddingAutoOracle), "dedup/embedding-lsh-auto"),
     QuerySpec("q_dedup_embedding_recall", dedupEmbeddingRecall,
       Some(dedupEmbeddingRecallOracle), "dedup/embedding-lsh-recall"),
+    QuerySpec("q_dedup_embedding_incremental", dedupEmbeddingIncremental,
+      Some(dedupEmbeddingIncrementalOracle), "dedup/embedding-incremental"),
   )
 }
