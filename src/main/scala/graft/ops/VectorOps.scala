@@ -148,24 +148,22 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
-  /** DuckDB replica of the whole persisted-index decision: same planes
-    * (shared generator), same OR-of-tables candidates, best-match
-    * ranking by round-6 cosine with ties to the smallest corpus id, and
-    * the recursive min-label closure over verified novel pairs. */
-  private val dedupEmbeddingIncrementalOracle: String = {
+  /** DuckDB replica of one persisted-index DECISION, parameterized by
+    * the corpus and batch selections (both must yield (vec_id, v) with v
+    * DOUBLE[]) so sequential micro-batches replay by feeding batch N's
+    * accepted novels into batch N+1's corpus — same planes (shared
+    * generator), same OR-of-tables candidates, best-match ranking by
+    * round-6 cosine with ties to the smallest corpus id, and the
+    * recursive min-label closure over verified novel pairs. */
+  private def embeddingDecisionSql(corpusSel: String,
+      batchSel: String): String = {
     val exprs = nearDupBucketExprs(tables = 6, bits = 4, dim = 64, seed = 42)
     def bucketUnion(rel: String): String = exprs.zipWithIndex.map {
       case (ex, t) => s"SELECT vec_id, $t AS tbl, $ex AS bkt FROM $rel"
     }.mkString("\nUNION ALL\n")
-    s"""WITH RECURSIVE
-       |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |corpus AS MATERIALIZED (SELECT vec_id, v FROM e0 WHERE vec_id % 5 <> 0),
-       |tsrc AS (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 10),
-       |tw AS (SELECT vec_id + 100000 AS vec_id,
-       |  list_transform(v, (x, j) -> x * (1.0 + 0.001 * CAST(j % 5 AS DOUBLE))) AS v
-       |  FROM tsrc),
-       |batch AS MATERIALIZED (SELECT vec_id, v FROM e0 WHERE vec_id % 5 = 0
-       |  UNION ALL SELECT vec_id, v FROM tw),
+    s"""(WITH RECURSIVE
+       |corpus AS MATERIALIZED ($corpusSel),
+       |batch AS MATERIALIZED ($batchSel),
        |cb AS MATERIALIZED (${bucketUnion("corpus")}),
        |bb AS MATERIALIZED (${bucketUnion("batch")}),
        |cand AS (SELECT DISTINCT b.vec_id AS bid, c.vec_id AS cid
@@ -198,9 +196,87 @@ object VectorOps {
        |FROM near
        |UNION ALL
        |SELECT novel.vec_id AS vec_id, nlab.lbl AS assigned, 'novel' AS matched
-       |FROM novel JOIN nlab ON nlab.id = novel.vec_id
-       |ORDER BY vec_id""".stripMargin
+       |FROM novel JOIN nlab ON nlab.id = novel.vec_id)""".stripMargin
   }
+
+  private val dedupEmbeddingIncrementalOracle: String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |tsrc AS (SELECT vec_id, v FROM e0 WHERE vec_id % 5 <> 0
+       |  ORDER BY vec_id LIMIT 10),
+       |tw AS (SELECT vec_id + 100000 AS vec_id,
+       |  list_transform(v, (x, j) -> x * (1.0 + 0.001 * CAST(j % 5 AS DOUBLE))) AS v
+       |  FROM tsrc)
+       |SELECT vec_id, assigned, matched FROM ${embeddingDecisionSql(
+          "SELECT vec_id, v FROM e0 WHERE vec_id % 5 <> 0",
+          "SELECT vec_id, v FROM e0 WHERE vec_id % 5 = 0"
+            + " UNION ALL SELECT vec_id, v FROM tw")} t
+       |ORDER BY vec_id""".stripMargin
+
+  /** Streaming embedding ingestion
+    * ([[graft.streaming.StreamingDedup.vectorIngest]]): vectors arrive
+    * as TWO parquet files (vec_id % 10 = 0, then % 10 = 5 plus EXACT
+    * re-keyed copies of batch 1 — a copy must come back 'near' its
+    * appended batch-1 source at cosine ~1), each micro-batch assigned
+    * against the persisted [[graft.dedup.EmbeddingIndex]] with
+    * per-batch compaction on. The oracle replays the two decisions
+    * SEQUENTIALLY (batch 2's corpus = corpus ∪ batch 1's accepted
+    * novels). */
+  def dedupEmbeddingStream(spark: SparkSession, dir: String): DataFrame = {
+    val store = eidxStoreCache.synchronized {
+      eidxStoreCache.getOrElseUpdate((spark, dir + "#stream"), {
+      val base = SourceSinkOps.tmp("eidxs", dir)
+      graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+      val e = load(spark, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val st = new graft.pipeline.Store(spark, s"$base/store")
+      graft.dedup.EmbeddingIndex.build(st, "e",
+        e.filter(col("vec_id") % 5 =!= 0), "embedding", "vec_id",
+        dim = 64, bitsPerTable = 4, tables = 6)
+      val landing = s"$base/landing"
+      new java.io.File(landing).mkdirs()
+      def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmpd = s"$base/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+        val part = new java.io.File(tmpd).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$landing/$name")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(mtime),
+          s"could not pin mtime on $dst — batch order would be undefined")
+      }
+      val t0 = 1700000000000L
+      writeBatchFile(e.filter(col("vec_id") % 10 === 0), "b0.parquet", t0)
+      writeBatchFile(e.filter(col("vec_id") % 10 === 5)
+          .unionAll(e.filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              col("embedding"))),
+        "b1.parquet", t0 + 3600000L)
+      graft.streaming.StreamingDedup.vectorIngest(spark, landing,
+        e.schema, st, "e", s"$base/ck", "embedding", "vec_id",
+        threshold = 0.9, compactEvery = Some(1)).awaitTermination()
+      st
+    })}
+    spark.read.parquet(store.path("vdecisions")).orderBy("vec_id")
+  }
+
+  private val dedupEmbeddingStreamOracle: String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d0 AS MATERIALIZED (SELECT * FROM ${embeddingDecisionSql(
+          "SELECT vec_id, v FROM e0 WHERE vec_id % 5 <> 0",
+          "SELECT vec_id, v FROM e0 WHERE vec_id % 10 = 0")} t0),
+       |acc0 AS MATERIALIZED (SELECT e.vec_id, e.v FROM e0 e
+       |  JOIN d0 ON d0.vec_id = e.vec_id
+       |  WHERE d0.matched = 'novel' AND d0.assigned = e.vec_id),
+       |d1 AS (SELECT * FROM ${embeddingDecisionSql(
+          "SELECT vec_id, v FROM e0 WHERE vec_id % 5 <> 0"
+            + " UNION ALL SELECT vec_id, v FROM acc0",
+          "SELECT vec_id, v FROM e0 WHERE vec_id % 10 = 5"
+            + " UNION ALL SELECT vec_id + 1000000, v FROM e0"
+            + " WHERE vec_id % 10 = 0")} t1)
+       |SELECT vec_id, assigned, matched FROM d0
+       |UNION ALL SELECT vec_id, assigned, matched FROM d1
+       |ORDER BY vec_id""".stripMargin
 
   /** The persisted-index SERVING path: [[graft.similarity.Ivf
     * .buildPersisted]] fits and writes the index ONCE (memoized fixture);
@@ -459,5 +535,7 @@ object VectorOps {
       Some(dedupEmbeddingRecallOracle), "dedup/embedding-lsh-recall"),
     QuerySpec("q_dedup_embedding_incremental", dedupEmbeddingIncremental,
       Some(dedupEmbeddingIncrementalOracle), "dedup/embedding-incremental"),
+    QuerySpec("q_dedup_embedding_stream", dedupEmbeddingStream,
+      Some(dedupEmbeddingStreamOracle), "dedup/embedding-streaming"),
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.dedup.CorpusIndex
+import graft.dedup.{CorpusIndex, EmbeddingIndex}
 import graft.pipeline.{FsUtils, Store}
 
 /** Continuous corpus ingestion with near-dup gating — the streaming form
@@ -77,6 +77,53 @@ object StreamingDedup {
           compactEvery.foreach { n =>
             if ((bid + 1) % n == 0) {
               CorpusIndex.compact(store, prefix, excludeTags = Set(tag))
+              store.compactBatched(decisionsTable, res.schema,
+                excludeTags = Set(tag))
+            }
+          }
+        }
+        ()
+      }
+      .start()
+
+  /** Continuous EMBEDDING ingestion with near-dup gating — the same
+    * micro-batch lifecycle as [[corpusIngest]] over the vector modality:
+    * each arriving batch of vectors is assigned against the persisted
+    * [[EmbeddingIndex]] (best corpus match at cosine >= threshold, else
+    * batch-local novel closure), the decision is published to a
+    * decisions table, and the accepted novel representatives are
+    * appended so the next batch resolves against them. Identical
+    * replay-safety contract: every effect is keyed by batch id,
+    * half-applied files of a crashed attempt are purged BEFORE the
+    * assign, and the decision plan is pinned before the index mutates. */
+  def vectorIngest(spark: SparkSession, landing: String,
+      schema: StructType, store: Store, prefix: String, checkpoint: String,
+      vecCol: String, idCol: String, threshold: Double,
+      maxIter: Int = 20, decisionsTable: String = "vdecisions",
+      compactEvery: Option[Int] = None): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val b = batch.localCheckpoint()
+        if (!b.isEmpty) {
+          val tag = bid.toString
+          EmbeddingIndex.clearBatch(store, prefix, tag)
+          FsUtils.clearBatch(store.path(decisionsTable), tag)
+          val res = EmbeddingIndex.assign(store, prefix, b, vecCol, idCol,
+            threshold, maxIter).localCheckpoint()
+          FsUtils.publishBatch(res, store.path(decisionsTable), tag)
+          val accepted = b.join(
+            res.filter(col("matched") === "novel"
+                && col("assigned") === col(idCol))
+              .select(idCol), Seq(idCol))
+          EmbeddingIndex.append(store, prefix, accepted, vecCol, idCol, tag)
+          compactEvery.foreach { n =>
+            if ((bid + 1) % n == 0) {
+              EmbeddingIndex.compact(store, prefix, excludeTags = Set(tag))
               store.compactBatched(decisionsTable, res.schema,
                 excludeTags = Set(tag))
             }
