@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.functions.Text
+
+/** N-gram language-model perplexity scoring — the CCNet/Gopher-style
+  * corpus quality filter (documents whose token stream a small LM finds
+  * surprising are boilerplate, spam, or noise; very low perplexity means
+  * templated repetition). Beyond-reference surface: the reference engine
+  * has no LM scoring; this is the standard missing piece between its
+  * heuristic quality signals ([[TextOps.textQuality]]) and a production
+  * training-data pipeline.
+  *
+  * The model is a word-bigram LM with add-one smoothing over a capped
+  * vocabulary (top-[[LmOps.VocabTop]] training tokens by frequency; all
+  * other tokens collapse to `<unk>`), trained on a deterministic
+  * 80% split (`doc_id % 10 < 8`) and scored over every document —
+  * the train-once / score-everything contract of a curation stage.
+  *
+  * 100 TB shape: the model relations are bounded by the vocabulary cap —
+  * at most (V+1)² bigram rows regardless of corpus size — so training is
+  * two map-side-combined aggregations whose shuffle volume is capped,
+  * and scoring joins are all broadcasts against the exploded token-pair
+  * stream with a single final shuffle (the per-document rollup). The two
+  * tiny model frames are eagerly checkpointed so the five consumers
+  * don't each rescan the corpus (a production pipeline would persist
+  * them Store-side like [[graft.dedup.CorpusIndex]] and serve many
+  * scoring batches from one fit, as [[graft.similarity.Ivf]] does for
+  * centroids).
+  *
+  * Float determinism across engines: per-token negative log-probs are
+  * quantized to micro-nats (`BIGINT`) so the per-document sum is exact
+  * integer arithmetic in any partition order; only the final perplexity
+  * applies `exp` and rounds to 3 decimals (the same per-row
+  * transcendental + round contract q_fn_great_circle established).
+  */
+object LmOps {
+
+  /** Vocabulary cap. 16 of the synthetic corpus's 31 distinct tokens, so
+    * the `<unk>` path is genuinely exercised by the gate fixture. */
+  private val VocabTop = 16
+
+  private def isTrain(c: Column): Column = c % 10 < 8
+
+  /** Adjacent token pairs; documents with fewer than two tokens yield
+    * NULL, which `explode` drops (no pair rows, no per-doc output). */
+  private val pairCol =
+    expr("""CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(0, size(toks) - 2),
+               i -> struct(toks[i] AS w1, toks[i + 1] AS w2)) END""")
+
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
+
+    def pairs(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("lang"), explode(pairCol).as("p"))
+        .select(col("doc_id"), col("lang"), col("p.w1"), col("p.w2"))
+
+    // Top-V vocabulary from the training split (count desc, token asc — a
+    // total order both engines replay). The sort is over DISTINCT tokens,
+    // a relation bounded by corpus vocabulary, not corpus size. Eager
+    // checkpoint: five consumers below, one corpus scan.
+    val vocab = docs.filter(isTrain(col("doc_id")))
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(VocabTop)
+      .select("tok")
+      .localCheckpoint()
+
+    // Smoothing denominator includes the `<unk>` bucket.
+    val vsize = vocab.agg((count(lit(1)) + lit(1)).cast("long").as("vs"))
+
+    def mapToVocab(df: DataFrame): DataFrame =
+      df.join(broadcast(vocab.withColumnRenamed("tok", "v1")),
+          col("w1") === col("v1"), "left")
+        .join(broadcast(vocab.withColumnRenamed("tok", "v2")),
+          col("w2") === col("v2"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("v1"), lit("<unk>")).as("w1m"),
+          coalesce(col("v2"), lit("<unk>")).as("w2m"))
+
+    // Bigram counts over the mapped training pairs: ≤ (V+1)² rows however
+    // large the corpus. Context counts derive from the same relation so
+    // numerator and denominator can never disagree.
+    val bigrams = mapToVocab(pairs(docs).filter(isTrain(col("doc_id"))))
+      .groupBy("w1m", "w2m").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val contexts = bigrams.groupBy("w1m").agg(sum("c12").as("c1"))
+
+    // -ln P(w2|w1) with P = (c12 + 1) / (c1 + V + 1), quantized to
+    // micro-nats so per-doc sums are exact integers in any order.
+    mapToVocab(pairs(docs))
+      .join(broadcast(bigrams), Seq("w1m", "w2m"), "left")
+      .join(broadcast(contexts), Seq("w1m"), "left")
+      .crossJoin(broadcast(vsize))
+      .select(col("doc_id"), col("lang"),
+        round(log((coalesce(col("c1"), lit(0L)) + col("vs")).cast("double") /
+            (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double")) *
+          lit(1e6), 0).cast("long").as("nlp"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_pairs"), sum("nlp").as("h_micro"))
+      .select(col("doc_id"), col("lang"),
+        when(isTrain(col("doc_id")), lit("train"))
+          .otherwise(lit("heldout")).as("split"),
+        col("n_pairs"),
+        round(exp(col("h_micro").cast("double") / lit(1e6) /
+          col("n_pairs").cast("double")), 3).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  private val lmPerplexityOracle: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM d, unnest(range(1, len(toks))) AS u(i)),
+      |voc AS (SELECT tok FROM (
+      |    SELECT unnest(toks) AS tok FROM d WHERE doc_id % 10 < 8) u
+      |  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 16),
+      |vs AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM voc),
+      |m AS (SELECT p.doc_id, p.lang,
+      |    coalesce(v1.tok, '<unk>') AS w1m, coalesce(v2.tok, '<unk>') AS w2m
+      |  FROM p LEFT JOIN voc v1 ON v1.tok = p.w1
+      |         LEFT JOIN voc v2 ON v2.tok = p.w2),
+      |big AS (SELECT w1m, w2m, count(*) AS c12 FROM m
+      |  WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+      |ctx AS (SELECT w1m, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+      |sc AS (SELECT m.doc_id, m.lang,
+      |    CAST(round(ln(
+      |      CAST(coalesce(c.c1, 0) + (SELECT v FROM vs) AS DOUBLE) /
+      |      CAST(coalesce(b.c12, 0) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS nlp
+      |  FROM m LEFT JOIN big b ON b.w1m = m.w1m AND b.w2m = m.w2m
+      |         LEFT JOIN ctx c ON c.w1m = m.w1m)
+      |SELECT doc_id, lang,
+      |  CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'heldout' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(exp(CAST(sum(nlp) AS DOUBLE) / 1000000.0 /
+      |    CAST(count(*) AS DOUBLE)), 3) AS ppl
+      |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_lm_perplexity", lmPerplexity,
+      Some(lmPerplexityOracle), "curate/lm-perplexity"),
+  )
+}

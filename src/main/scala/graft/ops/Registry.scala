@@ -5,7 +5,7 @@ package graft.ops
 object Registry {
   val specs: Seq[QuerySpec] =
     RelationalOps.specs ++ PipelineOps.specs ++ FunctionOps.specs ++
-      TextOps.specs ++ VectorOps.specs ++ CurateOps.specs ++
+      TextOps.specs ++ VectorOps.specs ++ CurateOps.specs ++ LmOps.specs ++
       ExtraOps.specs ++ OlapOps.specs ++
       MultimodalOps.specs ++ ParseOps.specs ++ EnsembleOps.specs ++
       SourceSinkOps.specs ++ StreamOps.specs

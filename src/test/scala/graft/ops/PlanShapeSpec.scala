@@ -173,6 +173,35 @@ class PlanShapeSpec extends AnyFunSuite {
       corpusShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
   }
 
+  test("LM perplexity scoring joins all broadcast; one scoring shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = LmOps.lmPerplexity(spark, dir)
+    df.collect()
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case o => o.children.flatMap(all)
+    })
+    val nodes = all(df.queryExecution.executedPlan)
+    // the model (vocab/bigram/context) joins must never sort-merge: the
+    // token-pair stream stays shuffle-free until the per-doc rollup
+    assert(nodes.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      df.queryExecution.executedPlan.toString())
+    // the per-pair stream hash-shuffles exactly once — the per-doc
+    // rollup (model-side exchanges read checkpointed <=V^2-row frames
+    // without doc_id; the only other doc_id exchange is the final
+    // orderBy's range partitioning)
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val pairShuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+      .filter(s => s.outputPartitioning.isInstanceOf[HashPartitioning] &&
+        s.output.exists(_.name == "doc_id"))
+    assert(pairShuffles.size == 1,
+      pairShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
+  }
+
   test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
     val s = plan(RelationalOps.aggPricingSummary(spark, dir))
     // `*(N)` prefixes mark whole-stage-codegen spans in the compact plan
