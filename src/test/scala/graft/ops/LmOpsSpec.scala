@@ -40,4 +40,22 @@ class LmOpsSpec extends AnyFunSuite {
     val b = LmOps.lmPerplexity(spark, dir).collect().toSeq
     assert(a == b)
   }
+
+  test("persisted model serves identical scores to the refit path") {
+    val refit = LmOps.lmPerplexity(spark, dir).collect().toSeq
+    val served = LmOps.lmPerplexityIndexed(spark, dir).collect().toSeq
+    assert(served == refit)
+    // a second serve hits the already-built model (cache or store — the
+    // contract is just: no divergence across serves)
+    assert(LmOps.lmPerplexityIndexed(spark, dir).collect().toSeq == refit)
+  }
+
+  test("scoreWithModel fails loudly when no model was built") {
+    val store = new graft.pipeline.Store(spark, "/tmp/lm_missing_model")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val e = intercept[IllegalArgumentException] {
+      LmOps.scoreWithModel(store, "nope", docs)
+    }
+    assert(e.getMessage.contains("buildModel"))
+  }
 }
