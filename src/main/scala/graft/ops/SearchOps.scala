@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.functions.Text
+
+/** BM25 keyword retrieval over the document corpus — the lexical-search
+  * complement to the ANN surface ([[graft.similarity.Ann]]): score every
+  * document against a literal term set with the Robertson/Spärck Jones
+  * Okapi BM25 weighting and return the top-k.
+  *
+  * 100 TB shape: for a literal query the per-document term frequencies
+  * are pure column expressions (`size(filter(toks, = term))`) — no
+  * explode, no inverted-index shuffle. The whole query is ONE
+  * full-corpus aggregation collapsing to a single stats row (N, Σdl,
+  * per-term document frequencies — broadcast back via cross join) plus
+  * ONE TakeOrdered for the top-k. Nothing wide ever shuffles; pinned in
+  * PlanShapeSpec.
+  *
+  * Float determinism: idf and the length normalization are fixed double
+  * sequences from integer corpus stats (identical on both engines); each
+  * term's contribution is quantized to micro-units (BIGINT) and the
+  * per-document score is their exact integer sum, so ranking ties are
+  * exact, with doc_id as the total-order tie-break.
+  */
+object SearchOps {
+
+  /** Top-k documents by BM25 over a literal term set. Documents hitting
+    * none of the terms are excluded (score 0 carries no evidence).
+    * Output: (doc_id, lang, n_terms_hit, score_micro, rank). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "terms must be non-empty and distinct")
+
+    def tfCol(t: String): Column =
+      size(filter(col("toks"), x => x === lit(t))).cast("long")
+
+    val base = docs.select(col(idCol).as("doc_id"), col("lang"),
+        Text.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id") +: col("lang") +:
+        size(col("toks")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf_$i") }: _*)
+
+    // one corpus pass → a single stats row: N, Σdl, df per term
+    val statCols = Seq(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+
+    // idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); contribution quantized
+    // to micro-units so the per-doc sum is exact integer arithmetic
+    def contrib(i: Int): Column = {
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col(s"df_$i").cast("double") + lit(0.5)) /
+          (col(s"df_$i").cast("double") + lit(0.5)))
+      val norm = lit(1.0) - lit(b) +
+        lit(b) * col("dl").cast("double") /
+          (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      when(col(s"tf_$i") > 0,
+        round(idf * tf * lit(k1 + 1.0) / (tf + lit(k1) * norm) * lit(1e6), 0)
+          .cast("long"))
+        .otherwise(lit(0L))
+    }
+
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("lang"),
+        terms.indices.map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_terms_hit"),
+        terms.indices.map(contrib).reduce(_ + _).as("score_micro"))
+      .filter(col("n_terms_hit") > 0)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))))
+  }
+
+  /** Gate fixture: three mid-frequency corpus terms, top-20. */
+  private val gateTerms = Seq("table", "value", "window")
+
+  def searchBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(load(spark, dir, "documents"), gateTerms, k = 20)
+
+  private val searchBm25Oracle: String = {
+    val tfs = gateTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n      |    ")
+    val dfs = gateTerms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val contribs = gateTerms.indices.map { i =>
+      s"""CASE WHEN tf_$i > 0 THEN CAST(round(
+         |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) /
+         |        (CAST(df_$i AS DOUBLE) + 0.5)) *
+         |      CAST(tf_$i AS DOUBLE) * 2.2 /
+         |      (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+         |        0.75 * CAST(dl AS DOUBLE) /
+         |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) *
+         |      1000000.0) AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" +\n      |    ")
+    val hits = gateTerms.indices.map(i =>
+      s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
+       |  FROM documents),
+       |t AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM d),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM t),
+       |sc AS (SELECT doc_id, lang,
+       |    CAST($hits AS BIGINT) AS n_terms_hit,
+       |    $contribs AS score_micro
+       |  FROM t, s)
+       |SELECT doc_id, lang, n_terms_hit, score_micro,
+       |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT)
+       |    AS rank
+       |FROM sc WHERE n_terms_hit > 0
+       |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_search_bm25", searchBm25,
+      Some(searchBm25Oracle), "search/bm25-topk"),
+  )
+}

@@ -202,6 +202,31 @@ class PlanShapeSpec extends AnyFunSuite {
       pairShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
   }
 
+  test("bm25 search never hash-shuffles the corpus: stats row + TakeOrdered") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = SearchOps.searchBm25(spark, dir)
+    df.collect()
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case o => o.children.flatMap(all)
+    })
+    val nodes = all(df.queryExecution.executedPlan)
+    assert(nodes.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      df.queryExecution.executedPlan.toString())
+    // per-doc scoring is pure column work: the only exchanges are the
+    // single-row stats aggregation and the k-row rank window, never a
+    // hash repartition of document rows
+    val hashShuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    assert(hashShuffles.isEmpty,
+      hashShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
+  }
+
   test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
     val s = plan(RelationalOps.aggPricingSummary(spark, dir))
     // `*(N)` prefixes mark whole-stage-codegen spans in the compact plan
