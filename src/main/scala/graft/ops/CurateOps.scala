@@ -443,6 +443,104 @@ object CurateOps {
       |WHERE d.n >= t.thr
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** Per-source frequency capping — the "domain rebalancing" step of
+    * web-corpus curation (cap any one domain/source's share of the
+    * corpus, cf. RefinedWeb / C4): keep at most 15 documents per source,
+    * chosen by a deterministic content-independent hash priority so the
+    * survivor set is stable across runs and engines.
+    *
+    * Scale shape: `row_number() <= k` over a source-partitioned window is
+    * rewritten by Spark's `InferWindowGroupLimit` into a WindowGroupLimit
+    * that drops all but k rows per source BEFORE the shuffle — each map
+    * task forwards at most k rows per source it sees, so a skewed
+    * mega-domain costs k·mappers rows in the exchange, not its full
+    * count. Pinned in PlanShapeSpec. At 100 TB this is the difference
+    * between a bounded exchange and shuffling the whole skewed domain. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val pri = Dedup.md5Hash60(concat(lit("cap"), col("doc_id").cast("string")))
+    load(spark, dir, "documents")
+      .withColumn("pri", pri)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))))
+      .filter(col("rk") <= 15)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("doc_id")
+  }
+
+  private val sourceCapOracle: String =
+    """WITH p AS (SELECT doc_id, source,
+      |  CAST('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 2, 15)
+      |    AS BIGINT) AS pri
+      |  FROM documents),
+      |r AS (SELECT doc_id, source,
+      |  row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rk
+      |  FROM p)
+      |SELECT doc_id, source, rk FROM r WHERE rk <= 15
+      |ORDER BY doc_id""".stripMargin
+
+  /** Pairwise corpus-overlap matrix: for every pair of sources, the
+    * exact Jaccard similarity of their distinct word-4-gram sets — the
+    * cross-corpus leakage / near-duplicate-corpus report run before
+    * mixing datasets into a training blend. Pairs with zero shared
+    * shingles are omitted (inner join on the shingle hash).
+    *
+    * Hash-function independence: like [[decontaminate]], only COUNTS of
+    * distinct shingles reach the output, so Spark's multi-arg xxhash64
+    * and the oracle's plain-string shingles agree exactly unless a
+    * 64-bit collision maps two distinct fixture shingles together
+    * (~2^-64 per pair; independent hash functions on the two engines
+    * make the differential strictly stronger).
+    *
+    * Scale shape: one distinct-aggregate shuffle keyed on (source, h),
+    * then a self-join keyed on h whose per-key fan-out is the number of
+    * sources sharing that shingle — bounded by the source count, not the
+    * corpus. The per-source totals are a source-cardinality-sized frame,
+    * broadcast. At 100 TB the exact h-join gives way to per-source
+    * MinHash sketches (constant size per source, machinery in
+    * [[graft.dedup.Dedup.portableMinhash]]) — the estimate replaces the
+    * join, the report shape is identical. */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = load(spark, dir, "documents")
+      .select(col("source"), Text.tokens(col("text")).as("w"))
+      .select(col("source"),
+        explode(Text.hashedShinglesFromTokens(col("w"), 4)).as("h"))
+      .distinct()
+    val per = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("source").as("src_a"), col("h"))
+      .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(per.select(col("source").as("src_a"), col("n").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(per.select(col("source").as("src_b"), col("n").as("n_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val corpusOverlapOracle: String =
+    """WITH w AS (SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(text, ' +'), x -> x != '') AS w
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT source, unnest(CASE WHEN len(w) >= 4 THEN
+      |    list_transform(generate_series(1, len(w) - 3),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+      |    ELSE [] END) AS s
+      |  FROM w),
+      |per AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.src_a, i.src_b, pa.n AS n_a, pb.n AS n_b, i.n_inter,
+      |  round(CAST(i.n_inter AS DOUBLE) / (pa.n + pb.n - i.n_inter), 6)
+      |    AS jaccard
+      |FROM i JOIN per pa ON pa.source = i.src_a
+      |       JOIN per pb ON pb.source = i.src_b
+      |ORDER BY i.src_a, i.src_b""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_quality_filter", qualityFilter,
       Some(qualityFilterOracle), "curate/quality-percentile-gate"),
