@@ -450,12 +450,14 @@ object CurateOps {
     * survivor set is stable across runs and engines.
     *
     * Scale shape: `row_number() <= k` over a source-partitioned window is
-    * rewritten by Spark's `InferWindowGroupLimit` into a WindowGroupLimit
-    * that drops all but k rows per source BEFORE the shuffle — each map
-    * task forwards at most k rows per source it sees, so a skewed
-    * mega-domain costs k·mappers rows in the exchange, not its full
-    * count. Pinned in PlanShapeSpec. At 100 TB this is the difference
-    * between a bounded exchange and shuffling the whole skewed domain. */
+    * rewritten into this library's [[graft.plans.TopKPerGroup]] physical
+    * operator, whose partial (pre-shuffle) instance drops all but k rows
+    * per source BEFORE the exchange — each map task forwards at most k
+    * rows per source it sees, so a skewed mega-domain costs k·mappers
+    * rows in the exchange, not its full count. Pinned in PlanShapeSpec
+    * ("source cap rank-limits before the shuffle"). At 100 TB this is
+    * the difference between a bounded exchange and shuffling the whole
+    * skewed domain. */
   def sourceCap(spark: SparkSession, dir: String): DataFrame = {
     val pri = Dedup.md5Hash60(concat(lit("cap"), col("doc_id").cast("string")))
     load(spark, dir, "documents")
@@ -562,5 +564,9 @@ object CurateOps {
       Some(windowNtileOracle), "window/ntile-cume-dist"),
     QuerySpec("q_mixture_weights", mixtureWeights,
       Some(mixtureWeightsOracle), "curate/mixture-weights"),
+    QuerySpec("q_source_cap", sourceCap,
+      Some(sourceCapOracle), "curate/source-cap"),
+    QuerySpec("q_corpus_overlap", corpusOverlap,
+      Some(corpusOverlapOracle), "curate/corpus-overlap"),
   )
 }

@@ -33,6 +33,19 @@ class PlanShapeSpec extends AnyFunSuite {
       + "l_extendedprice:double,l_shipdate:timestamp"), s)
   }
 
+  test("source cap rank-limits before the shuffle (partial TopKPerGroup)") {
+    val s = plan(CurateOps.sourceCap(spark, dir))
+    // row_number()<=15 must be rewritten into the TopKPerGroup physical
+    // operator, with a partial (final=false) instance BELOW the exchange
+    // so a skewed mega-source forwards at most k rows per map task
+    assert("TopKPerGroup .*15, false".r.findFirstIn(s).isDefined, s)
+    assert("TopKPerGroup .*15, true".r.findFirstIn(s).isDefined, s)
+    // partial instance sits upstream of the hash exchange
+    val partialIdx = s.indexOf("15, false")
+    val exchangeIdx = s.indexOf("Exchange hashpartitioning(source")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx, s)
+  }
+
   test("dimension joins broadcast; the big side never shuffles for them") {
     val s = plan(RelationalOps.join5Way(spark, dir))
     assert(s.contains("BroadcastHashJoin"), s)
