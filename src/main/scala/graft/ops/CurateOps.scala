@@ -543,6 +543,179 @@ object CurateOps {
       |       JOIN per pb ON pb.source = i.src_b
       |ORDER BY i.src_a, i.src_b""".stripMargin
 
+  /** The 100 TB form of [[corpusOverlap]]: per-source MinHash sketches
+    * instead of the exact shingle self-join. Each source collapses to a
+    * 32-component signature (min over the md5-60 shingle hashes under
+    * the published [[Dedup.minhashPerms]] permutations); the pairwise
+    * Jaccard ESTIMATE is the fraction of matching components. The
+    * whole report derives from a sources×32-row frame — the corpus
+    * contributes one map-side-combined min-aggregate scan and nothing
+    * else, vs the exact path's shingle-hash self-join. Estimator std
+    * err is sqrt(j(1-j)/32) ≈ 0.09 — the report ranks source pairs for
+    * the [[corpusOverlap]] exact follow-up, it does not replace it at
+    * gate scale.
+    *
+    * Differential: every stage is engine-portable (md5-60 hashes, the
+    * literal permutation constants interpolated into the oracle SQL, the
+    * same pattern as q_dedup_minhash_portable), so the DuckDB replay is
+    * exact — n_match is integer equality of replayed mins, and
+    * k/32 rounds identically. Sources whose documents are all shorter
+    * than the shingle width have no signature and report 0 matches on
+    * both engines (pair list comes from `documents`, not the sketch). */
+  def corpusOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val rows = docs
+      .withColumn("w", Text.tokens(col("text")))
+      .select(col("source"), explode(Text.shinglesFromTokens(col("w"), 4)).as("s"))
+      .select(col("source"), Dedup.md5Hash60(col("s")).as("h"))
+      .distinct()
+    val mins = Dedup.minhashSignatures(rows.select(col("source").as("id"), col("h")), 32)
+      .select(col("id").as("source"), posexplode(col("sig")))
+      .select(col("source"), col("pos").as("perm"), col("col").as("mv"))
+    val srcs = docs.select("source").distinct()
+    val allPairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val matches = mins.select(col("source").as("src_a"), col("perm"), col("mv"))
+      .join(mins.select(col("source").as("src_b"), col("perm"), col("mv")),
+        Seq("perm", "mv"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_match"))
+    allPairs.join(matches, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        round(coalesce(col("n_match"), lit(0L)) / lit(32.0), 6).as("est_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val corpusOverlapSketchOracle: String = {
+    val p = Dedup.minhashPrime
+    val perms = Dedup.minhashPerms(32)
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(((h % $p) * $a + $b) % $p) AS m$i" }.mkString(",\n  ")
+    val minArms = (0 until 32).map(i =>
+      s"SELECT source, $i AS perm, m$i AS mv FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT source,
+       |    list_filter(regexp_split_to_array(text, ' +'), x -> x != '') AS w
+       |  FROM documents),
+       |sh AS (SELECT DISTINCT source, unnest(CASE WHEN len(w) >= 4 THEN
+       |    list_transform(generate_series(1, len(w) - 3),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+       |    ELSE [] END) AS s
+       |  FROM w),
+       |hd AS (SELECT DISTINCT source,
+       |    CAST('0x' || substr(md5(s), 2, 15) AS BIGINT) AS h
+       |  FROM sh),
+       |sig AS MATERIALIZED (SELECT source,
+       |  $minCols
+       |  FROM hd GROUP BY source),
+       |mins AS MATERIALIZED (
+       |  $minArms),
+       |pall AS (SELECT a.source AS src_a, b.source AS src_b
+       |  FROM (SELECT DISTINCT source FROM documents) a,
+       |       (SELECT DISTINCT source FROM documents) b
+       |  WHERE a.source < b.source),
+       |mm AS (SELECT x.source AS src_a, y.source AS src_b,
+       |    count(*) AS n_match
+       |  FROM mins x JOIN mins y
+       |    ON y.perm = x.perm AND y.mv = x.mv AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b,
+       |  CAST(coalesce(mm.n_match, 0) AS BIGINT) AS n_match,
+       |  round(CAST(coalesce(mm.n_match, 0) AS DOUBLE) / 32.0, 6)
+       |    AS est_jaccard
+       |FROM pall p LEFT JOIN mm
+       |  ON mm.src_a = p.src_a AND mm.src_b = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every corpus
+    * document by how much more likely its hashed n-gram bag is under a
+    * TARGET distribution (here the `source = 'src0'` subset, the same
+    * held-out convention [[decontaminate]] uses) than under the RAW
+    * corpus distribution. High scores mark documents that "look like"
+    * the target domain — the selection signal for domain-matched
+    * pretraining mixes.
+    *
+    * Model: unigram + bigram features WITH multiplicity, hashed into
+    * [[DsirBuckets]] buckets by the engine-portable [[Dedup.md5Hash60]];
+    * bucket probabilities use add-one smoothing. The per-feature
+    * log-ratio ln(p_target(b)/p_raw(b)) is quantized to micro-nats
+    * (BIGINT) before the per-document sum, so document scores are exact
+    * integer arithmetic in any partition order (the [[LmOps]] contract);
+    * the ratio itself is formed as one integer-product division so both
+    * engines round the same double.
+    *
+    * 100 TB shape: both distribution frames are bounded by the bucket
+    * count (≤B rows however large the corpus) and broadcast; the corpus
+    * makes two scans (one to count, one to score) with map-side-combined
+    * aggregation — the only unbounded shuffle is the final per-document
+    * rollup. Counts enter the log as integer products; beyond ~2^53
+    * total features per side, switch the ratio to log-subtraction form
+    * (loses bit-exactness, not correctness). */
+  private val DsirBuckets = 256
+
+  private def dsirFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = when(size(col("w")) >= 2,
+      transform(sequence(lit(1), size(col("w")) - 1), i =>
+        concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    load(spark, dir, "documents")
+      .withColumn("w", Text.tokens(col("text")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(concat(col("w"), bigrams)).as("f"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (Dedup.md5Hash60(col("f")) % DsirBuckets).as("b"))
+  }
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val feats = dsirFeatures(spark, dir)
+    val raw = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("source") === "src0")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val whole = Window.partitionBy(lit(1))
+    // ≤B-row frame: per-bucket micro-nat log-ratio weights
+    val weights = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .withColumn("nr", sum("cr").over(whole))
+      .withColumn("nt", sum("ct").over(whole))
+      .select(col("b"), round(log(
+          ((col("ct") + 1) * (col("nr") + DsirBuckets)).cast("double") /
+          ((col("cr") + 1) * (col("nt") + DsirBuckets)).cast("double")) *
+        lit(1e6), 0).cast("long").as("wmi"))
+    feats.join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_feat"), sum("wmi").as("dsir_micro"))
+      .orderBy("doc_id")
+  }
+
+  private val dsirWeightsOracle: String =
+    """WITH d AS (SELECT doc_id, lang, source,
+      |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
+      |  FROM documents),
+      |f AS (SELECT doc_id, lang, source, unnest(toks) AS f FROM d
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, toks[i] || ' ' || toks[i + 1] AS f
+      |  FROM d, unnest(range(1, len(toks))) AS u(i)),
+      |fb AS (SELECT doc_id, lang, source,
+      |    CAST('0x' || substr(md5(f), 2, 15) AS BIGINT) % 256 AS b FROM f),
+      |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY b),
+      |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM fb
+      |  WHERE source = 'src0' GROUP BY b),
+      |tot AS (SELECT
+      |    (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+      |    (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS nt),
+      |w AS (SELECT raw.b, CAST(round(ln(
+      |      CAST((coalesce(tgt.ct, 0) + 1) * (tot.nr + 256) AS DOUBLE) /
+      |      CAST((raw.cr + 1) * (tot.nt + 256) AS DOUBLE)) * 1000000.0)
+      |    AS BIGINT) AS wmi
+      |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tot)
+      |SELECT fb.doc_id, fb.lang, CAST(count(*) AS BIGINT) AS n_feat,
+      |  CAST(sum(w.wmi) AS BIGINT) AS dsir_micro
+      |FROM fb JOIN w ON w.b = fb.b
+      |GROUP BY 1, 2 ORDER BY fb.doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_quality_filter", qualityFilter,
       Some(qualityFilterOracle), "curate/quality-percentile-gate"),
@@ -568,5 +741,9 @@ object CurateOps {
       Some(sourceCapOracle), "curate/source-cap"),
     QuerySpec("q_corpus_overlap", corpusOverlap,
       Some(corpusOverlapOracle), "curate/corpus-overlap"),
+    QuerySpec("q_dsir_weights", dsirWeights,
+      Some(dsirWeightsOracle), "curate/dsir-importance-weights"),
+    QuerySpec("q_corpus_overlap_sketch", corpusOverlapSketch,
+      Some(corpusOverlapSketchOracle), "curate/corpus-overlap-minhash-sketch"),
   )
 }

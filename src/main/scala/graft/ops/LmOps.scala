@@ -204,6 +204,77 @@ object LmOps {
       .orderBy("doc_id")
   }
 
+  /** CC-Net-style perplexity bucketing: per-language, split the corpus
+    * into head / middle / tail thirds by LM perplexity (head = lowest
+    * perplexity = cleanest text; tail = noisiest). This is the exact
+    * partitioning CC-Net (Wenzek et al. 2020) applies before choosing
+    * which thirds feed training.
+    *
+    * Determinism: the tercile assignment is `ntile(3)` over the total
+    * order (ppl, doc_id) — ppl is already integer-exact cross-engine
+    * (micro-nat quantization, see [[score]]), and the doc_id tie-break
+    * makes the ntile frame a total order both engines replay
+    * identically (ntile parity itself is pinned by q_window_ntile).
+    *
+    * Scale shape: the bucketing window partitions by language — a
+    * handful of giant partitions, fine at gate scale but a skew wall at
+    * 100 TB. The production form is the CC-Net original: compute the two
+    * per-language ppl cutoffs from a sample (a 2-row-per-language frame),
+    * broadcast them, and assign buckets map-side with zero extra
+    * shuffle; the exact-ntile gate here pins the semantics that sampled
+    * variant approximates. The scoring side is the capped-model
+    * broadcast pipeline of [[lmPerplexity]] (shuffles bounded by vocab²,
+    * one per-doc rollup). */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = withToks(spark, dir)
+    val (vocab, bigrams) = fit(docs.filter(isTrain(col("doc_id"))), VocabTop)
+    val vsize = vocab.count() + 1
+    score(docs, vocab, bigrams, vsize)
+      .withColumn("t", ntile(3).over(
+        Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id"))))
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("t") === 1, lit("head"))
+          .when(col("t") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val ccnetBucketsOracle: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM d, unnest(range(1, len(toks))) AS u(i)),
+      |voc AS (SELECT tok FROM (
+      |    SELECT unnest(toks) AS tok FROM d WHERE doc_id % 10 < 8) u
+      |  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 16),
+      |vs AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM voc),
+      |m AS (SELECT p.doc_id, p.lang,
+      |    coalesce(v1.tok, '<unk>') AS w1m, coalesce(v2.tok, '<unk>') AS w2m
+      |  FROM p LEFT JOIN voc v1 ON v1.tok = p.w1
+      |         LEFT JOIN voc v2 ON v2.tok = p.w2),
+      |big AS (SELECT w1m, w2m, count(*) AS c12 FROM m
+      |  WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+      |ctx AS (SELECT w1m, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+      |sc AS (SELECT m.doc_id, m.lang,
+      |    CAST(round(ln(
+      |      CAST(coalesce(c.c1, 0) + (SELECT v FROM vs) AS DOUBLE) /
+      |      CAST(coalesce(b.c12, 0) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS nlp
+      |  FROM m LEFT JOIN big b ON b.w1m = m.w1m AND b.w2m = m.w2m
+      |         LEFT JOIN ctx c ON c.w1m = m.w1m),
+      |ppl AS (SELECT doc_id, lang,
+      |    round(exp(CAST(sum(nlp) AS DOUBLE) / 1000000.0 /
+      |      CAST(count(*) AS DOUBLE)), 3) AS ppl
+      |  FROM sc GROUP BY doc_id, lang),
+      |t AS (SELECT doc_id, lang, ppl,
+      |    ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS t
+      |  FROM ppl)
+      |SELECT doc_id, lang, ppl,
+      |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+      |    AS bucket
+      |FROM t ORDER BY doc_id""".stripMargin
+
   private val lmPerplexityOracle: String =
     """WITH d AS (SELECT doc_id, lang,
       |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
@@ -239,5 +310,7 @@ object LmOps {
       Some(lmPerplexityOracle), "curate/lm-perplexity"),
     QuerySpec("q_lm_perplexity_indexed", lmPerplexityIndexed,
       Some(lmPerplexityOracle), "curate/lm-perplexity-persisted"),
+    QuerySpec("q_ccnet_buckets", ccnetBuckets,
+      Some(ccnetBucketsOracle), "curate/ccnet-perplexity-buckets"),
   )
 }
