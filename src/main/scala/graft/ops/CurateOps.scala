@@ -716,6 +716,72 @@ object CurateOps {
       |FROM fb JOIN w ON w.b = fb.b
       |GROUP BY 1, 2 ORDER BY fb.doc_id""".stripMargin
 
+  /** Per-source corpus statistics — the "data card" report published
+    * with a training mix (docs, token volume, vocabulary size, length
+    * distribution). Exact lower-median via the rank trick (the
+    * [[qualityFilter]] percentile pattern: row_number = ceil(cnt/2) on
+    * the (n, doc_id) total order) instead of a percentile interpolation
+    * two engines would round differently.
+    *
+    * Scale shape: one explode pass feeds a (source, token)-keyed
+    * distinct aggregate (map-side combined; the distinct-token frame is
+    * vocabulary-bounded per source, not corpus-bounded); the length
+    * stats are a per-source aggregate plus one rank window whose
+    * partitions are sources. Everything joins back on the tiny source
+    * key set. avg is formed as exact-integer sum ÷ count, one double
+    * division + round, same on both engines. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("text"))
+      .withColumn("n", Text.tokenCount(col("text")).cast("long"))
+    val tokStats = docs
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_distinct_tokens"))
+    val lenStats = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("n").cast("double") / count(lit(1)), 3).as("avg_tokens"),
+        max("n").as("max_tokens"))
+    val median = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("n"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("rn") === ceil(col("cnt") / 2).cast("long"))
+      .select(col("source"), col("n").as("p50_tokens"))
+    lenStats.join(tokStats, Seq("source")).join(median, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_distinct_tokens"), col("avg_tokens"), col("p50_tokens"),
+        col("max_tokens"))
+      .orderBy("source")
+  }
+
+  private val corpusStatsOracle: String =
+    """WITH d AS (SELECT source, doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(text, ' +'),
+      |      w -> w != '')) AS BIGINT) AS n,
+      |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
+      |  FROM documents),
+      |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+      |  FROM (SELECT source, unnest(toks) AS tok FROM d) u GROUP BY source),
+      |l AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    round(CAST(sum(n) AS DOUBLE) / count(*), 3) AS avg_tokens,
+      |    max(n) AS max_tokens
+      |  FROM d GROUP BY source),
+      |r AS (SELECT source, n,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS cnt
+      |  FROM d),
+      |m AS (SELECT source, n AS p50_tokens FROM r
+      |  WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT))
+      |SELECT l.source, l.n_docs, t.n_tokens, t.n_distinct_tokens,
+      |  l.avg_tokens, m.p50_tokens, l.max_tokens
+      |FROM l JOIN t ON t.source = l.source
+      |       JOIN m ON m.source = l.source
+      |ORDER BY l.source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_quality_filter", qualityFilter,
       Some(qualityFilterOracle), "curate/quality-percentile-gate"),
@@ -745,5 +811,7 @@ object CurateOps {
       Some(dsirWeightsOracle), "curate/dsir-importance-weights"),
     QuerySpec("q_corpus_overlap_sketch", corpusOverlapSketch,
       Some(corpusOverlapSketchOracle), "curate/corpus-overlap-minhash-sketch"),
+    QuerySpec("q_corpus_stats", corpusStats,
+      Some(corpusStatsOracle), "curate/corpus-data-card"),
   )
 }

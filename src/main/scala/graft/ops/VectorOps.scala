@@ -513,6 +513,129 @@ object VectorOps {
       |  FROM q JOIN c ON neighbor != qid) t
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** SemDedup over the planted fixture, k-means quantizer (k = 16,
+    * seeded): the production path. K-means cell ids are not replayable
+    * in another engine, so this gate is rows-only; the full differential
+    * rides [[semdedupPortable]] (identical decision core, portable
+    * quantizer), and SemDedupSpec asserts the semantic property the
+    * fixture plants (twin pairs sharing a cell collapse to one kept
+    * member). */
+  def semdedup(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.SemDedup.semDedup(plantedEmbeddings(spark, dir),
+        "embedding", "vec_id", threshold = 0.9, k = 16)
+      .select(col("id").as("vec_id"), col("cell"), col("group_id"),
+        col("cent_cos"), col("keep"))
+      .orderBy("vec_id")
+
+  /** SemDedup with every stage engine-portable: one 6-bit seeded
+    * hyperplane table as the quantizer (≤64 cells), micro-unit-quantized
+    * exact centroids, within-cell cosine-0.9 components, keep =
+    * least-prototypical. Full DuckDB differential including the
+    * transitive closure (recursive CTE). */
+  def semdedupPortable(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.SemDedup.semDedupPortable(plantedEmbeddings(spark, dir),
+        "embedding", "vec_id", threshold = 0.9, bits = 6, dim = 64)
+      .select(col("id").as("vec_id"), col("cell"), col("group_id"),
+        col("cent_cos"), col("keep"))
+      .orderBy("vec_id")
+
+  private val semdedupPortableOracle: String = {
+    val cellExpr = nearDupBucketExprs(tables = 1, bits = 6, dim = 64,
+      seed = 42).head
+    s"""WITH RECURSIVE $plantedCte,
+       |cells AS MATERIALIZED (SELECT vec_id, v,
+       |  $cellExpr AS cell
+       |  FROM e),
+       |cq AS (SELECT cell, i AS pos,
+       |    CAST(sum(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS BIGINT) AS sq,
+       |    count(*) AS n
+       |  FROM cells, unnest(generate_series(1, 64)) AS g(i)
+       |  GROUP BY cell, i),
+       |cent AS MATERIALIZED (SELECT cell,
+       |    list(CAST(sq AS DOUBLE) / (1000000.0 * n) ORDER BY pos) AS cent
+       |  FROM cq GROUP BY cell),
+       |pairs AS MATERIALIZED (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM cells a JOIN cells c ON c.cell = a.cell
+       |    AND a.vec_id < c.vec_id
+       |    AND list_cosine_similarity(a.v, c.v) >= 0.9),
+       |edges AS MATERIALIZED (SELECT id_a AS id, id_b AS nbr FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT id, id AS label FROM (SELECT DISTINCT id FROM edges) s
+       |  UNION
+       |  SELECT e2.id, r.label FROM edges e2 JOIN reach r ON r.id = e2.nbr),
+       |labels AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+       |cc AS (SELECT c.vec_id, c.cell,
+       |    round(list_cosine_similarity(c.v, ct.cent), 6) AS cent_cos
+       |  FROM cells c JOIN cent ct ON ct.cell = c.cell),
+       |lab AS (SELECT cc.vec_id, cc.cell, cc.cent_cos,
+       |    coalesce(l.group_id, cc.vec_id) AS group_id
+       |  FROM cc LEFT JOIN labels l ON l.id = cc.vec_id)
+       |SELECT vec_id, cell, group_id, cent_cos,
+       |  row_number() OVER (PARTITION BY group_id
+       |    ORDER BY cent_cos, vec_id) = 1 AS keep
+       |FROM lab ORDER BY vec_id""".stripMargin
+  }
+
+  /** Brute-force top-3 over INT8-QUANTIZED vectors — the
+    * memory-bandwidth form of the exact first pass: per-vector max-abs
+    * quantization to [-127, 127] (the [[CurateOps.embedQuantize]]
+    * convention; cosine is invariant to the per-vector scale, so
+    * quantized cosine tracks true cosine to int8 precision), integer
+    * dot products and norms (exact in any order — max |dot| here is
+    * 64·127² ≈ 2^20), one double division + round-6 at the end. At 100
+    * TB the int8 corpus is 8× smaller than float64 in the scan — this
+    * is the candidate-generation pass PQ/IVF systems run before float
+    * re-rank ([[annIvf]] provides the cell-pruned variant; composing
+    * the two is cell-pruned int8 scanning). Fully differential: integer
+    * cores are exact on both engines, ties broken by neighbor id. */
+  def annQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("maxabs") > 0)
+      .select(col("vec_id"),
+        transform(col("v"), x =>
+          round(x * 127.0 / col("maxabs")).cast("long")).as("q"))
+      .withColumn("nrm", sqrt(
+        aggregate(col("q"), lit(0L), (a, x) => a + x * x).cast("double")))
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nrm").as("qn"))
+    broadcast(qs).join(e.select(col("vec_id").as("neighbor"),
+        col("q").as("cv"), col("nrm").as("cn")),
+        col("neighbor") =!= col("qid"))
+      .select(col("qid"), col("neighbor"),
+        round(aggregate(zip_with(col("qv"), col("cv"), (a, b) => a * b),
+            lit(0L), (a, x) => a + x).cast("double") /
+          (col("qn") * col("cn")), 6).as("cosq"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cosq").desc, col("neighbor"))))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "neighbor", "cosq")
+      .orderBy("qid", "rank")
+  }
+
+  private val annQuantizedOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |qz AS (SELECT vec_id,
+      |    list_transform(v, x -> CAST(round(x * 127.0 / m) AS BIGINT)) AS q
+      |  FROM (SELECT vec_id, v,
+      |      list_max(list_transform(v, x -> abs(x))) AS m FROM e) s
+      |  WHERE m > 0),
+      |n AS (SELECT vec_id, q, sqrt(CAST(list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list_transform(q, x -> x * x)),
+      |    (a, x) -> a + x) AS DOUBLE)) AS nrm FROM qz),
+      |qs AS (SELECT vec_id AS qid, q AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+      |cand AS (SELECT qs.qid, c.vec_id AS neighbor,
+      |    round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, 64), j -> qs.qv[j] * c.q[j])),
+      |      (a, x) -> a + x) AS DOUBLE) / (qs.qn * c.nrm), 6) AS cosq
+      |  FROM qs JOIN n c ON c.vec_id != qs.qid)
+      |SELECT qid, CAST(rank AS INT) AS rank, neighbor, cosq FROM (
+      |  SELECT qid, neighbor, cosq, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cosq DESC, neighbor) AS rank FROM cand) t
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_ann_ivf", annIvf, Some(exactTop3Oracle), "similarity/ann-ivf"),
     QuerySpec("q_ann_ivf_indexed", annIvfIndexed, Some(exactTop3Oracle),
@@ -537,5 +660,10 @@ object VectorOps {
       Some(dedupEmbeddingIncrementalOracle), "dedup/embedding-incremental"),
     QuerySpec("q_dedup_embedding_stream", dedupEmbeddingStream,
       Some(dedupEmbeddingStreamOracle), "dedup/embedding-streaming"),
+    QuerySpec("q_semdedup", semdedup, None, "dedup/semdedup-kmeans"),
+    QuerySpec("q_semdedup_portable", semdedupPortable,
+      Some(semdedupPortableOracle), "dedup/semdedup-differential"),
+    QuerySpec("q_ann_quantized", annQuantized,
+      Some(annQuantizedOracle), "similarity/ann-int8-brute"),
   )
 }
