@@ -671,13 +671,13 @@ object CurateOps {
 
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val feats = dsirFeatures(spark, dir)
-    val raw = feats.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgt = feats.filter(col("source") === "src0")
-      .groupBy("b").agg(count(lit(1)).as("ct"))
     val whole = Window.partitionBy(lit(1))
-    // ≤B-row frame: per-bucket micro-nat log-ratio weights
-    val weights = raw.join(tgt, Seq("b"), "left")
-      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    // ONE counting pass: raw and target bucket counts as a conditional
+    // sum in the same map-side-combined aggregate (the target subset is
+    // a filter of the same stream, so a second scan buys nothing)
+    val weights = feats.groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
       .withColumn("nr", sum("cr").over(whole))
       .withColumn("nt", sum("ct").over(whole))
       .select(col("b"), round(log(

@@ -240,6 +240,86 @@ object LmOps {
       .orderBy("doc_id")
   }
 
+  /** The PRODUCTION form of [[ccnetBuckets]] — what CC-Net actually
+    * ships at scale: per-language perplexity cutoffs computed from a
+    * deterministic SAMPLE (doc_id % 10 = 0, the rank-trick tercile
+    * boundaries over (ppl, doc_id)), broadcast as a languages×2-row
+    * frame, and every document bucketed MAP-SIDE against them — no
+    * language-keyed corpus-wide window, so the giant-partition skew of
+    * the exact-ntile form never materializes. The boundary rule is
+    * ppl ≤ t1 → head, ≤ t2 → middle, else tail (sample docs sit exactly
+    * on their own cutoffs, so ties resolve identically on both engines).
+    *
+    * The scores frame is checkpointed — it is (doc, lang, ppl) narrow
+    * (document-count rows, not token-count), so materializing it once
+    * for the two consumers (cutoffs, assignment) is cheap at any scale. */
+  def ccnetBucketsSampled(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = withToks(spark, dir)
+    val (vocab, bigrams) = fit(docs.filter(isTrain(col("doc_id"))), VocabTop)
+    val vsize = vocab.count() + 1
+    val scores = score(docs, vocab, bigrams, vsize).localCheckpoint()
+    val w = Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id"))
+    val cw = Window.partitionBy("lang")
+    val cutoffs = scores.filter(col("doc_id") % 10 === 0)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy("lang")
+      .agg(max(when(col("rn") === ceil(col("cnt") / 3).cast("long"),
+          col("ppl"))).as("t1"),
+        max(when(col("rn") === ceil(col("cnt") * 2 / 3).cast("long"),
+          col("ppl"))).as("t2"))
+    scores.join(broadcast(cutoffs), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("ppl") <= col("t1"), lit("head"))
+          .when(col("ppl") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val ccnetBucketsSampledOracle: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM d, unnest(range(1, len(toks))) AS u(i)),
+      |voc AS (SELECT tok FROM (
+      |    SELECT unnest(toks) AS tok FROM d WHERE doc_id % 10 < 8) u
+      |  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 16),
+      |vs AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM voc),
+      |m AS (SELECT p.doc_id, p.lang,
+      |    coalesce(v1.tok, '<unk>') AS w1m, coalesce(v2.tok, '<unk>') AS w2m
+      |  FROM p LEFT JOIN voc v1 ON v1.tok = p.w1
+      |         LEFT JOIN voc v2 ON v2.tok = p.w2),
+      |big AS (SELECT w1m, w2m, count(*) AS c12 FROM m
+      |  WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+      |ctx AS (SELECT w1m, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+      |sc AS (SELECT m.doc_id, m.lang,
+      |    CAST(round(ln(
+      |      CAST(coalesce(c.c1, 0) + (SELECT v FROM vs) AS DOUBLE) /
+      |      CAST(coalesce(b.c12, 0) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS nlp
+      |  FROM m LEFT JOIN big b ON b.w1m = m.w1m AND b.w2m = m.w2m
+      |         LEFT JOIN ctx c ON c.w1m = m.w1m),
+      |ppl AS (SELECT doc_id, lang,
+      |    round(exp(CAST(sum(nlp) AS DOUBLE) / 1000000.0 /
+      |      CAST(count(*) AS DOUBLE)), 3) AS ppl
+      |  FROM sc GROUP BY doc_id, lang),
+      |smp AS (SELECT doc_id, lang, ppl,
+      |    row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM ppl WHERE doc_id % 10 = 0),
+      |cut AS (SELECT lang,
+      |    max(CASE WHEN rn = CAST(ceil(cnt / 3.0) AS BIGINT)
+      |      THEN ppl END) AS t1,
+      |    max(CASE WHEN rn = CAST(ceil(cnt * 2 / 3.0) AS BIGINT)
+      |      THEN ppl END) AS t2
+      |  FROM smp GROUP BY lang)
+      |SELECT p.doc_id, p.lang, p.ppl,
+      |  CASE WHEN p.ppl <= c.t1 THEN 'head'
+      |       WHEN p.ppl <= c.t2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM ppl p JOIN cut c ON c.lang = p.lang
+      |ORDER BY p.doc_id""".stripMargin
+
   private val ccnetBucketsOracle: String =
     """WITH d AS (SELECT doc_id, lang,
       |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
@@ -312,5 +392,7 @@ object LmOps {
       Some(lmPerplexityOracle), "curate/lm-perplexity-persisted"),
     QuerySpec("q_ccnet_buckets", ccnetBuckets,
       Some(ccnetBucketsOracle), "curate/ccnet-perplexity-buckets"),
+    QuerySpec("q_ccnet_buckets_sampled", ccnetBucketsSampled,
+      Some(ccnetBucketsSampledOracle), "curate/ccnet-sampled-cutoffs"),
   )
 }

@@ -240,6 +240,23 @@ class PlanShapeSpec extends AnyFunSuite {
       hashShuffles.map(_.output.map(_.name).mkString(",")).mkString(" | "))
   }
 
+  test("DSIR scoring broadcasts the bucket-weight frame; no sort-merge join") {
+    val s = plan(CurateOps.dsirWeights(spark, dir))
+    // the ≤256-row per-bucket weight frame must broadcast against the
+    // exploded feature stream — a sort-merge join here would shuffle the
+    // whole corpus's feature rows by bucket
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("int8 ANN broadcasts the query side; the corpus scan never hash-shuffles") {
+    val s = plan(VectorOps.annQuantized(spark, dir))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+    // corpus rows reach the per-qid rank window via the broadcast join,
+    // not a corpus-wide hash exchange on join keys
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
   test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
     val s = plan(RelationalOps.aggPricingSummary(spark, dir))
     // `*(N)` prefixes mark whole-stage-codegen spans in the compact plan
