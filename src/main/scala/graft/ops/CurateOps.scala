@@ -656,38 +656,123 @@ object CurateOps {
     * (loses bit-exactness, not correctness). */
   private val DsirBuckets = 256
 
-  private def dsirFeatures(spark: SparkSession, dir: String): DataFrame = {
+  /** Hashed feature stream over any frame with `textCol`: unigrams +
+    * bigrams WITH multiplicity, md5-60-bucketed; `keep` columns ride
+    * along (id/lang for scoring, the target flag for counting). */
+  private def dsirFeatureStream(docs: DataFrame, textCol: String,
+      keep: Seq[String]): DataFrame = {
     val bigrams = when(size(col("w")) >= 2,
       transform(sequence(lit(1), size(col("w")) - 1), i =>
         concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    load(spark, dir, "documents")
-      .withColumn("w", Text.tokens(col("text")))
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(concat(col("w"), bigrams)).as("f"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        (Dedup.md5Hash60(col("f")) % DsirBuckets).as("b"))
+    docs
+      .withColumn("w", Text.tokens(col(textCol)))
+      .select(keep.map(col) :+ explode(concat(col("w"), bigrams)).as("f"): _*)
+      .select(keep.map(col) :+
+        (Dedup.md5Hash60(col("f")) % DsirBuckets).as("b"): _*)
   }
 
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val feats = dsirFeatures(spark, dir)
+  /** The ≤B-row per-bucket micro-nat weight frame from a feature stream
+    * carrying an `is_t` target flag — one conditional-sum counting pass. */
+  private def dsirWeightFrame(feats: DataFrame): DataFrame = {
     val whole = Window.partitionBy(lit(1))
-    // ONE counting pass: raw and target bucket counts as a conditional
-    // sum in the same map-side-combined aggregate (the target subset is
-    // a filter of the same stream, so a second scan buys nothing)
-    val weights = feats.groupBy("b")
+    feats.groupBy("b")
       .agg(count(lit(1)).as("cr"),
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
       .withColumn("nr", sum("cr").over(whole))
       .withColumn("nt", sum("ct").over(whole))
       .select(col("b"), round(log(
           ((col("ct") + 1) * (col("nr") + DsirBuckets)).cast("double") /
           ((col("cr") + 1) * (col("nt") + DsirBuckets)).cast("double")) *
         lit(1e6), 0).cast("long").as("wmi"))
+  }
+
+  private def dsirScore(feats: DataFrame, weights: DataFrame): DataFrame =
     feats.join(broadcast(weights), Seq("b"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_feat"), sum("wmi").as("dsir_micro"))
       .orderBy("doc_id")
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .withColumn("is_t", col("source") === "src0")
+    val feats = dsirFeatureStream(docs, "text",
+      Seq("doc_id", "lang", "is_t"))
+    dsirScore(feats, dsirWeightFrame(feats))
+  }
+
+  // ---- persisted DSIR model: train once, score any batch -------------
+
+  private val dsirWeightSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("b",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("wmi",
+      org.apache.spark.sql.types.LongType)))
+  private val dsirMetaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("buckets",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Fit the bucket log-ratio weights once and persist them:
+    * `<prefix>_weights` (≤B rows) + `<prefix>_meta` (bucket count,
+    * validated at serve time). Same rebuild atomicity as
+    * [[LmOps.buildModel]]: `_meta` deleted first, written last, so a
+    * rebuild that dies mid-replace fails loudly on the next score. At
+    * 100 TB this is the point of the lifecycle — the two corpus scans
+    * (count + any later scoring) never rerun the counting side per
+    * batch; a weight table is a few KB however large the corpus. */
+  def buildDsirModel(store: graft.pipeline.Store, prefix: String,
+      corpus: DataFrame, isTarget: Column,
+      textCol: String = "text"): Unit = {
+    graft.pipeline.FsUtils.deleteRecursively(
+      new java.io.File(store.path(s"${prefix}_meta")))
+    val feats = dsirFeatureStream(corpus.withColumn("is_t", isTarget),
+      textCol, Seq("is_t"))
+    store.write(s"${prefix}_weights", dsirWeightFrame(feats))
+    store.write(s"${prefix}_meta",
+      corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(DsirBuckets.toLong)),
+        dsirMetaSchema))
+  }
+
+  /** Score a batch (needs `idCol`/`lang`/`textCol`) against a persisted
+    * DSIR model — no counting pass, one broadcast join + per-doc rollup. */
+  def scoreDsirModel(store: graft.pipeline.Store, prefix: String,
+      batch: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(store.exists(s"${prefix}_meta"),
+      s"no persisted DSIR model under prefix '$prefix' — run " +
+        "buildDsirModel (or a rebuild died mid-replace; rebuild it)")
+    val buckets = store.read(s"${prefix}_meta", dsirMetaSchema)
+      .collect()(0).getLong(0)
+    require(buckets == DsirBuckets.toLong,
+      s"persisted DSIR model has $buckets buckets, this build expects " +
+        s"$DsirBuckets — rebuild the model")
+    val feats = dsirFeatureStream(
+      batch.select(col(idCol).as("doc_id"), col("lang"), col(textCol)),
+      textCol, Seq("doc_id", "lang"))
+    dsirScore(feats, store.read(s"${prefix}_weights", dsirWeightSchema))
+  }
+
+  /** The persisted-serving twin of [[dsirWeights]] (the
+    * q_lm_perplexity_indexed pattern): weights fitted once into a
+    * memoized Store, every run scores by READING them — must hash-match
+    * the refit path's oracle exactly. */
+  private val dsirStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Store]
+
+  def dsirWeightsIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val store = dsirStoreCache.synchronized {
+      dsirStoreCache.getOrElseUpdate((spark, dir), {
+        val base = SourceSinkOps.tmp("dsiridx", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        val st = new graft.pipeline.Store(spark, base)
+        buildDsirModel(st, "dsir", load(spark, dir, "documents"),
+          col("source") === "src0")
+        st
+      })
+    }
+    scoreDsirModel(store, "dsir", load(spark, dir, "documents"))
   }
 
   private val dsirWeightsOracle: String =
@@ -809,6 +894,8 @@ object CurateOps {
       Some(corpusOverlapOracle), "curate/corpus-overlap"),
     QuerySpec("q_dsir_weights", dsirWeights,
       Some(dsirWeightsOracle), "curate/dsir-importance-weights"),
+    QuerySpec("q_dsir_weights_indexed", dsirWeightsIndexed,
+      Some(dsirWeightsOracle), "curate/dsir-persisted-serving"),
     QuerySpec("q_corpus_overlap_sketch", corpusOverlapSketch,
       Some(corpusOverlapSketchOracle), "curate/corpus-overlap-minhash-sketch"),
     QuerySpec("q_corpus_stats", corpusStats,

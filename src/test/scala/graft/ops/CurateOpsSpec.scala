@@ -96,6 +96,22 @@ class CurateOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Double]("cd")).max == 1.0)
   }
 
+  test("DSIR persisted model: served scores equal refit; missing model fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("dsirspec").toString
+    val store = new graft.pipeline.Store(spark, base)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val e = intercept[IllegalArgumentException] {
+      CurateOps.scoreDsirModel(store, "m", docs)
+    }
+    assert(e.getMessage.contains("no persisted DSIR model"))
+    CurateOps.buildDsirModel(store, "m", docs, col("source") === "src0")
+    val served = CurateOps.scoreDsirModel(store, "m", docs).collect()
+    val refit = CurateOps.dsirWeights(spark, dir).collect()
+    assert(served.map(_.toString).sorted.toSeq ==
+      refit.map(_.toString).sorted.toSeq)
+  }
+
   test("mixtureWeights: weight 1.0 iff source has exactly uniform share") {
     val rows = CurateOps.mixtureWeights(spark, dir).collect()
     assert(rows.length > 1)
