@@ -87,11 +87,22 @@ object SemDedup {
     * (id, cell, group_id, cent_cos, keep). */
   def semDedup(emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double, k: Int, seed: Long = 42L,
-      maxIter: Int = 20): DataFrame = {
-    val index = graft.similarity.Ivf.build(emb, k, idCol, vecCol, seed)
+      maxIter: Int = 20): DataFrame =
+    semDedupWithIndex(
+      graft.similarity.Ivf.build(emb, k, idCol, vecCol, seed),
+      threshold, maxIter)
+
+  /** SemDedup over an already-built (or persisted-and-loaded) IVF index
+    * — the serving form: a nightly dedup pass reads the
+    * [[graft.similarity.Ivf.buildPersisted]] tables instead of refitting
+    * the quantizer per run (cells persist as float32; widening back to
+    * double is exact for float-source embeddings, so served decisions
+    * match the refit path bit-for-bit — pinned in SemDedupSpec). */
+  def semDedupWithIndex(index: graft.similarity.Ivf.Index,
+      threshold: Double, maxIter: Int = 20): DataFrame = {
     val assigned = index.assigned.select(col("id"),
       transform(col("emb"), x => x.cast("double")).as("v"), col("cell"))
-    val spark = emb.sparkSession
+    val spark = assigned.sparkSession
     import spark.implicits._
     val centroids = index.centroids.toSeq.toDF("cell", "cent")
     decide(assigned, centroids, threshold, maxIter)

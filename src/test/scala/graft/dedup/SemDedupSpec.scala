@@ -46,6 +46,19 @@ class SemDedupSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.collect().mkString(", "))
   }
 
+  test("persisted-index serving decisions match the refit path exactly") {
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("semdedupspec").toString
+    val store = new graft.pipeline.Store(spark, base)
+    graft.similarity.Ivf.buildPersisted(store, "sd", e, k = 16)
+    val served = SemDedup.semDedupWithIndex(
+      graft.similarity.Ivf.load(store, "sd"), threshold = 0.9).collect()
+    val refit = SemDedup.semDedup(e, "embedding", "vec_id",
+      threshold = 0.9, k = 16).collect()
+    assert(served.map(_.toString).sorted.toSeq ==
+      refit.map(_.toString).sorted.toSeq)
+  }
+
   test("planted twins collapse: same k-means cell means same group") {
     val src = result.filter(col("id") < 50)
       .select(col("id"), col("cell").as("c_s"), col("group_id").as("g_s"))

@@ -257,6 +257,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("SortMergeJoin"), s)
   }
 
+  test("sampled CC-Net cutoffs broadcast; the corpus-wide lang window is gone") {
+    val s = plan(LmOps.ccnetBucketsSampled(spark, dir))
+    // the languages×2-row cutoff frame joins by broadcast; bucketing is
+    // then map-side — the exact-ntile form's corpus-wide per-language
+    // window (the skew wall at scale) must not appear over the full
+    // scores frame (the only windows run on the doc_id%10 sample)
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
   test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
     val s = plan(RelationalOps.aggPricingSummary(spark, dir))
     // `*(N)` prefixes mark whole-stage-codegen spans in the compact plan
