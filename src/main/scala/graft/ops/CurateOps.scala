@@ -867,6 +867,110 @@ object CurateOps {
       |       JOIN m ON m.source = l.source
       |ORDER BY l.source""".stripMargin
 
+  /** Streaming curation over the persisted models
+    * ([[graft.streaming.StreamingCurate.scoreIngest]]): the LM and DSIR
+    * models are trained once into a Store (LM on the %10<8 split, DSIR
+    * vs the src0 target — the same models the batch gates fit), then TWO
+    * micro-batches of documents (doc_id %10 = 0, then %10 = 5) stream
+    * through and are scored + threshold-gated (ppl ≤ 12, dsir ≥ −5e6 —
+    * both cut the sf0.01 fixture non-trivially). The oracle replays both
+    * models and the gate rule over the union of the two batch doc sets —
+    * scoring is stateless per batch, so no sequential replay is needed
+    * (that contract belongs to the dedup-ingest gates); what this gate
+    * pins is that the streaming plumbing (file batching, replay-safe
+    * publication, model serving inside foreachBatch) is invisible in the
+    * decisions. */
+  private val scurCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Store]
+
+  def streamCurate(spark: SparkSession, dir: String): DataFrame = {
+    val store = scurCache.synchronized {
+      scurCache.getOrElseUpdate((spark, dir), {
+        val base = SourceSinkOps.tmp("scur", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        val docs = load(spark, dir, "documents")
+        val st = new graft.pipeline.Store(spark, s"$base/store")
+        LmOps.buildModel(st, "lm", docs.filter(col("doc_id") % 10 < 8))
+        buildDsirModel(st, "dsir", docs, col("source") === "src0")
+        val landing = s"$base/landing"
+        new java.io.File(landing).mkdirs()
+        def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmpd = s"$base/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+          val part = new java.io.File(tmpd).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$landing/$name")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          require(dst.setLastModified(mtime),
+            s"could not pin mtime on $dst — batch order would be undefined")
+        }
+        val cols = docs.select(col("doc_id"), col("lang"), col("text"))
+        val t0 = 1700000000000L
+        writeBatchFile(cols.filter(col("doc_id") % 10 === 0), "b0.parquet", t0)
+        writeBatchFile(cols.filter(col("doc_id") % 10 === 5), "b1.parquet",
+          t0 + 3600000L)
+        graft.streaming.StreamingCurate.scoreIngest(spark, landing,
+          cols.schema, st, "lm", "dsir", s"$base/ck",
+          pplCap = 12.0, dsirFloor = -5000000L).awaitTermination()
+        st
+      })
+    }
+    spark.read.parquet(store.path("decisions")).orderBy("doc_id")
+  }
+
+  private val streamCurateOracle: String =
+    """WITH d AS (SELECT doc_id, lang, source,
+      |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM d, unnest(range(1, len(toks))) AS u(i)),
+      |voc AS (SELECT tok FROM (
+      |    SELECT unnest(toks) AS tok FROM d WHERE doc_id % 10 < 8) u
+      |  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 16),
+      |vs AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM voc),
+      |m AS (SELECT p.doc_id, p.lang,
+      |    coalesce(v1.tok, '<unk>') AS w1m, coalesce(v2.tok, '<unk>') AS w2m
+      |  FROM p LEFT JOIN voc v1 ON v1.tok = p.w1
+      |         LEFT JOIN voc v2 ON v2.tok = p.w2),
+      |big AS (SELECT w1m, w2m, count(*) AS c12 FROM m
+      |  WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+      |ctx AS (SELECT w1m, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+      |sc AS (SELECT m.doc_id, m.lang,
+      |    CAST(round(ln(
+      |      CAST(coalesce(c.c1, 0) + (SELECT v FROM vs) AS DOUBLE) /
+      |      CAST(coalesce(b.c12, 0) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS nlp
+      |  FROM m LEFT JOIN big b ON b.w1m = m.w1m AND b.w2m = m.w2m
+      |         LEFT JOIN ctx c ON c.w1m = m.w1m),
+      |ppl AS (SELECT doc_id, lang,
+      |    round(exp(CAST(sum(nlp) AS DOUBLE) / 1000000.0 /
+      |      CAST(count(*) AS DOUBLE)), 3) AS ppl
+      |  FROM sc GROUP BY doc_id, lang),
+      |f AS (SELECT doc_id, lang, source, unnest(toks) AS f FROM d
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, toks[i] || ' ' || toks[i + 1] AS f
+      |  FROM d, unnest(range(1, len(toks))) AS u(i)),
+      |fb AS (SELECT doc_id, lang, source,
+      |    CAST('0x' || substr(md5(f), 2, 15) AS BIGINT) % 256 AS b FROM f),
+      |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY b),
+      |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM fb
+      |  WHERE source = 'src0' GROUP BY b),
+      |tot AS (SELECT
+      |    (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+      |    (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS nt),
+      |w AS (SELECT raw.b, CAST(round(ln(
+      |      CAST((coalesce(tgt.ct, 0) + 1) * (tot.nr + 256) AS DOUBLE) /
+      |      CAST((raw.cr + 1) * (tot.nt + 256) AS DOUBLE)) * 1000000.0)
+      |    AS BIGINT) AS wmi
+      |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tot),
+      |ds AS (SELECT fb.doc_id, fb.lang,
+      |    CAST(sum(w.wmi) AS BIGINT) AS dsir_micro
+      |  FROM fb JOIN w ON w.b = fb.b GROUP BY 1, 2)
+      |SELECT p.doc_id, p.lang, p.ppl, ds.dsir_micro,
+      |  (p.ppl <= 12.0 AND ds.dsir_micro >= -5000000) AS keep
+      |FROM ppl p JOIN ds ON ds.doc_id = p.doc_id AND ds.lang = p.lang
+      |WHERE p.doc_id % 10 IN (0, 5)
+      |ORDER BY p.doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_quality_filter", qualityFilter,
       Some(qualityFilterOracle), "curate/quality-percentile-gate"),
@@ -900,5 +1004,7 @@ object CurateOps {
       Some(corpusOverlapSketchOracle), "curate/corpus-overlap-minhash-sketch"),
     QuerySpec("q_corpus_stats", corpusStats,
       Some(corpusStatsOracle), "curate/corpus-data-card"),
+    QuerySpec("q_stream_curate", streamCurate,
+      Some(streamCurateOracle), "curate/streaming-model-serving"),
   )
 }
