@@ -390,6 +390,86 @@ object CurateOps {
       |  round(total / CAST(n_src * src_tokens AS DOUBLE), 6) AS weight
       |FROM t ORDER BY source""".stripMargin
 
+  /** Temperature-scaled mixture sampling (the Pile / ROOTS / mT5
+    * convention): per-source sampling probability ∝ share^(1/T) with
+    * T = 0.7 — temperatures above 1 flatten toward uniform, below 1
+    * sharpen toward natural proportions; 1/T > 1 here upweights small
+    * sources less aggressively than [[mixtureWeights]]'s hard-uniform
+    * target. Output: natural share, temperature-scaled sampling
+    * probability, and the per-document oversampling factor
+    * (t_share/share) a sampler applies.
+    *
+    * Determinism: shares are exact-integer token counts divided once;
+    * pow/normalization run on identical doubles in both engines (the
+    * same single-expression transcendental contract as exp/ln in
+    * [[LmOps]]), and outputs round to 6. The whole computation after
+    * the per-source aggregate runs on a sources-sized frame. */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = load(spark, dir, "documents")
+      .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
+      .groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val all = Window.partitionBy()
+    perSource
+      .withColumn("share",
+        col("src_tokens").cast("double") / sum("src_tokens").over(all))
+      // quantize the powered share to pico-units BEFORE the normalizing
+      // sum: a double sum over the window is partition-order-dependent,
+      // an integer sum is exact in any order (the LmOps contract)
+      .withColumn("pq",
+        round(pow(col("share"), lit(1.0 / 0.7)) * lit(1e12), 0).cast("long"))
+      .withColumn("t_share",
+        col("pq").cast("double") / sum("pq").over(all))
+      .select(col("source"), col("src_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("t_share"), 6).as("t_share"),
+        round(col("t_share") / col("share"), 6).as("oversample"))
+      .orderBy("source")
+  }
+
+  private val mixtureTemperatureOracle: String =
+    """WITH s AS (SELECT source,
+      |  CAST(sum(len(list_filter(regexp_split_to_array(text, ' +'),
+      |    x -> x != ''))) AS BIGINT) AS src_tokens
+      |  FROM documents GROUP BY source),
+      |sh AS (SELECT source, src_tokens,
+      |    CAST(src_tokens AS DOUBLE) / sum(src_tokens) OVER () AS share
+      |  FROM s),
+      |p AS (SELECT source, src_tokens, share,
+      |    CAST(round(pow(share, 1.0 / 0.7) * 1e12) AS BIGINT) AS pq FROM sh),
+      |t AS (SELECT source, src_tokens, share,
+      |    CAST(pq AS DOUBLE) / sum(pq) OVER () AS t_share FROM p)
+      |SELECT source, src_tokens, round(share, 6) AS share,
+      |  round(t_share, 6) AS t_share,
+      |  round(t_share / share, 6) AS oversample
+      |FROM t ORDER BY source""".stripMargin
+
+  /** Deterministic train/val/test assignment — 90/5/5 by a salted
+    * content-independent hash of the document id, so the split is (a)
+    * stable across runs, engines, and cluster sizes, (b) independent of
+    * any document feature a model could exploit, and (c) reproducible
+    * from the id alone (any later pipeline stage can re-derive the
+    * split without a join). Pure map-side column expression — the only
+    * shuffle in the gate is its ORDER BY. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val h = Dedup.md5Hash60(
+      concat(lit("split"), col("doc_id").cast("string"))) % 100
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(h < 90, lit("train")).when(h < 95, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  private val splitAssignOracle: String =
+    """WITH h AS (SELECT doc_id, lang,
+      |  CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 2, 15)
+      |    AS BIGINT) % 100 AS h
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM h ORDER BY doc_id""".stripMargin
+
   /** Percentile-threshold quality gate: drop each language's bottom
     * quartile by token count — the FineWeb-style "cut below the p25 of
     * the quality signal per stratum" filter every curation run applies.
@@ -1006,5 +1086,9 @@ object CurateOps {
       Some(corpusStatsOracle), "curate/corpus-data-card"),
     QuerySpec("q_stream_curate", streamCurate,
       Some(streamCurateOracle), "curate/streaming-model-serving"),
+    QuerySpec("q_mixture_temperature", mixtureTemperature,
+      Some(mixtureTemperatureOracle), "curate/mixture-temperature"),
+    QuerySpec("q_split_assign", splitAssign,
+      Some(splitAssignOracle), "curate/train-val-test-split"),
   )
 }
