@@ -735,9 +735,56 @@ object TextOps {
        |FROM tok JOIN surv USING (doc_id) WHERE n >= 5
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Overlapping token-window chunking — the retrieval/embedding-prep
+    * primitive (chunk size 64, stride 48, 16-token overlap): every
+    * document becomes a prefix of windows [s, s+63], a window starting
+    * only if its predecessor didn't already reach the end of the
+    * document. Pure codegen'd column expressions (sequence + filter +
+    * posexplode + slice); no shuffle except the gate's ORDER BY — at
+    * 100 TB chunking is a map-side pass feeding the embedding stage.
+    * chunk_idx is (start-1)/stride, identical to the position in the
+    * filtered prefix on both engines. Empty documents produce no rows. */
+  def textChunks(spark: SparkSession, dir: String): DataFrame = {
+    val cs = 64
+    val st = 48
+    val w = col("w")
+    val starts = filter(
+      sequence(lit(1), greatest(size(w), lit(1)), lit(st)),
+      s => (s === 1) || (s - st + (cs - 1) < size(w)))
+    load(spark, dir, "documents")
+      .withColumn("w", Text.tokens(col("text")))
+      .filter(size(w) >= 1)
+      .select(col("doc_id"), col("lang"), explode(starts).as("s"), col("w"))
+      .select(col("doc_id"), col("lang"),
+        ((col("s") - 1) / st).cast("long").as("chunk_idx"),
+        col("s").cast("long").as("start_tok"),
+        size(slice(w, col("s"), lit(cs))).cast("long").as("n_chunk"),
+        concat_ws(" ", slice(w, col("s"), lit(cs))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val textChunksOracle: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(text, ' +'), x -> x != '') AS toks
+      |  FROM documents),
+      |n AS (SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS n
+      |  FROM d WHERE len(toks) >= 1),
+      |s AS (SELECT doc_id, lang, toks, n, u.s
+      |  FROM n, unnest(generate_series(1, greatest(n, 1), 48)) AS u(s)
+      |  WHERE s = 1 OR (s - 48 + 63) < n)
+      |SELECT doc_id, lang,
+      |  CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+      |  CAST(s AS BIGINT) AS start_tok,
+      |  CAST(least(s + 63, n) - s + 1 AS BIGINT) AS n_chunk,
+      |  array_to_string(list_slice(toks, s, least(s + 63, n)), ' ')
+      |    AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_curation_pipeline", curationPipeline,
       Some(curationOracle), "curation/end-to-end"),
+    QuerySpec("q_text_chunks", textChunks,
+      Some(textChunksOracle), "text/token-window-chunking"),
     QuerySpec("q_dedup_groups", dedupGroups, None, "dedup/groups"),
     QuerySpec("q_text_tokens", textTokens, Some(
       """SELECT lang, CAST(sum(n) AS BIGINT) AS total_tokens, min(n) AS min_tokens,
