@@ -128,6 +128,40 @@ object OlapOps {
     sessionizeEvents(load(spark, dir, "events"))
       .orderBy("user_id", "session_id")
 
+  /** Ordered funnel analysis (view → click → purchase): per user, the
+    * earliest 'view', the earliest 'click' strictly AFTER that view, and
+    * the earliest 'purchase' strictly after that click — the product
+    * analytics primitive sequence-pattern engines special-case,
+    * expressed relationally. `stage` = deepest step reached (0-3);
+    * timestamps carry through so conversion lag is a subtraction away.
+    *
+    * Scale shape: every stage keys on user_id — one hash partitioning
+    * serves all three min-aggregates and the final left joins (the
+    * [[sessionizeEvents]] argument); per-stage frames shrink
+    * monotonically (only users who passed stage k reach the k+1 join). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id")).filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id")).filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    e.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0).cast("int").as("stage"))
+      .orderBy("user_id")
+  }
+
   /** Skew-salted dimension join, oracled against the plain join: the big
     * side sprays each hot key over 8 salt replicas (deterministic spray
     * from row content, so retries re-land identically) and the small side
@@ -314,6 +348,24 @@ object OlapOps {
         |min(ts) AS session_start, max(ts) AS session_end
         |FROM i GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin), "window/sessionize"),
+    QuerySpec("q_funnel", funnel, Some(
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |       WHEN c.user_id IS NOT NULL THEN 2
+        |       WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+        |FROM u LEFT JOIN v ON v.user_id = u.user_id
+        |       LEFT JOIN c ON c.user_id = u.user_id
+        |       LEFT JOIN p ON p.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin), "olap/ordered-funnel"),
     QuerySpec("q_join_salted", joinSalted, Some(
       """SELECT p_brand, count(*) AS n,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
