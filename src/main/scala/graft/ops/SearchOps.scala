@@ -123,8 +123,49 @@ object SearchOps {
        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Inverted-index construction — the search-index BUILD step
+    * [[bm25TopK]]'s literal-query fast path avoids at query time: one
+    * distinct (token, doc) explode, then a token-keyed aggregate
+    * emitting document frequency and the posting list. The gate keeps
+    * terms with df ≥ 50 and truncates postings to the first 20 sorted
+    * doc ids (bounding output, the way a dictionary page stores a
+    * posting-list prefix + continuation); postings ship as a joined
+    * string so the differential compares exact list content.
+    *
+    * 100 TB shape: the explode is the one corpus-sized stage and
+    * partial-aggregates map-side (distinct (token, doc) pairs); the
+    * per-token rollup shuffles pairs once, keyed by token — posting
+    * lists build sorted per token via array_sort of the collected
+    * bucket, never a global sort. Skewed stopword tokens are the known
+    * hazard: cap posting collection (as here) or salt-and-merge the
+    * hottest tokens. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .distinct()
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", slice(array_sort(collect_list(col("doc_id"))),
+          1, 20)).as("postings20"))
+      .filter(col("df") >= 50)
+      .orderBy("tok")
+
+  private val invertedIndexOracle: String =
+    """WITH p AS (SELECT DISTINCT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text, ' +'),
+      |      w -> w != '')) AS tok
+      |  FROM documents),
+      |g AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+      |    array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',')
+      |      AS postings20
+      |  FROM p GROUP BY tok)
+      |SELECT tok, df, postings20 FROM g WHERE df >= 50
+      |ORDER BY tok""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_search_bm25", searchBm25,
       Some(searchBm25Oracle), "search/bm25-topk"),
+    QuerySpec("q_inverted_index", invertedIndex,
+      Some(invertedIndexOracle), "search/inverted-index-build"),
   )
 }
