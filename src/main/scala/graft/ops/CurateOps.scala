@@ -991,7 +991,17 @@ object CurateOps {
           t0 + 3600000L)
         graft.streaming.StreamingCurate.scoreIngest(spark, landing,
           cols.schema, st, "lm", "dsir", s"$base/ck",
-          pplCap = 12.0, dsirFloor = -5000000L).awaitTermination()
+          pplCap = 12.0, dsirFloor = -5000000L,
+          compactEvery = Some(1)).awaitTermination()
+        // compaction ran and bounded the drops: batch 0's file folded
+        // into a compacted generation; only the (excluded, replayable)
+        // final batch remains as a batch drop. The oracle then proves
+        // compaction is invisible in the decisions themselves.
+        val names = Option(new java.io.File(st.path("decisions")).listFiles())
+          .getOrElse(Array.empty).map(_.getName).filter(_.endsWith(".parquet"))
+        require(names.exists(_.startsWith("compacted_"))
+            && !names.exists(_.startsWith("batch_0_")),
+          s"decision compaction did not run as configured: ${names.toSeq}")
         st
       })
     }

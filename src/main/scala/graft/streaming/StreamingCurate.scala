@@ -28,10 +28,16 @@ import graft.pipeline.{FsUtils, Store}
   * trained once. */
 object StreamingCurate {
 
+  /** `compactEvery = Some(n)` folds the per-batch decision file drops
+    * into one compacted generation after every n-th batch (always
+    * excluding the current — only replayable — tag), the same unbounded-
+    * file-growth fix [[StreamingDedup.corpusIngest]] carries; without it
+    * a long-running ingest grows one+ decision file per batch forever. */
   def scoreIngest(spark: SparkSession, landing: String, schema: StructType,
       store: Store, lmPrefix: String, dsirPrefix: String, checkpoint: String,
       pplCap: Double, dsirFloor: Long,
-      decisionsTable: String = "decisions"): StreamingQuery =
+      decisionsTable: String = "decisions",
+      compactEvery: Option[Int] = None): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(landing)
@@ -51,6 +57,11 @@ object StreamingCurate {
                 .as("keep"))
             .localCheckpoint()
           FsUtils.publishBatch(res, store.path(decisionsTable), tag)
+          compactEvery.foreach { n =>
+            if ((bid + 1) % n == 0)
+              store.compactBatched(decisionsTable, res.schema,
+                excludeTags = Set(tag))
+          }
         }
         ()
       }
