@@ -162,4 +162,31 @@ object Multimodal {
       .withColumn("out_width", ceil(col("width") * col("scale")).cast("int"))
       .withColumn("out_height", ceil(col("height") * col("scale")).cast("int"))
       .drop("scale")
+
+  /** Average-hash (aHash) perceptual signatures over the payload bytes —
+    * the classic image near-dup primitive on the deterministic
+    * ByteStat representation: the byte stream folds into `bands`
+    * integer band sums (position mod `bands` — for a decoded image
+    * these would be downsampled-cell luminances; the plumbing is
+    * identical), and bit j of the signature is set iff band j's sum
+    * exceeds the overall mean. All-integer arithmetic (the exact
+    * cross-multiplication `band*bands > total` instead of a float
+    * mean), so signatures are bit-identical across engines and
+    * partition orders. */
+  def aHashSignatures(media: Dataset[MediaRow], bands: Int = 16): DataFrame = {
+    val df = media.toDF()
+      .select(col("media_id"), col("kind"), col("payload").cast("string").as("h"))
+      .withColumn("codes", expr(
+        "transform(sequence(1, length(h)), i -> ascii(substring(h, i, 1)))"))
+      .withColumn("total", expr(
+        "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    val withBands = (0 until bands).foldLeft(df)((d, j) =>
+      d.withColumn(s"b$j", expr(
+        s"aggregate(filter(sequence(1, size(codes)), i -> (i - 1) % $bands = $j), " +
+          "CAST(0 AS BIGINT), (a, i) -> a + element_at(codes, i))")))
+    withBands.select(col("media_id"), col("kind"),
+      (0 until bands).map(j =>
+        when(col(s"b$j") * bands > col("total"), lit(1L << j)).otherwise(0L))
+        .reduce(_ + _).as("sig"))
+  }
 }

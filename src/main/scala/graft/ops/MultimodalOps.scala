@@ -18,6 +18,74 @@ object MultimodalOps {
   /** Partition-iterator feature extraction over binary payloads:
     * (media_id, kind, n_bytes, mean_byte). mean_byte sums 64 integers in
     * doubles — exact under any summation order, so it diffs cleanly. */
+  /** Perceptual-hash near-dup pairs over the media payloads: 16-bit
+    * aHash signatures ([[Multimodal.aHashSignatures]]), candidates from
+    * 4-bit quarter banding within kind (pigeonhole: ≤3 damaged bits
+    * leave ≥1 intact quarter, so recall at hamming ≤ 3 is exact — the
+    * [[graft.dedup.Dedup.simhashPairs]] argument), verified by
+    * bit_count of the XOR. Signature build, banding, and verify are all
+    * integer arithmetic — fully DuckDB-differential. The quadratic work
+    * is per (kind, quarter-value) bucket, never cross-corpus. */
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(
+      spark, load(spark, dir, "documents"), "doc_id")
+    val sigs = Multimodal.aHashSignatures(media)
+    val quarters = sigs.select(col("media_id"), col("kind"), col("sig"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("sig"), q * 4).bitwiseAND(15)): _*)).as(Seq("q", "qv")))
+    val a = quarters.select(col("kind"), col("q"), col("qv"),
+      col("media_id").as("id_a"), col("sig").as("sig_a"))
+    val b = quarters.select(col("kind"), col("q"), col("qv"),
+      col("media_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("kind", "q", "qv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("kind", "id_a", "id_b", "sig_a", "sig_b").distinct()
+      .select(col("kind"), col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("kind", "id_a", "id_b")
+  }
+
+  private val multimodalPhashOracle: String = {
+    val bandArms = (0 until 16).map { j =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_filter(generate_series(1, 64),
+         |        i -> (i - 1) % 16 = $j), i -> CAST(codes[i] AS BIGINT))),
+         |      (a, x) -> a + x) AS b$j""".stripMargin
+    }.mkString(",\n  ")
+    val sigExpr = (0 until 16).map(j =>
+      s"(CASE WHEN b$j * 16 > total THEN CAST(1 AS BIGINT) << $j " +
+        "ELSE CAST(0 AS BIGINT) END)").mkString(" +\n  ")
+    s"""WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+       |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  sha256(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |c AS (SELECT media_id, kind,
+       |  list_transform(generate_series(1, length(h)),
+       |    i -> ascii(substr(h, i, 1))) AS codes FROM m),
+       |bnd AS (SELECT media_id, kind,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(codes, x -> CAST(x AS BIGINT))),
+       |    (a, x) -> a + x) AS total,
+       |  $bandArms
+       |  FROM c),
+       |s AS MATERIALIZED (SELECT media_id, kind,
+       |  $sigExpr AS sig
+       |  FROM bnd),
+       |qs AS MATERIALIZED (SELECT media_id, kind, sig, u.q,
+       |    (sig >> (u.q * 4)) & 15 AS qv
+       |  FROM s, unnest([0, 1, 2, 3]) AS u(q)),
+       |cand AS (SELECT DISTINCT a.kind, a.media_id AS id_a,
+       |    b2.media_id AS id_b, a.sig AS sig_a, b2.sig AS sig_b
+       |  FROM qs a JOIN qs b2 ON b2.kind = a.kind AND b2.q = a.q
+       |    AND b2.qv = a.qv AND a.media_id < b2.media_id)
+       |SELECT kind, id_a, id_b,
+       |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |ORDER BY kind, id_a, id_b""".stripMargin
+  }
+
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(
       spark, load(spark, dir, "documents"), "doc_id")
@@ -126,6 +194,8 @@ object MultimodalOps {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_multimodal_decode", multimodalDecode,
       Some(multimodalDecodeOracle), "multimodal/real-image-decode"),
+    QuerySpec("q_multimodal_phash", multimodalPhash,
+      Some(multimodalPhashOracle), "multimodal/perceptual-hash-dedup"),
     QuerySpec("q_multimodal_features", multimodalFeatures, Some(
       """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
