@@ -174,10 +174,14 @@ object Multimodal {
     * mean), so signatures are bit-identical across engines and
     * partition orders. */
   def aHashSignatures(media: Dataset[MediaRow], bands: Int = 16): DataFrame = {
+    // bytes via hex(): two hex chars per byte. A cast-to-string would
+    // reinterpret arbitrary media bytes as UTF-8 (replacement chars,
+    // collapsed sequences) — signatures must reflect the actual bytes.
     val df = media.toDF()
-      .select(col("media_id"), col("kind"), col("payload").cast("string").as("h"))
+      .select(col("media_id"), col("kind"), hex(col("payload")).as("hx"))
       .withColumn("codes", expr(
-        "transform(sequence(1, length(h)), i -> ascii(substring(h, i, 1)))"))
+        "transform(sequence(1, CAST(length(hx) / 2 AS INT)), " +
+          "i -> CAST(conv(substring(hx, 2 * i - 1, 2), 16, 10) AS INT))"))
       .withColumn("total", expr(
         "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)"))
     val withBands = (0 until bands).foldLeft(df)((d, j) =>

@@ -390,14 +390,14 @@ object CurateOps {
       |  round(total / CAST(n_src * src_tokens AS DOUBLE), 6) AS weight
       |FROM t ORDER BY source""".stripMargin
 
-  /** Temperature-scaled mixture sampling (the Pile / ROOTS / mT5
-    * convention): per-source sampling probability ∝ share^(1/T) with
-    * T = 0.7 — temperatures above 1 flatten toward uniform, below 1
-    * sharpen toward natural proportions; 1/T > 1 here upweights small
-    * sources less aggressively than [[mixtureWeights]]'s hard-uniform
-    * target. Output: natural share, temperature-scaled sampling
-    * probability, and the per-document oversampling factor
-    * (t_share/share) a sampler applies.
+  /** Temperature-scaled mixture sampling (the mT5 / XLM-R / Pile
+    * exponential-smoothing convention): per-source sampling probability
+    * ∝ share^α with α = 0.7 — α < 1 FLATTENS toward uniform, so small
+    * sources are upweighted (oversample > 1) and the dominant source is
+    * downweighted, but less aggressively than [[mixtureWeights]]'s
+    * hard-uniform target; α = 1 reproduces natural proportions. Output:
+    * natural share, temperature-scaled sampling probability, and the
+    * per-document oversampling factor (t_share/share) a sampler applies.
     *
     * Determinism: shares are exact-integer token counts divided once;
     * pow/normalization run on identical doubles in both engines (the
@@ -414,9 +414,12 @@ object CurateOps {
         col("src_tokens").cast("double") / sum("src_tokens").over(all))
       // quantize the powered share to pico-units BEFORE the normalizing
       // sum: a double sum over the window is partition-order-dependent,
-      // an integer sum is exact in any order (the LmOps contract)
-      .withColumn("pq",
-        round(pow(col("share"), lit(1.0 / 0.7)) * lit(1e12), 0).cast("long"))
+      // an integer sum is exact in any order (the LmOps contract).
+      // Floor at 1 pico-unit — a present source must never quantize to
+      // sampling probability zero, however tiny its share.
+      .withColumn("pq", greatest(
+        round(pow(col("share"), lit(0.7)) * lit(1e12), 0).cast("long"),
+        lit(1L)))
       .withColumn("t_share",
         col("pq").cast("double") / sum("pq").over(all))
       .select(col("source"), col("src_tokens"),
@@ -435,7 +438,8 @@ object CurateOps {
       |    CAST(src_tokens AS DOUBLE) / sum(src_tokens) OVER () AS share
       |  FROM s),
       |p AS (SELECT source, src_tokens, share,
-      |    CAST(round(pow(share, 1.0 / 0.7) * 1e12) AS BIGINT) AS pq FROM sh),
+      |    greatest(CAST(round(pow(share, 0.7) * 1e12) AS BIGINT), 1)
+      |      AS pq FROM sh),
       |t AS (SELECT source, src_tokens, share,
       |    CAST(pq AS DOUBLE) / sum(pq) OVER () AS t_share FROM p)
       |SELECT source, src_tokens, round(share, 6) AS share,
@@ -752,13 +756,23 @@ object CurateOps {
         (Dedup.md5Hash60(col("f")) % DsirBuckets).as("b"): _*)
   }
 
-  /** The ≤B-row per-bucket micro-nat weight frame from a feature stream
-    * carrying an `is_t` target flag — one conditional-sum counting pass. */
+  /** The exactly-B-row per-bucket micro-nat weight frame from a feature
+    * stream carrying an `is_t` target flag — one conditional-sum
+    * counting pass, then the observed counts joined onto the FULL
+    * bucket spine 0..B-1. The spine matters for SERVING: a batch
+    * feature can hash to a bucket the training corpus never produced,
+    * and the add-one smoothing defines its weight
+    * (ln((nr+B)/(nt+B)) at cr = ct = 0) — dropping such features would
+    * silently bias served scores low relative to a refit. */
   private def dsirWeightFrame(feats: DataFrame): DataFrame = {
     val whole = Window.partitionBy(lit(1))
-    feats.groupBy("b")
+    val spine = feats.sparkSession.range(DsirBuckets).toDF("b")
+    val counts = feats.groupBy("b")
       .agg(count(lit(1)).as("cr"),
         sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    spine.join(counts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
       .withColumn("nr", sum("cr").over(whole))
       .withColumn("nt", sum("ct").over(whole))
       .select(col("b"), round(log(
@@ -1054,12 +1068,15 @@ object CurateOps {
       |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tot),
       |ds AS (SELECT fb.doc_id, fb.lang,
       |    CAST(sum(w.wmi) AS BIGINT) AS dsir_micro
-      |  FROM fb JOIN w ON w.b = fb.b GROUP BY 1, 2)
-      |SELECT p.doc_id, p.lang, p.ppl, ds.dsir_micro,
-      |  (p.ppl <= 12.0 AND ds.dsir_micro >= -5000000) AS keep
-      |FROM ppl p JOIN ds ON ds.doc_id = p.doc_id AND ds.lang = p.lang
-      |WHERE p.doc_id % 10 IN (0, 5)
-      |ORDER BY p.doc_id""".stripMargin
+      |  FROM fb JOIN w ON w.b = fb.b GROUP BY 1, 2),
+      |batch AS (SELECT doc_id, lang FROM documents
+      |  WHERE doc_id % 10 IN (0, 5))
+      |SELECT b.doc_id, b.lang, p.ppl, ds.dsir_micro,
+      |  coalesce(p.ppl <= 12.0 AND ds.dsir_micro >= -5000000, false) AS keep
+      |FROM batch b
+      |LEFT JOIN ppl p ON p.doc_id = b.doc_id AND p.lang = b.lang
+      |LEFT JOIN ds ON ds.doc_id = b.doc_id AND ds.lang = b.lang
+      |ORDER BY b.doc_id""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_quality_filter", qualityFilter,

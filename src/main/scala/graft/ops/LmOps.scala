@@ -269,9 +269,13 @@ object LmOps {
           col("ppl"))).as("t1"),
         max(when(col("rn") === ceil(col("cnt") * 2 / 3).cast("long"),
           col("ppl"))).as("t2"))
-    scores.join(broadcast(cutoffs), Seq("lang"))
+    // LEFT join: a language whose documents never hit the sample has no
+    // cutoffs row — those documents must surface as 'unbucketed', not
+    // silently vanish from the curated output
+    scores.join(broadcast(cutoffs), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("ppl"),
-        when(col("ppl") <= col("t1"), lit("head"))
+        when(col("t1").isNull, lit("unbucketed"))
+          .when(col("ppl") <= col("t1"), lit("head"))
           .when(col("ppl") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
       .orderBy("doc_id")
@@ -315,9 +319,10 @@ object LmOps {
       |      THEN ppl END) AS t2
       |  FROM smp GROUP BY lang)
       |SELECT p.doc_id, p.lang, p.ppl,
-      |  CASE WHEN p.ppl <= c.t1 THEN 'head'
+      |  CASE WHEN c.t1 IS NULL THEN 'unbucketed'
+      |       WHEN p.ppl <= c.t1 THEN 'head'
       |       WHEN p.ppl <= c.t2 THEN 'middle' ELSE 'tail' END AS bucket
-      |FROM ppl p JOIN cut c ON c.lang = p.lang
+      |FROM ppl p LEFT JOIN cut c ON c.lang = p.lang
       |ORDER BY p.doc_id""".stripMargin
 
   private val ccnetBucketsOracle: String =

@@ -139,16 +139,29 @@ object SearchOps {
     * bucket, never a global sort. Skewed stopword tokens are the known
     * hazard: cap posting collection (as here) or salt-and-merge the
     * hottest tokens. */
-  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "documents")
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = load(spark, dir, "documents")
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       .distinct()
+    val dfs = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rank-limit BEFORE collecting: the posting prefix aggregates over
+    // at most 20 rows per token (the row_number()<=k form rewrites to
+    // the partial TopKPerGroup, so a stopword token's millions of doc
+    // ids never reach one reducer's collect buffer — only k survive
+    // each map task). df still counts the full posting set.
+    val top = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("tok").orderBy("doc_id")))
+      .filter(col("rn") <= 20)
       .groupBy("tok")
-      .agg(count(lit(1)).as("df"),
-        concat_ws(",", slice(array_sort(collect_list(col("doc_id"))),
-          1, 20)).as("postings20"))
+      .agg(concat_ws(",", array_sort(collect_list(col("doc_id"))))
+        .as("postings20"))
+    dfs.join(top, Seq("tok"))
       .filter(col("df") >= 50)
+      .select("tok", "df", "postings20")
       .orderBy("tok")
+  }
 
   private val invertedIndexOracle: String =
     """WITH p AS (SELECT DISTINCT doc_id,

@@ -51,10 +51,19 @@ object StreamingCurate {
           FsUtils.clearBatch(store.path(decisionsTable), tag)
           val ppl = graft.ops.LmOps.scoreWithModel(store, lmPrefix, b)
           val ds = graft.ops.CurateOps.scoreDsirModel(store, dsirPrefix, b)
-          val res = ppl.join(ds, Seq("doc_id", "lang"))
+          // LEFT joins from the batch id set: a document too short to
+          // score (no bigram for the LM, no token for DSIR) must still
+          // get an explicit keep=false decision row — the decisions
+          // table is the authoritative per-document verdict, and a
+          // silently absent doc_id is neither kept nor rejected.
+          val res = b.select(col("doc_id"), col("lang"))
+            .join(ppl.select("doc_id", "lang", "ppl"), Seq("doc_id", "lang"),
+              "left")
+            .join(ds.select("doc_id", "lang", "dsir_micro"),
+              Seq("doc_id", "lang"), "left")
             .select(col("doc_id"), col("lang"), col("ppl"), col("dsir_micro"),
-              (col("ppl") <= pplCap && col("dsir_micro") >= dsirFloor)
-                .as("keep"))
+              coalesce(col("ppl") <= pplCap
+                && col("dsir_micro") >= dsirFloor, lit(false)).as("keep"))
             .localCheckpoint()
           FsUtils.publishBatch(res, store.path(decisionsTable), tag)
           compactEvery.foreach { n =>

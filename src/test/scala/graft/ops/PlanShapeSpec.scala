@@ -266,6 +266,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin"), s)
   }
 
+  test("inverted-index posting prefix rank-limits before the shuffle") {
+    val s = plan(SearchOps.invertedIndex(spark, dir))
+    // the row_number()<=20 posting cap must rewrite to TopKPerGroup with
+    // the partial (final=false) instance below the exchange — a stopword
+    // token's doc ids are capped per map task, never collected in full
+    assert("TopKPerGroup .*20, false".r.findFirstIn(s).isDefined, s)
+    val partialIdx = s.indexOf("20, false")
+    val exchangeIdx = s.indexOf("Exchange hashpartitioning(tok")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx, s)
+  }
+
   test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
     val s = plan(RelationalOps.aggPricingSummary(spark, dir))
     // `*(N)` prefixes mark whole-stage-codegen spans in the compact plan
