@@ -18,21 +18,37 @@ object MultimodalOps {
   /** Partition-iterator feature extraction over binary payloads:
     * (media_id, kind, n_bytes, mean_byte). mean_byte sums 64 integers in
     * doubles — exact under any summation order, so it diffs cleanly. */
-  /** Perceptual-hash near-dup pairs over the media payloads: 16-bit
+  /** Perceptual-hash near-dup pairs over the media payloads: 64-bit
     * aHash signatures ([[Multimodal.aHashSignatures]]), candidates from
-    * 4-bit quarter banding within kind (pigeonhole: ≤3 damaged bits
+    * 16-bit quarter banding within kind (pigeonhole: ≤3 damaged bits
     * leave ≥1 intact quarter, so recall at hamming ≤ 3 is exact — the
     * [[graft.dedup.Dedup.simhashPairs]] argument), verified by
     * bit_count of the XOR. Signature build, banding, and verify are all
-    * integer arithmetic — fully DuckDB-differential. The quadratic work
-    * is per (kind, quarter-value) bucket, never cross-corpus. */
+    * integer arithmetic — fully DuckDB-differential.
+    *
+    * The fixture plants TWINS for media_id < 50: the source payload
+    * with its final byte overwritten — one band sum moves, so the twin
+    * signature differs in at most a few mean-crossing bits and the pair
+    * surfaces at small hamming. Unrelated sha-derived payloads sit at
+    * hamming ~32 and 16-bit quarters make their collision odds
+    * negligible — at a 32x corpus the candidate volume tracks the
+    * planted duplicates, not corpus² (the 4-bit-quarter variant
+    * measured 120x cost at 32x data before this geometry). */
   def multimodalPhash(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(
-      spark, load(spark, dir, "documents"), "doc_id")
+    import spark.implicits._
+    val base = Multimodal.syntheticMedia(
+      spark, load(spark, dir, "documents"), "doc_id").toDF()
+    val twins = base.filter(col("media_id") < 50)
+      .select((col("media_id") + 1000000L).as("media_id"), col("kind"),
+        concat(expr("substring(CAST(payload AS STRING), 1, 63)"), lit("z"))
+          .cast("binary").as("payload"),
+        col("width"), col("height"), col("frames"))
+    val media = base.unionByName(twins).as[Multimodal.MediaRow]
     val sigs = Multimodal.aHashSignatures(media)
     val quarters = sigs.select(col("media_id"), col("kind"), col("sig"),
       posexplode(array((0 until 4).map(q =>
-        shiftright(col("sig"), q * 4).bitwiseAND(15)): _*)).as(Seq("q", "qv")))
+        shiftright(col("sig"), q * 16).bitwiseAND(65535)): _*))
+        .as(Seq("q", "qv")))
     val a = quarters.select(col("kind"), col("q"), col("qv"),
       col("media_id").as("id_a"), col("sig").as("sig_a"))
     val b = quarters.select(col("kind"), col("q"), col("qv"),
@@ -48,33 +64,37 @@ object MultimodalOps {
   }
 
   private val multimodalPhashOracle: String = {
-    val bandArms = (0 until 16).map { j =>
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(list_filter(generate_series(1, 64),
-         |        i -> (i - 1) % 16 = $j), i -> CAST(codes[i] AS BIGINT))),
-         |      (a, x) -> a + x) AS b$j""".stripMargin
-    }.mkString(",\n  ")
-    val sigExpr = (0 until 16).map(j =>
-      s"(CASE WHEN b$j * 16 > total THEN CAST(1 AS BIGINT) << $j " +
-        "ELSE CAST(0 AS BIGINT) END)").mkString(" +\n  ")
-    s"""WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+    // 64-byte fixture payloads with 64 bands: band j's sum is exactly
+    // byte j+1 (codes[j+1] — DuckDB lists are 1-based)
+    val sigExpr = (0 until 64).map { j =>
+      // DuckDB rejects 1::BIGINT << 63 (overflow); bit 63 is the
+      // minimum-long literal, same two's-complement value Spark's
+      // lit(1L << 63) produces
+      val bit = if (j == 63) s"CAST(${Long.MinValue} AS BIGINT)"
+        else s"CAST(1 AS BIGINT) << $j"
+      s"(CASE WHEN codes[${j + 1}] * 64 > total THEN $bit " +
+        "ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" |\n  ")
+    s"""WITH m0 AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        |  sha256(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |m AS (SELECT media_id, kind, h FROM m0
+       |  UNION ALL
+       |  SELECT media_id + 1000000, kind, substr(h, 1, 63) || 'z'
+       |  FROM m0 WHERE media_id < 50),
        |c AS (SELECT media_id, kind,
        |  list_transform(generate_series(1, length(h)),
-       |    i -> ascii(substr(h, i, 1))) AS codes FROM m),
-       |bnd AS (SELECT media_id, kind,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(codes, x -> CAST(x AS BIGINT))),
-       |    (a, x) -> a + x) AS total,
-       |  $bandArms
+       |    i -> CAST(ascii(substr(h, i, 1)) AS BIGINT)) AS codes FROM m),
+       |bnd AS (SELECT media_id, kind, codes,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+       |    (a, x) -> a + x) AS total
        |  FROM c),
        |s AS MATERIALIZED (SELECT media_id, kind,
        |  $sigExpr AS sig
        |  FROM bnd),
        |qs AS MATERIALIZED (SELECT media_id, kind, sig, u.q,
-       |    (sig >> (u.q * 4)) & 15 AS qv
+       |    (sig >> (u.q * 16)) & 65535 AS qv
        |  FROM s, unnest([0, 1, 2, 3]) AS u(q)),
        |cand AS (SELECT DISTINCT a.kind, a.media_id AS id_a,
        |    b2.media_id AS id_b, a.sig AS sig_a, b2.sig AS sig_b
