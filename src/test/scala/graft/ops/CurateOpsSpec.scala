@@ -112,6 +112,21 @@ class CurateOpsSpec extends AnyFunSuite {
       refit.map(_.toString).sorted.toSeq)
   }
 
+  test("mixtureTemperature flattens toward uniform: small sources oversample > 1") {
+    val rows = CurateOps.mixtureTemperature(spark, dir).collect()
+    assert(rows.length > 1)
+    // α < 1 exponential smoothing must UPWEIGHT below-average sources
+    // and DOWNWEIGHT above-average ones (the inverted exponent 1/T > 1
+    // does the opposite — this pins the fixed semantics)
+    val smallest = rows.minBy(_.getAs[Long]("src_tokens"))
+    val largest = rows.maxBy(_.getAs[Long]("src_tokens"))
+    assert(smallest.getAs[Double]("oversample") > 1.0, smallest)
+    assert(largest.getAs[Double]("oversample") < 1.0, largest)
+    // t_share is a probability distribution
+    val total = rows.map(_.getAs[Double]("t_share")).sum
+    assert(math.abs(total - 1.0) < 1e-4)
+  }
+
   test("mixtureWeights: weight 1.0 iff source has exactly uniform share") {
     val rows = CurateOps.mixtureWeights(spark, dir).collect()
     assert(rows.length > 1)
