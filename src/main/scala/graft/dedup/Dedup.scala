@@ -578,6 +578,53 @@ object Dedup {
           / col("n_windows"), 6).as("dup_frac"))
   }
 
+  /** Line-level deduplication — the boilerplate-removal pass of
+    * RefinedWeb / CCNet-style web curation (reference analog: none; this
+    * is beyond-reference training-data surface): a LINE (newline-delimited
+    * segment) that occurs in at least `minDocs` DISTINCT documents is
+    * removed from every document, and each document is reassembled from
+    * its surviving lines in original order. Unlike [[duplicateSpans]]
+    * (which only SCORES contamination), this op REWRITES the corpus —
+    * returns (idCol, n_lines, n_removed, clean_text).
+    *
+    * Scale shape: lines are grouped and joined on a 64-bit xxhash of the
+    * line text, so shuffle rows on the frequency side are (hash, id) —
+    * never the line string. Three keyed shuffles, all linear in total
+    * line count: the distinct-doc count per hash (partial-aggregated
+    * map-side), the hash-equi join marking duplicated occurrences (the
+    * duplicated-line set can be corpus-sized at 100 TB — a shuffle join,
+    * deliberately not a broadcast), and the per-document reassembly. No
+    * doc-x-doc pair work. Reassembly keeps (pos, line) structs through
+    * one sort_array — the per-document line list is bounded by document
+    * size, the same per-group bound every tokenize pass already carries.
+    * The removal rule is hash-function-independent ("same line text"),
+    * so a DuckDB oracle replaying it on raw strings stays an exact
+    * differential (the ~2^-64/pair collision caveat documented at
+    * [[graft.ops.CurateOps.decontaminate]] applies identically). */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String,
+      minDocs: Int = 3): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col("id"), col("pos"), col("line"),
+        xxhash64(col("line")).as("h"))
+    val dup = lines.groupBy("h")
+      .agg(countDistinct("id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    lines.join(dup.withColumn("dup", lit(1)), Seq("h"), "left_outer")
+      .select(col("id"), col("pos"), col("line"),
+        coalesce(col("dup"), lit(0)).as("dup"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("dup")).cast("long").as("n_removed"),
+        sort_array(collect_list(struct(col("pos"), col("line"),
+          col("dup")))).as("ls"))
+      .select(col("id").as(idCol), col("n_lines"), col("n_removed"),
+        array_join(transform(filter(col("ls"), s => s("dup") === 0),
+          s => s("line")), "\n").as("clean_text"))
+  }
+
   /** Deterministic random-hyperplane tables, shared by the Spark path and
     * the oracle's SQL replay — both must see the IDENTICAL draw sequence,
     * so this is the single generation point (`tables` outer, then bits,

@@ -659,6 +659,67 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Line-level dedup / boilerplate removal
+    * ([[graft.dedup.Dedup.lineDedup]]). The synthetic corpus is
+    * single-line, so — the established planting pattern
+    * ([[CurateOps.piiRedact]], [[textLangid]]) — the gate first gives
+    * every document real line structure: a per-SOURCE header line (the
+    * classic repeated site boilerplate; each source has many documents,
+    * so every header crosses the minDocs=3 bar), the body re-wrapped at
+    * six tokens per line, and one corpus-wide footer line. The operator
+    * must then remove exactly the cross-document lines and reassemble
+    * the bodies in order — counts AND the rewritten text diff against
+    * the oracle. */
+  def dedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("share and subscribe to "), col("source"),
+            lit(" channel updates")),
+          array_join(transform(
+            sequence(lit(0L),
+              floor(greatest(size(col("w")).cast("long") - 1L, lit(0L))
+                / 6L).cast("long")),
+            i => concat_ws(" ",
+              slice(col("w"), (i * 6 + 1).cast("int"), lit(6)))), "\n"),
+          lit("all rights reserved worldwide")).as("t"))
+    graft.dedup.Dedup.lineDedup(docs, "t", "doc_id", minDocs = 3)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replica of the line dedup: same planted header/body/footer
+    * construction, same distinct-doc >= 3 rule on raw line text (the
+    * Spark side's xxhash64 grouping key is hash-function-independent —
+    * see the [[graft.dedup.Dedup.lineDedup]] scaladoc), same
+    * order-preserving reassembly. */
+  private val dedupLinesOracle: String =
+    """WITH w AS (SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(text, ' +'), x -> x != '') AS w
+      |  FROM documents),
+      |built AS (SELECT doc_id,
+      |    'share and subscribe to ' || source || ' channel updates'
+      |    || chr(10) ||
+      |    array_to_string(list_transform(
+      |      generate_series(0, greatest(len(w) - 1, 0) // 6),
+      |      i -> array_to_string(list_slice(w, i * 6 + 1, i * 6 + 6), ' ')),
+      |      chr(10))
+      |    || chr(10) || 'all rights reserved worldwide' AS t
+      |  FROM w),
+      |l AS (SELECT doc_id, unnest(ls) AS line,
+      |    unnest(generate_series(1, len(ls))) AS pos
+      |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM built)),
+      |dup AS (SELECT line FROM l GROUP BY line
+      |  HAVING count(DISTINCT doc_id) >= 3),
+      |m AS (SELECT l.doc_id, l.pos, l.line,
+      |    CASE WHEN d.line IS NULL THEN 0 ELSE 1 END AS dup
+      |  FROM l LEFT JOIN dup d ON d.line = l.line)
+      |SELECT doc_id, count(*) AS n_lines, CAST(sum(dup) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN dup = 0 THEN line END,
+      |    chr(10) ORDER BY pos), '') AS clean_text
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val simhashPortableOracle: String = {
     val bitSums = (0 until 60).map(i =>
       s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n  ")
@@ -845,5 +906,7 @@ object TextOps {
       Some(streamDedupOracle), "dedup/streaming-ingest-compacted"),
     QuerySpec("q_dedup_spans", dedupSpans,
       Some(dedupSpansOracle), "dedup/duplicate-spans"),
+    QuerySpec("q_dedup_lines", dedupLines,
+      Some(dedupLinesOracle), "dedup/line-boilerplate-removal"),
   )
 }

@@ -93,6 +93,25 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(out(4L) == ((3L, 0L, 0.0)))
   }
 
+  test("lineDedup removes cross-doc lines, keeps order, empties fully-boilerplate docs") {
+    val docs = Seq(
+      (1L, "header line\nbody one\nbody two\nfooter line"),
+      (2L, "header line\nbody three\nfooter line"),
+      (3L, "header line\nbody one\nfooter line"),
+      (4L, "header line\nfooter line"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "text", "doc_id", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // header/footer are in 4 docs (>= 3) -> removed everywhere;
+    // "body one" is in only 2 docs (< 3) -> kept
+    assert(out(1L) == ((4L, 2L, "body one\nbody two")))
+    assert(out(2L) == ((3L, 2L, "body three")))
+    assert(out(3L) == ((3L, 2L, "body one")))
+    // a doc that was ALL boilerplate keeps its row with empty clean text
+    assert(out(4L) == ((2L, 2L, "")))
+  }
+
   test("adaptive LSH geometry grows bits with corpus size, tables with depth") {
     // all three testdata scales land on the oracle-pinned (4, 6)
     assert(Dedup.lshParamsFor(550, 0.9) == ((4, 6)))
