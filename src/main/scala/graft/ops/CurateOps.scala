@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.load
 import graft.dedup.Dedup
-import graft.functions.Text
+import graft.functions.{Sketch, Text}
 
 /** Training-data curation operators beyond the dedup/quality set already in
   * [[TextOps]]: benchmark decontamination, PII redaction, repetition
@@ -50,12 +50,14 @@ object CurateOps {
     * embedded expression trees per element (~n×shingles regex
     * tokenizations per row when inlined — the round-5 hot spot), while a
     * bound attribute is an O(1) row read. */
+  private def docShingles4(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+    .select(col("doc_id"),
+      explode(Text.hashedShinglesFromTokens(col("w"), 4)).as("h"))
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
-    val shingle = (d: DataFrame) => d
-      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
-      .select(col("doc_id"),
-        explode(Text.hashedShinglesFromTokens(col("w"), 4)).as("h"))
+    val shingle: DataFrame => DataFrame = docShingles4
     val benchH = shingle(docs.filter(col("source") === "src0"))
       .select("h").distinct()
     val corpus = docs.filter(col("source") =!= "src0")
@@ -92,6 +94,49 @@ object CurateOps {
       |FROM documents d LEFT JOIN cont c ON c.doc_id = d.doc_id
       |WHERE d.source != 'src0'
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  /** Bloom-prefiltered decontamination: the SAME decision as
+    * [[decontaminate]] (and the same oracle — the results must be
+    * indistinguishable), with the corpus-side membership test staged as
+    * (1) a map-side probe of a serialized bloom filter built from the
+    * benchmark shingle hashes by Spark's native BloomFilterAggregate,
+    * then (2) the exact broadcast semi-join over only the surviving
+    * shingles. False positives from (1) are removed by (2); false
+    * negatives cannot occur, so the composition is exactly the exact
+    * path — which is why no separate oracle or portable twin is needed.
+    *
+    * Why stage it at 100 TB: the exact path probes a broadcast hash set
+    * per corpus shingle. When the held-out suite is large (every
+    * benchmark ever published — easily 10^8-10^9 distinct n-grams), the
+    * hash-relation build + per-row lookup dominates; a bloom blob at
+    * ~10 bits/item is 8-12x smaller than the packed long set (and
+    * ~25-40x smaller than the join hash relation), ships once per
+    * executor, and its bit-probe rejects the ~99% non-colliding
+    * shingles before the join sees them — the explicit form of the
+    * InjectRuntimeFilter pattern Catalyst applies to shuffle joins,
+    * chosen here because the filter side is a FIXED corpus known before
+    * the query, not a join build side discovered mid-plan. The one-row
+    * blob collect is the documented index-meta-read pattern (a single
+    * ~60 KB aggregate result), not a data collect. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val benchH = docShingles4(docs.filter(col("source") === "src0"))
+      .select("h").distinct()
+    val blob = benchH
+      .agg(Sketch.bloomAgg(col("h"), 60000L, 480000L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpus = docs.filter(col("source") =!= "src0")
+    val contaminated = docShingles4(corpus)
+      .filter(Sketch.bloomMightContain(blob, col("h")))
+      .join(broadcast(benchH), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    corpus.join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left_outer")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_clean"))
+      .orderBy("lang")
+  }
 
   /** PII redaction: scrub email addresses and phone-shaped digit runs to
     * typed placeholders. The synthetic corpus carries no PII, so the query
@@ -1083,6 +1128,8 @@ object CurateOps {
       Some(qualityFilterOracle), "curate/quality-percentile-gate"),
     QuerySpec("q_decontaminate", decontaminate,
       Some(decontaminateOracle), "curate/decontaminate"),
+    QuerySpec("q_decontaminate_bloom", decontaminateBloom,
+      Some(decontaminateOracle), "curate/decontaminate-bloom-prefilter"),
     QuerySpec("q_pii_redact", piiRedact,
       Some(piiRedactOracle), "curate/pii-redact"),
     QuerySpec("q_text_repetition", textRepetition,
