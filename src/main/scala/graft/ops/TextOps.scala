@@ -64,6 +64,57 @@ object TextOps {
         Text.nonSpaceChars(col("text")).as("len_nonspace"))
       .orderBy("doc_id")
 
+  /** Per-document character-entropy quality signal — the
+    * information-density heuristic web-curation stacks use beside the
+    * count ratios in [[textQuality]] (machine-generated or templated
+    * pages sit at the distribution's edges; a compression-ratio proxy
+    * without a codec dependency). H = -sum_c p_c log2 p_c over the
+    * document's exact character histogram.
+    *
+    * Float determinism follows the [[LmOps]] micro-unit contract: each
+    * per-character term is quantized to an integer at 1e-6 precision
+    * (`round(x * 1e6, 0)` — both engines round the SAME double, and the
+    * division/multiplication feeding the one `ln` call are IEEE-exact),
+    * so the per-document sum is exact integer arithmetic in any
+    * aggregation order; only the final display value re-enters doubles.
+    *
+    * Scale shape: one explode to (doc, char) rows, one two-level
+    * aggregate — histogram then per-doc fold — both hash-partitioned on
+    * doc_id with map-side partials. Linear in corpus bytes; nothing is
+    * collected, nothing is pairwise. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), length(col("text")).as("n"),
+        explode(filter(split(col("text"), ""), c => c =!= "")).as("ch"))
+      .groupBy("doc_id", "lang", "n", "ch")
+      .agg(count(lit(1)).as("nc"))
+      .select(col("doc_id"), col("lang"), col("n"),
+        round((col("nc").cast("double") / col("n")) *
+            (log(col("n").cast("double") / col("nc")) /
+              lit(math.log(2.0))) * lit(1e6), 0)
+          .cast("long").as("tm"))
+      .groupBy("doc_id", "lang")
+      .agg(max(col("n")).cast("long").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(sum(col("tm")).cast("double") / lit(1e6), 4).as("entropy_bits"))
+      .orderBy("doc_id")
+
+  private val textEntropyOracle: String =
+    """WITH c AS (SELECT doc_id, lang, length(text) AS n,
+      |    unnest(list_filter(string_split(text, ''), x -> x != '')) AS ch
+      |  FROM documents),
+      |g AS (SELECT doc_id, lang, n, ch, count(*) AS nc
+      |  FROM c GROUP BY doc_id, lang, n, ch),
+      |t AS (SELECT doc_id, lang, n,
+      |    CAST(round((CAST(nc AS DOUBLE) / n) *
+      |      (ln(CAST(n AS DOUBLE) / nc) / ln(2)) * 1000000, 0) AS BIGINT)
+      |      AS tm
+      |  FROM g)
+      |SELECT doc_id, lang, CAST(max(n) AS BIGINT) AS n_chars,
+      |  count(*) AS n_distinct_chars,
+      |  round(CAST(sum(tm) AS DOUBLE) / 1000000, 4) AS entropy_bits
+      |FROM t GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
   /** Language-characteristic sentences planted per document (the
     * synthetic corpus text is language-less filler, so — like
     * [[CurateOps.piiRedact]] planting PII — the fixture derives a
@@ -908,5 +959,7 @@ object TextOps {
       Some(dedupSpansOracle), "dedup/duplicate-spans"),
     QuerySpec("q_dedup_lines", dedupLines,
       Some(dedupLinesOracle), "dedup/line-boilerplate-removal"),
+    QuerySpec("q_text_entropy", textEntropy,
+      Some(textEntropyOracle), "text/char-entropy"),
   )
 }
