@@ -407,6 +407,71 @@ object CurateOps {
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Balanced training-shard assignment + deterministic corpus shuffle —
+    * the last step before a corpus ships to a trainer: every document
+    * gets (shard, pos_in_shard) such that (a) shard token totals are
+    * near-balanced, (b) the whole layout is a pure function of the
+    * corpus + seed (re-runs byte-identical — required for resumable
+    * training), and (c) within-shard order is a seeded pseudo-random
+    * shuffle, decorrelated from crawl/source order (in-order corpora
+    * gradient-bias training; shuffling at shard-build time is what makes
+    * sequential shard reads cheap at train time).
+    *
+    * Balance comes from SNAKE (boustrophedon) assignment over the
+    * global token-count ranking: rank docs by size desc, deal rank
+    * blocks of S across shards alternating direction — each shard gets
+    * one doc per block, and direction-alternation cancels the
+    * within-block size gradient (deterministic counterpart of greedy
+    * LPT, but expressible as pure arithmetic on the rank — no
+    * sequential state). The global ranking uses [[Layout.globalRank]]
+    * (range-partition + local rank + offsets), NOT an unpartitioned
+    * window — see its scaladoc for why that matters at 100 TB. The
+    * shuffle key is the portable md5-60 of (seed, doc_id), so the
+    * oracle replays the full layout bit-for-bit. */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame = {
+    val shards = 8
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val ranked = Layout.globalRank(docs, 16,
+      col("n_tokens").desc, col("doc_id"))
+    val r0 = ranked("rank") - 1L
+    val pos = pmod(r0, lit(shards.toLong))
+    val assigned = ranked
+      .withColumn("shard",
+        when(pmod(floor(r0 / shards.toLong), lit(2L)) === 0L, pos)
+          .otherwise(lit(shards.toLong - 1L) - pos).cast("int"))
+      .withColumn("sk", Dedup.md5Hash60(
+        concat(lit("shuf42:"), col("doc_id").cast("string"))))
+    assigned
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("sk"), col("doc_id"))).cast("long")
+          .as("pos_in_shard"))
+      .orderBy("doc_id")
+  }
+
+  private val shardBalanceOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(text, ' +'),
+      |      w -> w != '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tokens,
+      |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r0
+      |  FROM t),
+      |a AS (SELECT doc_id, n_tokens,
+      |    CAST(CASE WHEN ((r0 // 8) % 2) = 0 THEN r0 % 8
+      |      ELSE 7 - (r0 % 8) END AS INT) AS shard
+      |  FROM r),
+      |k AS (SELECT a.*,
+      |    CAST('0x' || substr(md5('shuf42:' || CAST(doc_id AS VARCHAR)),
+      |      2, 15) AS BIGINT) AS sk
+      |  FROM a)
+      |SELECT doc_id, n_tokens, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sk, doc_id)
+      |    AS BIGINT) AS pos_in_shard
+      |FROM k ORDER BY doc_id""".stripMargin
+
   /** Corpus mixture weighting: per-source token mass and the resampling
     * weight that would equalize every source's share (weight =
     * uniform-share / actual-share). One aggregate plus an unpartitioned
@@ -1138,6 +1203,8 @@ object CurateOps {
       Some(sampleStratifiedOracle), "curate/stratified-sample"),
     QuerySpec("q_embed_quantize", embedQuantize,
       Some(embedQuantizeOracle), "curate/embed-quantize"),
+    QuerySpec("q_shard_balance", shardBalance,
+      Some(shardBalanceOracle), "curate/shard-balance-shuffle"),
     QuerySpec("q_pack_sequences", packSequences,
       Some(packSequencesOracle), "curate/sequence-packing"),
     QuerySpec("q_agg_median_rank", aggMedianRank,

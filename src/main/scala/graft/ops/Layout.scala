@@ -29,4 +29,41 @@ object Layout {
   def fileRanges(df: DataFrame, key: Column): DataFrame =
     df.groupBy(input_file_name().as("file"))
       .agg(min(key).as("lo"), max(key).as("hi"))
+
+  /** Distributed dense global rank 1..N over a total order, appended as
+    * `rank` — the scalable substitute for an unpartitioned
+    * `row_number()` window, which funnels the ENTIRE relation through
+    * one task (the single worst global-sort pathology at 100 TB).
+    * Standard two-pass distributed ranking: range-partition on the
+    * order (parallel sort), rank locally per partition (a window
+    * PARTITIONED by spark_partition_id, so every partition ranks
+    * concurrently), then add per-partition row-count offsets — the
+    * offset table is one row per partition, a documented meta-read, and
+    * rejoins as a broadcast.
+    *
+    * The keyed frame is eagerly materialized first: RangePartitioner
+    * draws its boundary sample with a seed keyed to RDD identity, so an
+    * unmaterialized recompute between the count pass and the rank pass
+    * could re-draw different boundaries mid-query. `order` columns must
+    * be a TOTAL order (tie-break to a unique key) or ranks within ties
+    * are partition-placement-dependent. */
+  def globalRank(df: DataFrame, partitions: Int, order: Column*): DataFrame = {
+    val keyed = df.repartitionByRange(partitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val cs = keyed.groupBy("pid").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offs = cs.map(_._2).scanLeft(0L)(_ + _)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = cs.map(_._1).zip(offs).toSeq.toDF("pid", "off")
+    keyed
+      .withColumn("lr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid")).orderBy(order: _*)))
+      .join(broadcast(offDf), Seq("pid"))
+      .withColumn("rank", col("off") + col("lr"))
+      .drop("pid", "lr", "off")
+  }
 }

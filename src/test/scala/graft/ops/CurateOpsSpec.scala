@@ -44,6 +44,27 @@ class CurateOpsSpec extends AnyFunSuite {
       s"bloom prefilter rejected nothing ($surviving of $total)")
   }
 
+  test("shardBalance: shards near-balanced in tokens, layout deterministic") {
+    val rows = CurateOps.shardBalance(spark, dir).collect()
+    assert(rows.length == 500)
+    val byShard = rows.groupBy(_.getAs[Int]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    assert(byShard.keySet == (0 until 8).toSet)
+    val (mx, mn) = (byShard.values.max, byShard.values.min)
+    // snake-dealing over the size ranking bounds the spread by roughly
+    // one document; 2% is generous at 500 docs / 8 shards
+    assert(mx - mn <= math.max(1L, (mx * 0.02).toLong), byShard.toString)
+    // within-shard positions are a permutation 1..count
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      val ps = rs.map(_.getAs[Long]("pos_in_shard")).sorted
+      assert(ps.toSeq == (1L to rs.length).toSeq)
+    }
+    // pure function of corpus + seed: a re-run is byte-identical
+    val again = CurateOps.shardBalance(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+
   test("piiRedact scrubs every planted email and phone") {
     val rows = CurateOps.piiRedact(spark, dir).collect()
     assert(rows.nonEmpty)
