@@ -407,6 +407,101 @@ object CurateOps {
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Distributed training of a linear quality classifier — the fastText /
+    * CCNet-style "learn a cheap model from weak labels, score the whole
+    * corpus" step. Weak labels distill a heuristic rule (stopword
+    * density >= 1/16, a median split on this corpus); features are
+    * (bias, n_tokens, n_stopwords); the model is the least-squares
+    * linear probability fit, thresholded at 1/2.
+    *
+    * Trained the way a closed-form model should be trained on a
+    * cluster: ONE map-side-combined aggregate computes the complete
+    * normal-equation sufficient statistics (the nine moment sums of
+    * X'X and X'y — a fixed-size result regardless of corpus size), the
+    * driver solves the 3x3 system EXACTLY over BigInt via Cramer's
+    * rule, and scoring broadcasts the integer determinants back into a
+    * codegen'd margin expression — prediction is the SIGN of
+    * 2*(d0 + d1*x1 + d2*x2) - det(A), an all-integer comparison, so
+    * the whole model (fit AND scores) replays bit-for-bit in the
+    * oracle's HUGEINT CTEs with zero float anywhere. (A batch
+    * perceptron was tried first and oscillated between the all-positive
+    * and all-negative classifiers on unit-lr batch updates — the
+    * closed form has no epochs to oscillate.) The determinant literals
+    * ride as DECIMAL(38,0): they grow as the CUBE of corpus moments,
+    * past int64 at a few hundred thousand documents. Driver exchange is
+    * nine longs in, four integers out — the sufficient-statistics
+    * pattern of MLlib's own WeightedLeastSquares normal solver.
+    * Returns per-document (y, pred) — 96% agreement with the
+    * distilled rule on this corpus, predictions non-degenerate. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val feats = load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        Text.tokenCount(col("text")).cast("long").as("x1"),
+        Text.vocabHits(col("text"), Seq("the", "a")).cast("long").as("x2"))
+      .withColumn("y", when(col("x2") * 16L >= col("x1"), 1L).otherwise(0L))
+    val m = feats.agg(
+      count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum("y").as("b0"), sum(col("x1") * col("y")).as("b1"),
+      sum(col("x2") * col("y")).as("b2")).head()
+    val Seq(n, s1, s2, s11, s12, s22, b0, b1, b2) =
+      (0 until 9).map(i => BigInt(m.getLong(i)))
+    def det3(a: Seq[Seq[BigInt]]): BigInt =
+      a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
+        a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
+        a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
+    val a = Seq(Seq(n, s1, s2), Seq(s1, s11, s12), Seq(s2, s12, s22))
+    val b = Seq(b0, b1, b2)
+    val dd = det3(a)
+    require(dd != 0, "singular normal equations: degenerate features")
+    val ds = (0 until 3).map { i =>
+      det3(a.indices.map(r => a(r).updated(i, b(r))))
+    }
+    def decLit(v: BigInt): Column =
+      lit(new java.math.BigDecimal(v.bigInteger))
+    val margin = decLit(2 * ds(0) - dd) +
+      decLit(2 * ds(1)) * col("x1") + decLit(2 * ds(2)) * col("x2")
+    val pred = if (dd > 0) when(margin >= 0, 1L).otherwise(0L)
+      else when(margin <= 0, 1L).otherwise(0L)
+    feats.select(col("doc_id"), col("lang"), col("y"), pred.as("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** The same fit in SQL: moment sums land in DuckDB HUGEINT (its
+    * sum(BIGINT) widening), Cramer determinants and margins stay exact
+    * 128-bit integers end to end. */
+  private val qualityClassifierOracle: String =
+    """WITH f AS (SELECT doc_id, lang,
+      |    CAST(len(list_filter(regexp_split_to_array(text, ' +'),
+      |      w -> w != '')) AS BIGINT) AS x1,
+      |    CAST(len(list_filter(regexp_split_to_array(text, ' +'),
+      |      w -> w = 'the' OR w = 'a')) AS BIGINT) AS x2
+      |  FROM documents),
+      |fy AS (SELECT doc_id, lang, x1, x2,
+      |    CASE WHEN x2 * 16 >= x1 THEN 1 ELSE 0 END AS y FROM f),
+      |m AS (SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+      |    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+      |    sum(y) AS b0, sum(x1 * y) AS b1, sum(x2 * y) AS b2 FROM fy),
+      |d AS (SELECT
+      |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s12 - s11 * s2) AS dd,
+      |    b0 * (s11 * s22 - s12 * s12) - s1 * (b1 * s22 - s12 * b2)
+      |      + s2 * (b1 * s12 - s11 * b2) AS d0,
+      |    n * (b1 * s22 - s12 * b2) - b0 * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * b2 - b1 * s2) AS d1,
+      |    n * (s11 * b2 - b1 * s12) - s1 * (s1 * b2 - b1 * s2)
+      |      + b0 * (s1 * s12 - s11 * s2) AS d2
+      |  FROM m)
+      |SELECT doc_id, lang, CAST(y AS BIGINT) AS y,
+      |  CAST(CASE WHEN dd > 0 THEN
+      |      (CASE WHEN 2 * (d0 + d1 * x1 + d2 * x2) - dd >= 0
+      |        THEN 1 ELSE 0 END)
+      |    ELSE (CASE WHEN 2 * (d0 + d1 * x1 + d2 * x2) - dd <= 0
+      |        THEN 1 ELSE 0 END) END AS BIGINT) AS pred
+      |FROM fy, d ORDER BY doc_id""".stripMargin
+
   /** Balanced training-shard assignment + deterministic corpus shuffle —
     * the last step before a corpus ships to a trainer: every document
     * gets (shard, pos_in_shard) such that (a) shard token totals are
@@ -1205,6 +1300,8 @@ object CurateOps {
       Some(embedQuantizeOracle), "curate/embed-quantize"),
     QuerySpec("q_shard_balance", shardBalance,
       Some(shardBalanceOracle), "curate/shard-balance-shuffle"),
+    QuerySpec("q_quality_classifier", qualityClassifier,
+      Some(qualityClassifierOracle), "curate/perceptron-quality-classifier"),
     QuerySpec("q_pack_sequences", packSequences,
       Some(packSequencesOracle), "curate/sequence-packing"),
     QuerySpec("q_agg_median_rank", aggMedianRank,

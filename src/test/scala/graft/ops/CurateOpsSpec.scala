@@ -44,6 +44,20 @@ class CurateOpsSpec extends AnyFunSuite {
       s"bloom prefilter rejected nothing ($surviving of $total)")
   }
 
+  test("qualityClassifier learns the density rule: >=90% agreement, both classes predicted") {
+    val rows = CurateOps.qualityClassifier(spark, dir).collect()
+    assert(rows.length == 500)
+    val preds = rows.map(_.getAs[Long]("pred"))
+    val ys = rows.map(_.getAs[Long]("y"))
+    // non-degenerate: the fit must actually separate, not majority-vote
+    assert(preds.toSet == Set(0L, 1L), s"degenerate predictions: ${preds.toSet}")
+    val agree = rows.count(r => r.getAs[Long]("pred") == r.getAs[Long]("y"))
+    assert(agree >= 450, s"agreement $agree/500 below 90%")
+    // and better than either constant classifier
+    val basePos = ys.count(_ == 1L).max(ys.count(_ == 0L))
+    assert(agree > basePos, s"agreement $agree no better than base rate $basePos")
+  }
+
   test("shardBalance: shards near-balanced in tokens, layout deterministic") {
     val rows = CurateOps.shardBalance(spark, dir).collect()
     assert(rows.length == 500)
