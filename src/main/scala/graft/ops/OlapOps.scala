@@ -162,6 +162,68 @@ object OlapOps {
       .orderBy("user_id")
   }
 
+  /** Weekly cohort retention — the third classic product-analytics
+    * primitive beside [[sessionizeEvents]] and [[funnel]]: users are
+    * cohorted by the week of their FIRST event, and each later week of
+    * activity counts toward (cohort, offset) retention. Returns the
+    * retention triangle: cohort week, week offset, cohort size, active
+    * users, retention fraction.
+    *
+    * Scale shape: the first-activity aggregate and the activity join
+    * both key on user_id (one partitioning reused), then one aggregate
+    * on the (cohort, offset) pair; the offset-0 cohort-size row set is
+    * weeks-sized — broadcast back. Nothing scans events twice at full
+    * width, no window over the whole relation.
+    *
+    * The synthetic events stream has every user active in every week
+    * (one cohort, flat retention — a vacuous triangle), so the gate
+    * PLANTS lifecycle structure the established way ([[CurateOps]]
+    * piiRedact): user u signs up in week u%5 and churns after
+    * 1 + u%7 active weeks — events outside [signup, churn) are
+    * dropped before cohorting. Five staggered cohorts with a decaying
+    * retention curve, replayed identically by the oracle. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val signup = pmod(col("user_id"), lit(5L))
+    val e = load(spark, dir, "events")
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+          .cast("double") / 7).cast("long").as("wk"))
+      .filter(col("wk") >= signup &&
+        col("wk") < signup + 1L + pmod(col("user_id"), lit(7L)))
+    val first = e.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    val ret = e.join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+    val size = ret.filter(col("week_offset") === 0L)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    ret.join(broadcast(size), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val cohortRetentionOracle: String =
+    """WITH e0 AS (SELECT user_id,
+      |    (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk FROM events),
+      |e AS (SELECT user_id, wk FROM e0
+      |  WHERE wk >= user_id % 5
+      |    AND wk < user_id % 5 + 1 + user_id % 7),
+      |f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id),
+      |r AS (SELECT f.cohort_week, e.wk - f.cohort_week AS week_offset,
+      |    count(DISTINCT e.user_id) AS n_active
+      |  FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+      |s AS (SELECT cohort_week, n_active AS cohort_size FROM r
+      |  WHERE week_offset = 0)
+      |SELECT r.cohort_week, CAST(r.week_offset AS BIGINT) AS week_offset,
+      |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+      |  CAST(r.n_active AS BIGINT) AS n_active,
+      |  round(CAST(r.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+      |FROM r JOIN s USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Skew-salted dimension join, oracled against the plain join: the big
     * side sprays each hot key over 8 salt replicas (deterministic spray
     * from row content, so retries re-land identically) and the small side
@@ -366,6 +428,8 @@ object OlapOps {
         |       LEFT JOIN c ON c.user_id = u.user_id
         |       LEFT JOIN p ON p.user_id = u.user_id
         |ORDER BY u.user_id""".stripMargin), "olap/ordered-funnel"),
+    QuerySpec("q_cohort_retention", cohortRetention,
+      Some(cohortRetentionOracle), "olap/cohort-retention"),
     QuerySpec("q_join_salted", joinSalted, Some(
       """SELECT p_brand, count(*) AS n,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

@@ -37,6 +37,25 @@ class OlapOpsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getAs[Long]("n_events") == 2L)
   }
 
+  test("cohortRetention: offset-0 retention is 1.0, within-cohort decay is monotone") {
+    val rows = OlapOps.cohortRetention(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset"),
+        r.getAs[Long]("cohort_size"), r.getAs[Long]("n_active"),
+        r.getAs[Double]("retention")))
+    assert(rows.nonEmpty)
+    // planted lifecycle -> several cohorts, not one
+    assert(rows.map(_._1).distinct.length >= 3, rows.map(_._1).distinct.toSeq)
+    rows.filter(_._2 == 0L).foreach { r =>
+      assert(r._3 == r._4 && r._5 == 1.0, r.toString)
+    }
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      val byOffset = cs.sortBy(_._2).map(_._4)
+      assert(byOffset.zip(byOffset.tail).forall { case (a, b) => b <= a },
+        s"retention not monotone: ${cs.toSeq}")
+    }
+  }
+
   test("rollup emits detail + subtotal + grand total rows") {
     val df = Seq(("A", "x", 1), ("A", "y", 2), ("B", "x", 3))
       .toDF("g1", "g2", "v")
