@@ -30,6 +30,39 @@ object Layout {
     df.groupBy(input_file_name().as("file"))
       .agg(min(key).as("lo"), max(key).as("hi"))
 
+  /** Morton (Z-order) key for TWO dimensions: interleaves the low
+    * `bits` bits of `a` (even positions) and `b` (odd positions) into
+    * one long. The classic multi-dimension clustering key (Delta/Iceberg
+    * OPTIMIZE ZORDER): range layout on ONE key gives perfect pruning on
+    * that key and none on any other; range layout on the Z-value gives
+    * partial pruning on BOTH — each file's key box covers a small
+    * rectangle of (a, b) space, so a 2-D predicate touches only the
+    * files whose rectangles intersect it.
+    *
+    * Pure shift/mask column arithmetic (2·bits codegen'd terms), no UDF.
+    * Inputs must be non-negative and pre-normalized to [0, 2^bits):
+    * higher bits are MASKED, so out-of-range values alias mod 2^bits —
+    * normalize (rank, bucket, clamp) first. */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(
+          shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` clustered by the Z-order of (`a`, `b`) into `numFiles`
+    * files — [[writeRangeLayout]] on the Morton key. The key is dropped
+    * before writing; it exists only to place rows. */
+  def writeZOrder(df: DataFrame, path: String, numFiles: Int,
+      a: Column, b: Column, bits: Int): Unit =
+    df.withColumn("_z", zValue(a, b, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Distributed dense global rank 1..N over a total order, appended as
     * `rank` — the scalable substitute for an unpartitioned
     * `row_number()` window, which funnels the ENTIRE relation through

@@ -122,7 +122,48 @@ object SourceSinkOps {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Z-ORDER layout round trip ([[Layout.zValue]]): events are written
+    * clustered on the Morton key of (user_id, day), re-read, and a
+    * genuinely 2-D predicate (a user band AND a day band) is aggregated
+    * over the re-read table. Layout must be INVISIBLE in results — the
+    * oracle runs the same predicate over the original table — while
+    * LayoutSpec separately asserts the layout's reason to exist: the
+    * 2-D box touches fewer files than a single-key range layout of the
+    * same data. The write, the re-read AND the predicate run in the
+    * gate, so parquet stats generation on the Morton-clustered files is
+    * exercised end to end. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("zorder", dir)
+    val e = load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+          .cast("long").as("day"))
+    Layout.writeZOrder(e, path, 16, col("user_id"), col("day"), bits = 8)
+    spark.read.parquet(path)
+      .filter(col("user_id") >= 40L && col("user_id") < 60L &&
+        col("day") >= 10L && col("day") < 15L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"),
+        min("event_id").as("min_event"), max("event_id").as("max_event"))
+      .orderBy("event_type")
+  }
+
+  private val zorderLayoutOracle =
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      |    CAST(ts AS DATE) - DATE '2024-01-01' AS day FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  min(event_id) AS min_event, max(event_id) AS max_event
+      |FROM e
+      |WHERE user_id >= 40 AND user_id < 60 AND day >= 10 AND day < 15
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_zorder_layout", zorderLayout,
+      Some(zorderLayoutOracle), "S8-layout/zorder"),
     QuerySpec("q_gzip_scan", gzipScan, Some(gzipScanOracle), "S4"),
     QuerySpec("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle), "S9"),
     QuerySpec("q_partitioned_sink", partitionedSink,

@@ -57,4 +57,47 @@ class LayoutSpec extends AnyFunSuite {
     val expected = events.filter(col("ts") >= cutLo && col("ts") <= cutHi).count()
     assert(got == expected && got > 0)
   }
+
+  test("z-order: a 2-D box touches fewer files than a single-key range layout") {
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+          .cast("long").as("day"))
+
+    // the 2-D predicate box: a WIDE user band and a NARROW day band
+    // (sf0.001 has users 0-14 over 30 days) — the case single-key
+    // layout cannot prune: every user-file spans all days, so the day
+    // band removes nothing and the wide user band touches most files
+    val (uLo, uHi, dLo, dHi) = (2L, 10L, 12L, 15L)
+    def touches(dir: String): Int =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+          min("day").as("dlo"), max("day").as("dhi"))
+        .collect()
+        .count(r => r.getAs[Long]("uhi") >= uLo && r.getAs[Long]("ulo") < uHi &&
+          r.getAs[Long]("dhi") >= dLo && r.getAs[Long]("dlo") < dHi)
+
+    val zDir = Files.createTempDirectory("layout").toString + "/z"
+    Layout.writeZOrder(events, zDir, 16, col("user_id"), col("day"), bits = 8)
+    val uDir = Files.createTempDirectory("layout").toString + "/u"
+    Layout.writeRangeLayout(events, uDir, 16, col("user_id"))
+
+    val (zTouched, uTouched) = (touches(zDir), touches(uDir))
+    val zFiles = spark.read.parquet(zDir)
+      .select(input_file_name()).distinct().count()
+    // single-key layout prunes on user_id only: the user band covers
+    // ~13% of users, so it still reads every file of that band across
+    // ALL days; the z layout confines the box in BOTH dimensions
+    assert(zTouched < uTouched,
+      s"z-order touched $zTouched files, user-range layout $uTouched")
+    assert(zTouched < zFiles, s"z-order pruned nothing ($zTouched/$zFiles)")
+
+    // and the layout is invisible to results
+    val pred = (d: org.apache.spark.sql.DataFrame) => d
+      .filter(col("user_id") >= uLo && col("user_id") < uHi &&
+        col("day") >= dLo && col("day") < dHi)
+      .agg(count(lit(1)), sum("event_id")).collect().toSeq
+    assert(pred(spark.read.parquet(zDir)) == pred(events))
+  }
 }
