@@ -285,4 +285,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(s).isDefined, s)
     assert(s.contains("partial_sum"), s)
   }
+
+  test("bloom decontamination: the bit-probe prefilter sits in the corpus scan stage") {
+    val s = plan(CurateOps.decontaminateBloom(spark, dir))
+    // the might_contain probe must run BEFORE the semi-join (map-side
+    // prefilter), and the exact verify stays a broadcast semi-join
+    assert(s.contains("might_contain"), s)
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"), s)
+    val probeIdx = s.indexOf("might_contain")
+    val semiIdx = s.indexOf("LeftSemi")
+    assert(probeIdx > semiIdx, // plan strings print top-down: deeper = later
+      s"bloom probe must be below (before) the semi-join\n$s")
+  }
+
+  test("line dedup: no cartesian, both aggregates partial before their exchange") {
+    val s = plan(graft.dedup.Dedup.lineDedup(
+      graft.Tables.load(spark, dir, "documents"), "text", "doc_id"))
+    assert(!s.contains("Cartesian"), s)
+    // the distinct-doc count per line hash partial-aggregates map-side
+    assert(s.contains("partial_count(distinct"), s)
+  }
+
+  test("shard balance: every window is partitioned — no global-window funnel") {
+    val s = plan(CurateOps.shardBalance(spark, dir))
+    // the one forbidden shape: an empty partitionBy window, which sends
+    // the whole relation through a single task
+    assert(!s.contains("Window [") ||
+      !"""Window \[[^\]]*\], \[\]""".r.findFirstIn(s).isDefined, s)
+    assert(s.contains("row_number"), s)
+  }
 }
