@@ -50,7 +50,7 @@ object CurateOps {
     * embedded expression trees per element (~n×shingles regex
     * tokenizations per row when inlined — the round-5 hot spot), while a
     * bound attribute is an O(1) row read. */
-  private def docShingles4(d: DataFrame): DataFrame = d
+  private[ops] def docShingles4(d: DataFrame): DataFrame = d
     .select(col("doc_id"), Text.tokens(col("text")).as("w"))
     .select(col("doc_id"),
       explode(Text.hashedShinglesFromTokens(col("w"), 4)).as("h"))
@@ -120,8 +120,11 @@ object CurateOps {
     * ~60 KB aggregate result), not a data collect. */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
+    // materialized once: both the blob aggregate (an action) and the
+    // verify join's broadcast side read it — unmaterialized, the
+    // benchmark scan+shingle+distinct would run twice
     val benchH = docShingles4(docs.filter(col("source") === "src0"))
-      .select("h").distinct()
+      .select("h").distinct().localCheckpoint()
     val blob = benchH
       .agg(Sketch.bloomAgg(col("h"), 60000L, 480000L).as("bf"))
       .head().getAs[Array[Byte]](0)
@@ -428,8 +431,10 @@ object CurateOps {
     * and all-negative classifiers on unit-lr batch updates — the
     * closed form has no epochs to oscillate.) The determinant literals
     * ride as DECIMAL(38,0): they grow as the CUBE of corpus moments,
-    * past int64 at a few hundred thousand documents. Driver exchange is
-    * nine longs in, four integers out — the sufficient-statistics
+    * past int64 at a few hundred thousand documents, and the moment
+    * sums themselves ride DECIMAL(38,0) (sum(x1²) passes int64 around
+    * 10^9 large documents). Driver exchange is nine exact decimals in,
+    * four integers out — the sufficient-statistics
     * pattern of MLlib's own WeightedLeastSquares normal solver.
     * Returns per-document (y, pred) — 96% agreement with the
     * distilled rule on this corpus, predictions non-degenerate. */
@@ -439,15 +444,19 @@ object CurateOps {
         Text.tokenCount(col("text")).cast("long").as("x1"),
         Text.vocabHits(col("text"), Seq("the", "a")).cast("long").as("x2"))
       .withColumn("y", when(col("x2") * 16L >= col("x1"), 1L).otherwise(0L))
+    // moments accumulate in DECIMAL(38,0): sum(x1*x1) over 10^9 docs of
+    // 10^5 tokens is ~10^19 — past int64, and the determinants cube it
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val (d1, d2, dy) =
+      (col("x1").cast(dec), col("x2").cast(dec), col("y").cast(dec))
     val m = feats.agg(
-      count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
-      sum(col("x1") * col("x1")).as("s11"),
-      sum(col("x1") * col("x2")).as("s12"),
-      sum(col("x2") * col("x2")).as("s22"),
-      sum("y").as("b0"), sum(col("x1") * col("y")).as("b1"),
-      sum(col("x2") * col("y")).as("b2")).head()
+      count(lit(1)).cast(dec).as("n"), sum(d1).as("s1"), sum(d2).as("s2"),
+      sum(d1 * d1).as("s11"), sum(d1 * d2).as("s12"),
+      sum(d2 * d2).as("s22"),
+      sum(dy).as("b0"), sum(d1 * dy).as("b1"), sum(d2 * dy).as("b2"))
+      .head()
     val Seq(n, s1, s2, s11, s12, s22, b0, b1, b2) =
-      (0 until 9).map(i => BigInt(m.getLong(i)))
+      (0 until 9).map(i => BigInt(m.getDecimal(i).toBigIntegerExact))
     def det3(a: Seq[Seq[BigInt]]): BigInt =
       a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
         a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
@@ -538,11 +547,22 @@ object CurateOps {
           .otherwise(lit(shards.toLong - 1L) - pos).cast("int"))
       .withColumn("sk", Dedup.md5Hash60(
         concat(lit("shuf42:"), col("doc_id").cast("string"))))
-    assigned
+    // within-shard positions via the SAME two-pass distributed rank —
+    // a row_number window partitioned by the S shards would funnel 1/S
+    // of the corpus through one task; instead rank globally on
+    // (shard, sk, doc_id) and subtract each shard's start offset (an
+    // S-row meta-read, broadcast back)
+    val shuffled = Layout.globalRank(assigned.drop("rank"), 16,
+      col("shard"), col("sk"), col("doc_id"))
+    val shardCounts = shuffled.groupBy("shard")
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offs = shardCounts.map(_._2).scanLeft(0L)(_ + _)
+    import spark.implicits._
+    val offDf = shardCounts.map(_._1).zip(offs).toSeq.toDF("shard", "s_off")
+    shuffled.join(broadcast(offDf), Seq("shard"))
       .select(col("doc_id"), col("n_tokens"), col("shard"),
-        row_number().over(Window.partitionBy(col("shard"))
-          .orderBy(col("sk"), col("doc_id"))).cast("long")
-          .as("pos_in_shard"))
+        (col("rank") - col("s_off")).as("pos_in_shard"))
       .orderBy("doc_id")
   }
 

@@ -94,9 +94,12 @@ object TextOps {
         octet_length(col("text")).as("n"),
         col("text").cast("binary").as("b"))
       .select(col("doc_id"), col("lang"), col("n"),
-        explode(transform(sequence(lit(1), col("n")),
-          i => conv(hex(col("b").substr(i, lit(1))), 16, 10).cast("int")))
-          .as("ch"))
+        // empty docs: sequence(1, 0) would count DOWN (the Text.scala:26
+        // guard) — emit no byte rows, matching the oracle's empty unnest
+        explode(when(col("n") >= 1,
+          transform(sequence(lit(1), col("n")),
+            i => conv(hex(col("b").substr(i, lit(1))), 16, 10).cast("int")))
+          .otherwise(array().cast("array<int>"))).as("ch"))
       .groupBy("doc_id", "lang", "n", "ch")
       .agg(count(lit(1)).as("nc"))
       .select(col("doc_id"), col("lang"), col("n"),

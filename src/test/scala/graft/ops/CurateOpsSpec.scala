@@ -22,17 +22,16 @@ class CurateOpsSpec extends AnyFunSuite {
 
   test("decontaminateBloom equals the exact path; the bloom probe prunes") {
     import org.apache.spark.sql.functions.col
-    import graft.functions.{Sketch, Text}
+    import graft.functions.Sketch
     val exact = CurateOps.decontaminate(spark, dir).collect().toSeq
     val bloom = CurateOps.decontaminateBloom(spark, dir).collect().toSeq
     assert(bloom == exact) // FPs verified away, FNs impossible
     // the prefilter must actually reject most non-benchmark shingles:
-    // rebuild the blob the op builds and measure the survivor fraction
+    // rebuild the blob from the op's OWN shingle pipeline and measure
+    // the survivor fraction
     val docs = graft.Tables.load(spark, dir, "documents")
-    val sh = (d: org.apache.spark.sql.DataFrame) => d
-      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
-      .select(col("doc_id"), org.apache.spark.sql.functions
-        .explode(Text.hashedShinglesFromTokens(col("w"), 4)).as("h"))
+    val sh: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      CurateOps.docShingles4
     val benchH = sh(docs.filter(col("source") === "src0")).select("h").distinct()
     val blob = benchH.agg(Sketch.bloomAgg(col("h"), 60000L, 480000L))
       .head().getAs[Array[Byte]](0)

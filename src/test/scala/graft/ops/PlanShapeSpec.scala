@@ -306,12 +306,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("partial_count(distinct"), s)
   }
 
-  test("shard balance: every window is partitioned — no global-window funnel") {
+  test("shard balance: every window partitions by spark_partition_id — no funnel") {
     val s = plan(CurateOps.shardBalance(spark, dir))
-    // the one forbidden shape: an empty partitionBy window, which sends
-    // the whole relation through a single task
-    assert(!s.contains("Window [") ||
-      !"""Window \[[^\]]*\], \[\]""".r.findFirstIn(s).isDefined, s)
+    // the forbidden shapes: an empty partitionBy window (whole relation
+    // through one task) and a shard-partitioned window (1/S of the
+    // corpus through one task). The only windows allowed are the
+    // two-pass rank's per-partition row_numbers, partitioned by pid.
+    val windows = """Window \[[^\]]*\], \[([^\]]*)\]""".r
+      .findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_.startsWith("pid#")),
+      s"unexpected window partitioning: $windows\n$s")
     assert(s.contains("row_number"), s)
   }
 }

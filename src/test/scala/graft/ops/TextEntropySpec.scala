@@ -25,6 +25,12 @@ class TextEntropySpec extends AnyFunSuite {
       .toMap
   }
 
+  test("an empty document emits NO row (sequence(1,0) would count down)") {
+    val out = entropyOf(Seq((1L, ""), (2L, "ab")))
+    assert(!out.contains(1L), out.toString)
+    assert(out(2L) == ((2L, 2L, 1.0)))
+  }
+
   test("entropy is 0 for one-symbol docs, log2(k) for uniform, bounded otherwise") {
     val out = entropyOf(Seq(
       (1L, "aaaaaaaa"),          // one symbol -> H = 0
