@@ -51,6 +51,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin"), s)
   }
 
+  test("PQ ADC scan: queries broadcast, rank-limit below the exchange, " +
+      "no label column read") {
+    import org.apache.spark.sql.functions.col
+    import graft.similarity.Pq
+    val micro = graft.Tables.load(spark, dir, "embeddings")
+      .filter(Pq.l2Norm(col("embedding")) > 0)
+      .select(col("vec_id"), Pq.microNormalized(col("embedding")).as("mv"))
+    val cb = Pq.trainHead(micro, "vec_id", "mv", m = 8, k = 16)
+    val codes = Pq.encode(micro, "vec_id", "mv", cb)
+    val s = plan(Pq.adcTopK(codes, micro.filter(col("vec_id") < 8), cb, k = 3))
+    // the tiny query side (8 rows with their ADC tables) broadcasts; the
+    // code scan is never shuffled for the join
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    // per-query ranking through TopKPerGroup with the partial (final=false)
+    // instance BELOW the qid exchange: each map task forwards at most k
+    // scored rows per query instead of its whole code-scan output
+    assert("TopKPerGroup .*3, false".r.findFirstIn(s).isDefined, s)
+    assert("TopKPerGroup .*3, true".r.findFirstIn(s).isDefined, s)
+    val partialIdx = s.indexOf("3, false")
+    val exchangeIdx = s.indexOf("Exchange hashpartitioning(qid")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx, s)
+    // column pruning reaches the embeddings scan: label is never read
+    assert(!s.contains("label"), s)
+  }
+
   test("decontamination broadcasts the benchmark hash set (semi-join)") {
     val s = plan(CurateOps.decontaminate(spark, dir))
     assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"), s)

@@ -1,0 +1,88 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Product quantization: encode determinism, ADC quality on clustered
+  * data (where PQ's contract holds), k-means vs head codebooks, and
+  * persisted-serving equality. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Planted clustered vectors (the annIvfRecall shape): one-hot cluster
+    * direction (vec_id % 8) + bounded deterministic noise — cluster
+    * structure PQ codebooks can actually capture. */
+  private def planted = {
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"))
+      .withColumn("embedding",
+        transform(sequence(lit(1), lit(64)), j =>
+          when(j === pmod(col("vec_id"), lit(8)) + 1, lit(1.0))
+            .otherwise(lit(0.0)) +
+          (pmod(col("vec_id") * 37 + j * 11, lit(101)).cast("double")
+            / 337.0 - 0.15)))
+      .filter(Pq.l2Norm(col("embedding")) > 0)
+  }
+
+  private def micro = planted
+    .select(col("vec_id"), Pq.microNormalized(col("embedding")).as("mv"))
+
+  private def recallAt5(cb: Pq.Codebooks): Double = {
+    val m = micro
+    val codes = Pq.encode(m, "vec_id", "mv", cb)
+    val queries = m.filter(col("vec_id") < 16)
+    val adc = Pq.adcTopK(codes, queries, cb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Ann.bruteForceTopK(planted, planted.filter(col("vec_id") < 16),
+        k = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor")))
+      .toSet
+    adc.intersect(exact).size.toDouble / exact.size
+  }
+
+  test("encode emits one in-range code per subspace, deterministically") {
+    val m = micro
+    val cb = Pq.trainHead(m, "vec_id", "mv", m = 8, k = 16)
+    val codes = Pq.encode(m, "vec_id", "mv", cb).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(codes.forall(_._2.length == 8))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
+    val again = Pq.encode(micro, "vec_id", "mv", cb).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(codes.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("ADC recall on clustered data (PQ's contract) clears 0.8 for " +
+      "both trainers") {
+    // On data WITH cluster structure 32-bit codes preserve neighborhoods
+    // (measured: k-means 0.95, head 0.975 here); on the raw unclustered
+    // embeddings both collapse to ~0.22 — quantization loss is a data
+    // property, which is exactly what q_ann_pq_recall measures and why
+    // production raises m/k (code bits) for unclustered corpora.
+    val km = Pq.trainKMeans(micro, "vec_id", "mv", m = 8, k = 16)
+    val head = Pq.trainHead(micro, "vec_id", "mv", m = 8, k = 16)
+    val rKm = recallAt5(km)
+    val rHead = recallAt5(head)
+    assert(rKm >= 0.8, s"k-means PQ recall@5 $rKm on planted clusters")
+    assert(rHead >= 0.8, s"head PQ recall@5 $rHead on planted clusters")
+  }
+
+  test("persisted PQ index serves bit-identical ADC results") {
+    val m = micro
+    val cb = Pq.trainHead(m, "vec_id", "mv", m = 8, k = 16)
+    val st = new graft.pipeline.Store(spark,
+      s"/tmp/graft_ss/p${ProcessHandle.current().pid}/pq_spec_${System.nanoTime()}")
+    Pq.buildPersisted(st, "pq", m, "vec_id", "mv", cb)
+    val (cbL, codesL) = Pq.load(st, "pq")
+    assert(cbL.m == cb.m && cbL.k == cb.k && cbL.subDim == cb.subDim)
+    assert(cbL.books.flatten.flatten.toSeq == cb.books.flatten.flatten.toSeq)
+    val queries = m.filter(col("vec_id") < 16)
+    def res(codes: org.apache.spark.sql.DataFrame, b: Pq.Codebooks) =
+      Pq.adcTopK(codes, queries, b, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(res(codesL, cbL) == res(Pq.encode(m, "vec_id", "mv", cb), cb))
+  }
+}
