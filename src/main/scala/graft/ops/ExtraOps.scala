@@ -60,14 +60,24 @@ object ExtraOps {
           java.util.Map.of("ignoreNullFields", "false")).as("doc"))
       .orderBy("user_id")
 
-  /** Approximate distinct (HLL) — free with the engine; approx values
-    * are engine-specific → rows-only check plus exact-bound assertion
-    * in specs. */
+  /** Approximate distinct (HLL++) with its error bound ASSERTED IN the
+    * differential: the sketch estimate itself is engine-specific (no
+    * other engine replays Spark's HLL), but the exact cardinality and
+    * the claim "the estimate sits within 3×rsd of exact" are portable —
+    * so the gate emits (exact_parts, n, within_bound) and the oracle
+    * recomputes exact and expects `true`. The estimate runs at the
+    * default rsd = 0.05 (observed relative error ≈1-2% at every
+    * testdata SF; the 0.15 bound is 3σ). The sketch is the 100 TB
+    * shape: fixed-size, map-side mergeable, one narrow shuffle. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.15).as("within_bound"))
       .orderBy("l_returnflag")
 
   /** F9 via the native codegen'd Catalyst expression — same oracle as the
@@ -158,6 +168,10 @@ object ExtraOps {
         |    user_id := user_id))::VARCHAR AS doc
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
       "S10/F18"),
-    QuerySpec("q_approx_distinct", approxDistinct, None, "approx/HLL"),
+    QuerySpec("q_approx_distinct", approxDistinct, Some(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |count(*) AS n, true AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      "approx/HLL-bounded"),
   )
 }

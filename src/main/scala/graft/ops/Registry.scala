@@ -6,7 +6,7 @@ object Registry {
   val specs: Seq[QuerySpec] =
     RelationalOps.specs ++ PipelineOps.specs ++ FunctionOps.specs ++
       TextOps.specs ++ VectorOps.specs ++ CurateOps.specs ++ LmOps.specs ++
-      SearchOps.specs ++ PqOps.specs ++
+      SearchOps.specs ++ PqOps.specs ++ SketchOps.specs ++
       ExtraOps.specs ++ OlapOps.specs ++
       MultimodalOps.specs ++ ParseOps.specs ++ EnsembleOps.specs ++
       SourceSinkOps.specs ++ StreamOps.specs
