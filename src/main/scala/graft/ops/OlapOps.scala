@@ -84,6 +84,24 @@ object OlapOps {
         expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75"))
       .orderBy("l_returnflag")
 
+  /** Pivot → unpivot (melt) round trip: the wide-to-long reshape every
+    * feature pipeline needs as the inverse of the radial/A8 pivots. The
+    * unpivot is map-side (one output row per (row, value column) — no
+    * shuffle beyond the pivot's own aggregate); null cells (combinations
+    * absent from the data) are dropped on both engines. */
+  def unpivotMelt(spark: SparkSession, dir: String): DataFrame = {
+    val members = (1 to 7)
+    val wide = load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linenumber", members.map(Int.box))
+      .agg(count(lit(1)))
+    wide.unpivot(Array(col("l_returnflag")),
+        members.map(i => col(s"`$i`")).toArray, "member", "cnt")
+      .filter(col("cnt").isNotNull)
+      .select(col("l_returnflag"), col("member"), col("cnt"))
+      .orderBy("l_returnflag", "member")
+  }
+
   /** Rank family in one window pass: rank, dense_rank, percent_rank,
     * ntile, cume_dist — all over a TOTAL order (tie-break o_orderkey). */
   def windowRanks(spark: SparkSession, dir: String): DataFrame = {
@@ -385,6 +403,11 @@ object OlapOps {
         |quantile_cont(l_quantity, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       "agg/percentile"),
+    QuerySpec("q_unpivot", unpivotMelt, Some(
+      """SELECT l_returnflag, CAST(l_linenumber AS VARCHAR) AS member,
+        |count(*) AS cnt FROM lineitem
+        |WHERE l_linenumber BETWEEN 1 AND 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin), "A8-inverse/unpivot"),
     QuerySpec("q_window_ranks", windowRanks, Some(
       """SELECT o_orderpriority, o_orderkey,
         |rank() OVER w AS rnk, dense_rank() OVER w AS drnk,

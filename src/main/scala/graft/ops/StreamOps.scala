@@ -169,6 +169,69 @@ object StreamOps {
   private val streamLateOracle = stepsOracle(
     s"AND epoch($nowSql) - epoch(datetime_utc) <= 48*3600")
 
+  /** Spark's BUILT-IN streaming dedup (`dropDuplicatesWithinWatermark`)
+    * — the watermark-state-scoped semantics users reach for before the
+    * index-backed [[graft.streaming.StreamingDedup]] paths: events
+    * arrive as two mtime-ordered micro-batches, the second RE-SENDS a
+    * quarter of the first (exact copies — at-least-once delivery), and
+    * the keyed state dedups them. The watermark delay (3650 days)
+    * exceeds the fixture's whole event-time span, so no row is late and
+    * state never expires → the output is exactly one row per event_id,
+    * which is what the oracle asserts. At 100 TB the state store is
+    * bounded by keys-within-watermark — the delay IS the memory knob. */
+  private val ddCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  def streamDropDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    val out = ddCache.synchronized {
+      ddCache.getOrElseUpdate((spark, dir), {
+        val base = SourceSinkOps.tmp("streamdd", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        // watermarks require TIMESTAMP (LTZ); session tz is UTC, so the
+        // NTZ→LTZ cast here and the inverse on read-back are lossless
+        val ev = graft.Tables.load(spark, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("event_type"))
+        val landing = s"$base/landing"
+        new java.io.File(landing).mkdirs()
+        def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmpd = s"$base/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+          val part = new java.io.File(tmpd).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$landing/$name")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          require(dst.setLastModified(mtime),
+            s"could not pin mtime on $dst — batch order would be undefined")
+        }
+        val t0 = 1700000000000L
+        writeBatchFile(ev.filter(col("event_id") % 2 === 0), "b0.parquet", t0)
+        writeBatchFile(ev.filter(col("event_id") % 2 === 1)
+            .unionAll(ev.filter(col("event_id") % 4 === 0)),
+          "b1.parquet", t0 + 3600000L)
+        val q = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+          .withWatermark("ts", "3650 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream
+          .format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s"$base/out"
+      })
+    }
+    spark.read.parquet(out)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .orderBy("event_id")
+  }
+
+  private val streamDropDuplicatesOracle: String =
+    """SELECT event_id, user_id, ts, event_type FROM events
+      |ORDER BY event_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_stream_storms", streamStorms,
       Some(streamStormsOracle), "stream/T1-bdeck-e2e"),
@@ -176,5 +239,7 @@ object StreamOps {
       Some(streamAdeckOracle), "stream/T1-T5-T7-adeck-e2e"),
     QuerySpec("q_stream_late", streamLate,
       Some(streamLateOracle), "stream/T2-late-gate"),
+    QuerySpec("q_stream_dropdup", streamDropDuplicates,
+      Some(streamDropDuplicatesOracle), "stream/T5-dropdup-watermark"),
   )
 }

@@ -168,6 +168,50 @@ object Pq {
       .select(col("qid"), col("rank"), col("id").as("neighbor"), col("adist"))
   }
 
+  /** IVF-PQ — the composition production ANN systems actually deploy
+    * (coarse cells prune the scan, codes compress it): queries probe
+    * their `nProbe` nearest cells and ADC-scan ONLY those cells' codes,
+    * so the scan touches ~nProbe/#cells of the code table instead of
+    * all of it. At `nProbe` = #cells the candidate set is the whole
+    * corpus and the result provably equals the flat [[adcTopK]] — the
+    * exact-regime trick that gives the k-means cell machinery a real
+    * differential ([[Ivf.topK]]'s q_ann_ivf pattern).
+    *
+    * `cells`: `(id, codes, cell)` — the encoded corpus joined with its
+    * coarse-quantizer assignment, partitioned by cell once and reused
+    * across query batches. */
+  def adcTopKCells(cells: DataFrame,
+      centroids: Array[(Int, Array[Double])], queries: DataFrame,
+      cb: Codebooks, k: Int, nProbe: Int,
+      idCol: String = "vec_id", mvCol: String = "mv"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = centroids.toSeq.toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("qid"), col(mvCol).as("mv"),
+      distTable(col(mvCol), cb).as("dt"))
+    val cellRank = Window.partitionBy("qid")
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cdist", graft.functions.Vectors.l2sq(
+        transform(col("mv"), x => x.cast("double")), col("centroid")))
+      .withColumn("rn", row_number().over(cellRank))
+      .filter(col("rn") <= nProbe)
+      .select("qid", "dt", "cell")
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("adist", aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0L),
+        (acc, s) => acc +
+          element_at(element_at(col("dt"), s + 1),
+            element_at(col("codes"), s + 1) + 1)))
+      .select(col("qid"), col("id"), col("adist"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("adist").asc, col("id").asc)
+    graft.plans.TopK.perGroup(scored, Seq(col("qid")),
+        Seq(col("adist").asc, col("id").asc), k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("rank"), col("id").as("neighbor"), col("adist"))
+  }
+
   // ---------------------------------------------------------------- persist
 
   private val booksSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -69,6 +69,34 @@ class PqSpec extends AnyFunSuite {
     assert(rHead >= 0.8, s"head PQ recall@5 $rHead on planted clusters")
   }
 
+  test("IVF-PQ equals flat ADC at full probe; cell pruning keeps recall " +
+      "on clustered data") {
+    import org.apache.spark.sql.functions.transform
+    val m = micro
+    val cb = Pq.trainHead(m, "vec_id", "mv", m = 8, k = 16)
+    val codes = Pq.encode(m, "vec_id", "mv", cb)
+    val ivf = Ivf.build(m.select(col("vec_id"),
+      transform(col("mv"), x => x.cast("double")).as("embedding")), k = 8)
+    val cells = codes.join(ivf.assigned.select(col("id"), col("cell")),
+      Seq("id"))
+    val queries = m.filter(col("vec_id") < 16)
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // full probe == flat scan, bit for bit
+    assert(res(Pq.adcTopKCells(cells, ivf.centroids, queries, cb, k = 5,
+        nProbe = 8))
+      == res(Pq.adcTopK(codes, queries, cb, k = 5)))
+    // probing 2/8 cells on clustered data keeps >= 80% of the flat
+    // ADC's top-5 (the planted clusters align with k-means cells)
+    val flat = res(Pq.adcTopK(codes, queries, cb, k = 5))
+      .map(t => (t._1, t._3)).toSet
+    val pruned = res(Pq.adcTopKCells(cells, ivf.centroids, queries, cb,
+        k = 5, nProbe = 2)).map(t => (t._1, t._3)).toSet
+    assert(pruned.intersect(flat).size >= (flat.size * 8) / 10,
+      s"pruned recall ${pruned.intersect(flat).size}/${flat.size}")
+  }
+
   test("persisted PQ index serves bit-identical ADC results") {
     val m = micro
     val cb = Pq.trainHead(m, "vec_id", "mv", m = 8, k = 16)
