@@ -222,6 +222,45 @@ object RelationalOps {
   /** J8 — as-of join: for each purchase, the latest click by the same user
     * at or before it (invest point-in-time snapshot,
     * tcdb/models/invest.py:60-80). */
+  /** Pure range join — NO equi key, the shape that silently degrades to
+    * a nested-loop/cartesian at scale — made hash-joinable by interval
+    * bucketization: time is tiled into buckets as wide as the interval,
+    * each interval explodes to the (≤2) buckets it covers, each point
+    * joins its single bucket, and the exact range predicate filters
+    * inside the hash join's output. Every qualifying pair matches in
+    * exactly one bucket (the point's), so no dedup pass is needed. At
+    * 100 TB both sides shuffle once on the bucket key instead of
+    * nesting; the oracle is the PLAIN range join — bucketing must be
+    * invisible in results.
+    *
+    * The point side PRE-AGGREGATES by value below the join (the count
+    * is additive): a range join's output is quadratic in temporal
+    * density — replicating the corpus 32× on a fixed time axis makes
+    * every window 32× denser, so pair count grows 1024× — but the
+    * (value, count) relation is bounded by the number of DISTINCT point
+    * values, which scales with the time axis, not the corpus. The 32×
+    * probe runs quadratic (hours) without this and linear with it. */
+  def joinIntervalBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val bucketDays = 7
+    val epoch = to_date(lit("1970-01-01"))
+    def bkt(c: org.apache.spark.sql.Column) =
+      floor(datediff(c, epoch) / bucketDays)
+    val o = load(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderdate").as("start"),
+        (col("o_orderdate") + expr("interval 7 days")).as("end"))
+      .withColumn("bkt",
+        explode(sequence(bkt(col("start")), bkt(col("end")))))
+    val li = load(spark, dir, "lineitem")
+      .groupBy("l_shipdate").agg(count(lit(1)).as("pt_n"))
+      .withColumn("bkt", bkt(col("l_shipdate")))
+    o.join(li, Seq("bkt"))
+      .filter(col("l_shipdate") >= col("start")
+        && col("l_shipdate") <= col("end"))
+      .groupBy("o_orderstatus")
+      .agg(sum(col("pt_n")).as("n_in_window"))
+      .orderBy("o_orderstatus")
+  }
+
   def joinAsOf(spark: SparkSession, dir: String): DataFrame = {
     val ev = load(spark, dir, "events")
     val p  = ev.filter(col("event_type") === "purchase")
@@ -437,6 +476,12 @@ object RelationalOps {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin), "J5"),
+    QuerySpec("q_join_interval", joinIntervalBucketed, Some(
+      """SELECT o_orderstatus, count(*) AS n_in_window
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin), "J5/keyless-bucketized"),
     QuerySpec("q_join_nearest", joinNearest, Some(
       """SELECT c_custkey, s_suppkey AS nearest_supp, CAST(dist AS DOUBLE) AS dist
         |FROM (

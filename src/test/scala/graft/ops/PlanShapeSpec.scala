@@ -77,6 +77,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("label"), s)
   }
 
+  test("keyless interval join runs as a hash join on the bucket key, " +
+      "never a nested loop") {
+    val s = plan(RelationalOps.joinIntervalBucketed(spark, dir))
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("bkt"), s)
+  }
+
   test("decontamination broadcasts the benchmark hash set (semi-join)") {
     val s = plan(CurateOps.decontaminate(spark, dir))
     assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"), s)
