@@ -73,6 +73,42 @@ object OlapOps {
       .orderBy(col("g_p"), col("g_s"),
         col("pri").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
+  /** GROUPING SETS — the general form rollup/cube are shorthands for:
+    * an explicit, non-hierarchical set of grouping combinations in one
+    * pass (Spark expands to one Expand node feeding one aggregate — no
+    * per-set rescan). grouping() flags disambiguate real NULL keys from
+    * set placeholders. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "orders")
+      .withColumn("pri", substring(col("o_orderpriority"), 1, 1))
+      .createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT pri, o_orderstatus, count(*) AS n,
+        |  grouping(pri) AS g_p, grouping(o_orderstatus) AS g_s
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((pri, o_orderstatus), (pri), (o_orderstatus))
+        |ORDER BY g_p, g_s, pri ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** EXCEPT ALL / INTERSECT ALL — multiset semantics (per-key
+    * multiplicities subtract / take the minimum), which the DISTINCT
+    * set ops above silently discard; one row per surviving duplicate. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val even = li.filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_partkey").as("k"))
+    val odd = li.filter(col("l_orderkey") % 2 === 1)
+      .select(col("l_partkey").as("k"))
+    even.exceptAll(odd).groupBy("k").agg(count(lit(1)).as("n_except"))
+      .join(even.intersectAll(odd).groupBy("k")
+          .agg(count(lit(1)).as("n_intersect")),
+        Seq("k"), "full_outer")
+      .select(col("k"), coalesce(col("n_except"), lit(0L)).as("n_except"),
+        coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+      .orderBy("k")
+  }
+
   /** Exact continuous percentiles. l_quantity is integer-valued, so the
     * linear interpolation at .25/.5/.75 lands on exact binary fractions —
     * bit-identical across engines regardless of interpolation formula. */
@@ -396,6 +432,28 @@ object OlapOps {
         |FROM orders GROUP BY CUBE(substr(o_orderpriority, 1, 1), o_orderstatus)
         |ORDER BY g_p, g_s, pri NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
       "agg/cube"),
+    QuerySpec("q_agg_grouping_sets", aggGroupingSets, Some(
+      """SELECT substr(o_orderpriority, 1, 1) AS pri, o_orderstatus,
+        |count(*) AS n,
+        |CAST(GROUPING(substr(o_orderpriority, 1, 1)) AS INT) AS g_p,
+        |CAST(GROUPING(o_orderstatus) AS INT) AS g_s
+        |FROM orders GROUP BY GROUPING SETS (
+        |  (substr(o_orderpriority, 1, 1), o_orderstatus),
+        |  (substr(o_orderpriority, 1, 1)), (o_orderstatus))
+        |ORDER BY g_p, g_s, pri NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+      "agg/grouping-sets"),
+    QuerySpec("q_set_ops_all", setOpsAll, Some(
+      """WITH e AS (SELECT l_partkey AS k FROM lineitem WHERE l_orderkey % 2 = 0),
+        |o AS (SELECT l_partkey AS k FROM lineitem WHERE l_orderkey % 2 = 1),
+        |ec AS (SELECT k, count(*) AS c FROM e GROUP BY 1),
+        |oc AS (SELECT k, count(*) AS c FROM o GROUP BY 1),
+        |j AS (SELECT coalesce(ec.k, oc.k) AS k,
+        |    coalesce(ec.c, 0) AS ce, coalesce(oc.c, 0) AS co
+        |  FROM ec FULL OUTER JOIN oc ON ec.k = oc.k)
+        |SELECT k, greatest(ce - co, 0) AS n_except,
+        |  least(ce, co) AS n_intersect
+        |FROM j WHERE greatest(ce - co, 0) > 0 OR least(ce, co) > 0
+        |ORDER BY k""".stripMargin), "setops/except-intersect-all"),
     QuerySpec("q_agg_percentiles", aggPercentiles, Some(
       """SELECT l_returnflag,
         |quantile_cont(l_quantity, 0.25) AS p25,
