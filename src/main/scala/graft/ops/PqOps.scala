@@ -16,8 +16,10 @@ import graft.similarity.{Ann, Pq}
   * integers end to end. */
 object PqOps {
 
-  private val M = 8      // subspaces (64-dim -> 8-dim sub-vectors)
-  private val K = 16     // codewords per subspace (4-bit codes)
+  private val M = 8        // subspaces (64-dim -> SUB-dim sub-vectors)
+  private val K = 16       // codewords per subspace (4-bit codes)
+  private val SUB = 64 / M // sub-vector width — interpolated into the
+                           // oracle so M changes can't desync the replica
 
   /** Normalized micro-unit corpus `(vec_id, mv)` — rows with zero norm
     * dropped on both engines. */
@@ -34,8 +36,10 @@ object PqOps {
     .empty[(SparkSession, String), Pq.Codebooks]
 
   private def codebooks(spark: SparkSession, dir: String): Pq.Codebooks =
-    cbCache.getOrElseUpdate((spark, dir),
-      Pq.trainHead(microCorpus(spark, dir), "vec_id", "mv", M, K))
+    cbCache.synchronized {
+      cbCache.getOrElseUpdate((spark, dir),
+        Pq.trainHead(microCorpus(spark, dir), "vec_id", "mv", M, K))
+    }
 
   /** ADC top-3 for the 8 probe queries: corpus encoded, codes scanned —
     * fully differential. */
@@ -144,12 +148,12 @@ object PqOps {
        |cbs AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, mv
        |  FROM (SELECT vec_id, mv FROM micro ORDER BY vec_id LIMIT $K) t),
        |cw AS MATERIALIZED (SELECT g.s, cbs.code,
-       |    list_transform(generate_series(1, 8), j -> mv[g.s * 8 + j]) AS w
+       |    list_transform(generate_series(1, $SUB), j -> mv[g.s * $SUB + j]) AS w
        |  FROM cbs, (SELECT unnest(generate_series(0, ${M - 1})) AS s) g),
        |encd AS MATERIALIZED (SELECT m.vec_id, c.s, c.code,
        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(generate_series(1, 8), j ->
-       |        (m.mv[c.s * 8 + j] - c.w[j]) * (m.mv[c.s * 8 + j] - c.w[j]))),
+       |      list_transform(generate_series(1, $SUB), j ->
+       |        (m.mv[c.s * $SUB + j] - c.w[j]) * (m.mv[c.s * $SUB + j] - c.w[j]))),
        |      (a, x) -> a + x) AS BIGINT) AS d
        |  FROM micro m, cw c),
        |enc AS MATERIALIZED (SELECT vec_id, s, code FROM (

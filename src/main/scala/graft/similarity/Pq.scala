@@ -153,7 +153,18 @@ object Pq {
       idCol: String = "vec_id", mvCol: String = "mv"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       distTable(col(mvCol), cb).as("dt"))
-    val scored = codes.crossJoin(broadcast(q))
+    scoreAndRank(codes.crossJoin(broadcast(q)), cb, k)
+  }
+
+  /** The shared ADC scoring + ranking contract: candidates carry
+    * (id, codes, qid, dt); score = Σ_s dt(s)(code_s), rank by
+    * (adist asc, id asc) through the partial TopKPerGroup below the qid
+    * exchange. Both the flat and the cell-pruned scan MUST rank through
+    * this one definition — the q_ann_ivfpq full-probe == q_ann_pq
+    * equivalence depends on it. */
+  private def scoreAndRank(candidates: DataFrame, cb: Codebooks,
+      k: Int): DataFrame = {
+    val scored = candidates
       .filter(col("id") =!= col("qid"))
       .withColumn("adist", aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0L),
         (acc, s) => acc +
@@ -197,19 +208,7 @@ object Pq {
       .withColumn("rn", row_number().over(cellRank))
       .filter(col("rn") <= nProbe)
       .select("qid", "dt", "cell")
-    val scored = cells.join(broadcast(probes), Seq("cell"))
-      .filter(col("id") =!= col("qid"))
-      .withColumn("adist", aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0L),
-        (acc, s) => acc +
-          element_at(element_at(col("dt"), s + 1),
-            element_at(col("codes"), s + 1) + 1)))
-      .select(col("qid"), col("id"), col("adist"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("adist").asc, col("id").asc)
-    graft.plans.TopK.perGroup(scored, Seq(col("qid")),
-        Seq(col("adist").asc, col("id").asc), k)
-      .withColumn("rank", row_number().over(w))
-      .select(col("qid"), col("rank"), col("id").as("neighbor"), col("adist"))
+    scoreAndRank(cells.join(broadcast(probes), Seq("cell")), cb, k)
   }
 
   // ---------------------------------------------------------------- persist
