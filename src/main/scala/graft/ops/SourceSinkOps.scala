@@ -161,6 +161,33 @@ object SourceSinkOps {
       |WHERE user_id >= 40 AND user_id < 60 AND day >= 10 AND day < 15
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** ANALYZE-style column statistics in ONE map-side-combined pass —
+    * the relation a cost-based optimizer feeds on (and the first thing
+    * a data engineer asks of an unfamiliar 100 TB table): per column
+    * min / max / null count, plus exact distinct counts. Emitted long
+    * (one row per column) so adding columns never changes the schema.
+    * Numeric min/max are cast to double for one uniform value column;
+    * exact NDV is the verification harness here — at scale the HLL
+    * form (q_approx_distinct) replaces it. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+      "l_extendedprice", "l_linenumber")
+    val rows = cols.map { c =>
+      struct(lit(c).as("col"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("ndv"),
+        min(col(c)).cast("double").as("min_v"),
+        max(col(c)).cast("double").as("max_v"))
+    }
+    val aggCols = rows.zipWithIndex.map { case (r, i) => r.as(s"s$i") }
+    li.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(cols.indices.map(i => col(s"s$i")): _*)).as("st"))
+      .select("st.*")
+      .orderBy("col")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_zorder_layout", zorderLayout,
       Some(zorderLayoutOracle), "S8-layout/zorder"),
@@ -169,5 +196,29 @@ object SourceSinkOps {
     QuerySpec("q_partitioned_sink", partitionedSink,
       Some(partitionedSinkOracle), "A3"),
     QuerySpec("q_store_compact", storeCompact,
-      Some(storeCompactOracle), "S8-maintenance"))
+      Some(storeCompactOracle), "S8-maintenance"),
+    QuerySpec("q_table_stats", tableStats, Some(
+      """SELECT col, n_rows, n_null, ndv, min_v, max_v FROM (
+        |  SELECT 'l_orderkey' AS col, count(*) AS n_rows,
+        |    count(*) - count(l_orderkey) AS n_null,
+        |    count(DISTINCT l_orderkey) AS ndv,
+        |    CAST(min(l_orderkey) AS DOUBLE) AS min_v,
+        |    CAST(max(l_orderkey) AS DOUBLE) AS max_v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+        |    count(DISTINCT l_partkey), CAST(min(l_partkey) AS DOUBLE),
+        |    CAST(max(l_partkey) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |    count(DISTINCT l_quantity), CAST(min(l_quantity) AS DOUBLE),
+        |    CAST(max(l_quantity) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+        |    count(DISTINCT l_extendedprice), CAST(min(l_extendedprice) AS DOUBLE),
+        |    CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+        |    count(DISTINCT l_linenumber), CAST(min(l_linenumber) AS DOUBLE),
+        |    CAST(max(l_linenumber) AS DOUBLE) FROM lineitem) t
+        |ORDER BY col""".stripMargin), "S8-analyze/column-stats"))
 }

@@ -157,19 +157,20 @@ object Pq {
   }
 
   /** The shared ADC scoring + ranking contract: candidates carry
-    * (id, codes, qid, dt); score = Σ_s dt(s)(code_s), rank by
+    * (id, codes, qid, dt); score = Σ_s dt(s)(code_s) via the native
+    * codegen'd [[graft.functions.expressions.AdcDistance]] (one fused
+    * Java loop per row — integer adds are associative, so it is
+    * bit-identical to the interpreted HOF fold it replaced), rank by
     * (adist asc, id asc) through the partial TopKPerGroup below the qid
     * exchange. Both the flat and the cell-pruned scan MUST rank through
     * this one definition — the q_ann_ivfpq full-probe == q_ann_pq
     * equivalence depends on it. */
   private def scoreAndRank(candidates: DataFrame, cb: Codebooks,
       k: Int): DataFrame = {
+    import graft.functions.expressions.AdcDistance.adcNative
     val scored = candidates
       .filter(col("id") =!= col("qid"))
-      .withColumn("adist", aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0L),
-        (acc, s) => acc +
-          element_at(element_at(col("dt"), s + 1),
-            element_at(col("codes"), s + 1) + 1)))
+      .withColumn("adist", adcNative(col("codes"), col("dt")))
       .select(col("qid"), col("id"), col("adist"))
     val w = Window.partitionBy("qid")
       .orderBy(col("adist").asc, col("id").asc)
