@@ -249,7 +249,7 @@ object Dedup {
     * longer than maxIter hops) yields a consistent but possibly
     * non-minimal labeling — the differential gates compute the TRUE
     * closure in the oracle, so such a divergence fails loudly there. */
-  private[dedup] def propagateMinLabels(edges: DataFrame,
+  private[graft] def propagateMinLabels(edges: DataFrame,
       maxIter: Int): DataFrame = {
     // EAGER checkpoints throughout the loop, by measurement: each
     // iteration references `labels` twice, so any non-truncating reuse

@@ -110,6 +110,18 @@ object ExtraOps {
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
       .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
 
+  /** Weakly-connected components over a generated chain graph: edges
+    * (k, k+1) for custkeys ≡ 0,1,2 (mod 5) form length-4 chains with
+    * gaps — components are non-trivial (diameter 3, so convergence
+    * takes real propagation sweeps, not one), and the oracle replays
+    * the closure as a recursive CTE like the dedup group oracles. */
+  def graphComponents(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.ConnectedComponents.run(
+        load(spark, dir, "customer")
+          .filter(col("c_custkey") % 5 < 3)
+          .select(col("c_custkey").as("a"), (col("c_custkey") + 1).as("b")))
+      .orderBy("id")
+
   /** F18 — structured JSON parsing with a declared schema (from_json →
     * typed struct field), the inverse of the to_json sink. */
   def fnFromJson(spark: SparkSession, dir: String): DataFrame =
@@ -168,6 +180,19 @@ object ExtraOps {
         |    user_id := user_id))::VARCHAR AS doc
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
       "S10/F18"),
+    QuerySpec("q_graph_components", graphComponents, Some(
+      """WITH RECURSIVE
+        |e AS MATERIALIZED (SELECT c_custkey AS a, c_custkey + 1 AS b
+        |  FROM customer WHERE c_custkey % 5 < 3),
+        |und AS MATERIALIZED (SELECT a AS id, b AS nbr FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |reach AS (SELECT id, id AS label
+        |    FROM (SELECT DISTINCT id FROM und) s
+        |  UNION
+        |  SELECT u.id, r.label FROM und u JOIN reach r ON r.id = u.nbr),
+        |lab AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+        |SELECT id, component FROM lab ORDER BY id""".stripMargin),
+      "graph/connected-components"),
     QuerySpec("q_approx_distinct", approxDistinct, Some(
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |count(*) AS n, true AS within_bound

@@ -109,6 +109,31 @@ object OlapOps {
       .orderBy("k")
   }
 
+  /** Equi-width histogram (the data-card / CBO bucketing primitive):
+    * global min/max in one tiny aggregate (broadcast via cross join),
+    * then one map-side bucket assignment + count — two narrow passes,
+    * no sort. Bucket arithmetic stays in exact integer cents so the
+    * bucket boundary decision replays identically in any engine (a
+    * double `(v-min)/width` hits boundary-rounding ties); the `+1`
+    * denominator keeps the max value inside bucket n-1 without a
+    * clamp. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 10
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val bounds = li.agg(min("cents").as("lo"), max("cents").as("hi"))
+    li.crossJoin(broadcast(bounds))
+      // `div` = exact integer floor division (DuckDB `//`): a double
+      // `/`-then-truncate can round a just-below-integer quotient UP
+      // across the bucket boundary
+      .withColumn("bucket", expr(
+        s"CAST((cents - lo) * $nBuckets div (hi - lo + 1) AS INT)"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "bucket")
+  }
+
   /** Exact continuous percentiles. l_quantity is integer-valued, so the
     * linear interpolation at .25/.5/.75 lands on exact binary fractions —
     * bit-identical across engines regardless of interpolation formula. */
@@ -432,6 +457,16 @@ object OlapOps {
         |FROM orders GROUP BY CUBE(substr(o_orderpriority, 1, 1), o_orderstatus)
         |ORDER BY g_p, g_s, pri NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
       "agg/cube"),
+    QuerySpec("q_histogram", histogram, Some(
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c)
+        |SELECT l_returnflag,
+        |  CAST((cents - lo) * 10 // (hi - lo + 1) AS INT) AS bucket,
+        |  count(*) AS n
+        |FROM c, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "datacard/equi-width-histogram"),
     QuerySpec("q_agg_grouping_sets", aggGroupingSets, Some(
       """SELECT substr(o_orderpriority, 1, 1) AS pri, o_orderstatus,
         |count(*) AS n,

@@ -1,0 +1,28 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chain and star collapse to their min id; components stay apart") {
+    // chain 1-2-3-4-5-6 (diameter 5 — needs several sweeps), star
+    // 10-{11,12,13}, disjoint pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (1L to 6L).foreach(i => assert(got(i) == 1L, s"node $i"))
+    Seq(10L, 11L, 12L, 13L).foreach(i => assert(got(i) == 10L))
+    Seq(20L, 21L).foreach(i => assert(got(i) == 20L))
+    assert(got.size == 12) // every endpoint, nothing else
+  }
+
+  test("empty edge frame yields an empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.run(empty).count() == 0)
+  }
+}
