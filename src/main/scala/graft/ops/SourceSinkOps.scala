@@ -161,6 +161,77 @@ object SourceSinkOps {
       |WHERE user_id >= 40 AND user_id < 60 AND day >= 10 AND day < 15
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Schema evolution on read: a landed table gains a column mid-life
+    * (the normal fate of every long-lived 100 TB table) — batch 1 lands
+    * (key, price), batch 2 appends (key, price, status), and
+    * `mergeSchema` unifies them on read with NULL for the pre-evolution
+    * rows. The aggregate groups by the evolved column, so NULL-filling
+    * is load-bearing, not cosmetic; the oracle replays the same split
+    * from the source table. Fixture write memoized per (session, dir);
+    * the gate measures the evolved read. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = schemaEvoCache.synchronized {
+      schemaEvoCache.getOrElseUpdate((spark, dir), {
+        val base = tmp("schevo", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        val o = load(spark, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.parquet(s"$base/t")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .write.mode("append").parquet(s"$base/t")
+        s"$base/t"
+      })
+    }
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first)
+  }
+
+  private val schemaEvoCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  /** Time-travel (as-of) read over a batch-published table
+    * ([[graft.pipeline.Store.readAsOf]]): three batches land with tags
+    * "1", "2", "10", and the gate reads as of tag "2" — batch "10" must
+    * be excluded, which proves tags compare NUMERICALLY ("10" < "2"
+    * lexicographically, so a string compare would wrongly include it).
+    * The oracle replays the first two slices from the source table. */
+  def storeAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val base = asOfCache.synchronized {
+      asOfCache.getOrElseUpdate((spark, dir), {
+        val b = tmp("asof", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(b))
+        val o = asOfFrame(spark, dir)
+        graft.pipeline.FsUtils.publishBatch(
+          o.filter(col("o_orderkey") % 3 === 0), s"$b/t", "1")
+        graft.pipeline.FsUtils.publishBatch(
+          o.filter(col("o_orderkey") % 3 === 1), s"$b/t", "2")
+        graft.pipeline.FsUtils.publishBatch(
+          o.filter(col("o_orderkey") % 3 === 2), s"$b/t", "10")
+        b
+      })
+    }
+    new graft.pipeline.Store(spark, base)
+      .readAsOf("t", asOfFrame(spark, dir).schema, asOf = "2")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private def asOfFrame(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  private val asOfCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
   /** ANALYZE-style column statistics in ONE map-side-combined pass —
     * the relation a cost-based optimizer feeds on (and the first thing
     * a data engineer asks of an unfamiliar 100 TB table): per column
@@ -197,6 +268,18 @@ object SourceSinkOps {
       Some(partitionedSinkOracle), "A3"),
     QuerySpec("q_store_compact", storeCompact,
       Some(storeCompactOracle), "S8-maintenance"),
+    QuerySpec("q_store_asof", storeAsOf, Some(
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin), "S8-timetravel/as-of"),
+    QuerySpec("q_schema_evolution", schemaEvolution, Some(
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
+        |  AS o_orderstatus,
+        |count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin),
+      "S8-evolution/mergeSchema"),
     QuerySpec("q_table_stats", tableStats, Some(
       """SELECT col, n_rows, n_null, ndv, min_v, max_v FROM (
         |  SELECT 'l_orderkey' AS col, count(*) AS n_rows,

@@ -34,6 +34,38 @@ final class Store(spark: SparkSession, root: String) {
     } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Time-travel read over a BATCH-PUBLISHED table
+    * ([[FsUtils.publishBatch]] drops `batch_<tag>_p*.parquet` per
+    * batch): only batches with tag ≤ `asOf` are read — the state a
+    * reader at that point in the ingest would have seen. Tags compare
+    * NUMERICALLY when both parse as longs (micro-batch ids: "10" comes
+    * after "2"), lexicographically otherwise (ISO-timestamp tags sort
+    * correctly as strings). Compaction folds old batches into
+    * `compacted_<gen>` files and thereby RETIRES the horizon — like a
+    * vacuumed Delta table, as-of below the compaction point is
+    * unanswerable, so the read fails loudly rather than returning a
+    * silently incomplete frame. */
+  def readAsOf(table: String, schema: StructType, asOf: String): DataFrame = {
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val dir = new java.io.File(path(table))
+    if (!dir.exists()) return empty
+    recoverCompact(table)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    require(!files.exists(_.getName.startsWith("compacted_")),
+      s"time-travel horizon lost: '$table' has compacted generations")
+    def leq(t: String): Boolean = (t.toLongOption, asOf.toLongOption) match {
+      case (Some(a), Some(b)) => a <= b
+      case _ => t <= asOf
+    }
+    val tagRe = "batch_(.+)_p\\d+\\.parquet".r
+    val keep = files.filter(f => tagRe.findFirstMatchIn(f.getName)
+      .exists(m => leq(m.group(1))))
+    if (keep.isEmpty) empty
+    else spark.read.schema(schema).parquet(keep.map(_.getPath).toSeq: _*)
+  }
+
   /** Full-table replace (read-modify-write MERGE target). The frame is
     * materialized to a staging dir first — Spark cannot overwrite a
     * parquet dir it is concurrently reading. */

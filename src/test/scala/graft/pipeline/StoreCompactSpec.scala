@@ -51,6 +51,27 @@ class StoreCompactSpec extends AnyFunSuite {
     assert(store.read("t", dataSchema).count() == 1000)
   }
 
+  test("readAsOf orders tags numerically and fails loudly past the " +
+      "compaction horizon") {
+    val store = freshStore("asof")
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).toDF("id").select(col("id"), lit(0.0).as("v"))
+    FsUtils.publishBatch(batch(1, 10), store.path("t"), "1")
+    FsUtils.publishBatch(batch(11, 20), store.path("t"), "2")
+    FsUtils.publishBatch(batch(21, 30), store.path("t"), "10")
+    // numeric: as of "2" excludes batch "10" (a string compare would
+    // include it: "10" < "2" lexicographically)
+    assert(store.readAsOf("t", dataSchema, "2").count() == 20)
+    assert(store.readAsOf("t", dataSchema, "10").count() == 30)
+    assert(store.readAsOf("t", dataSchema, "1").count() == 10)
+    // compaction retires the horizon: as-of must fail, not silently
+    // return a partial frame
+    store.compactBatched("t", dataSchema, excludeTags = Set.empty)
+    intercept[IllegalArgumentException] {
+      store.readAsOf("t", dataSchema, "2")
+    }
+  }
+
   test("compact plans unpartitioned tables by row count") {
     val store = freshStore("flat")
     store.write("t", (1L to 900L).toDF("id")
