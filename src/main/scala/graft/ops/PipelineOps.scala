@@ -100,6 +100,21 @@ object PipelineOps {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
       .orderBy("cycle")
 
+  /** T8 sliding form — HOPPING windows (size 12 h, slide 6 h): every
+    * event lands in exactly size/slide = 2 overlapping windows, the
+    * windowed-analytics shape tumbling can't express (a reading
+    * contributes to every window covering it). Spark expands the
+    * assignment map-side (no self-join); the oracle enumerates the two
+    * covering window starts per row with the same epoch-anchored floor
+    * arithmetic as the tumbling gate. */
+  def hoppingWindows(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy(window(col("ts"), "12 hours", "6 hours")
+        .getField("start").as("win_start"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+      .orderBy("win_start")
+
   /** T3 — stateful status transition as a batch rule: a user is "Archive"
     * when their last event is >24h before the global max ts, else "Active"
     * (tcdb/pipeline/routines.py:14-31). */
@@ -163,6 +178,12 @@ object PipelineOps {
         |CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS cycle,
         |count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
         |FROM events GROUP BY 1 ORDER BY cycle""".stripMargin), "T8"),
+    QuerySpec("q_window_hopping", hoppingWindows, Some(
+      """SELECT TIMESTAMP '1970-01-01 00:00:00' + INTERVAL 1 SECOND *
+        |CAST((floor(epoch(ts) / 21600) - k.k) * 21600 AS BIGINT) AS win_start,
+        |count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM events, (VALUES (0), (1)) k(k)
+        |GROUP BY 1 ORDER BY win_start""".stripMargin), "T8-sliding"),
     QuerySpec("q_status_transition", statusTransition, Some(
       """WITH m AS (SELECT max(ts) AS max_ts FROM events),
         |l AS (SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id)
