@@ -265,6 +265,7 @@ object Dedup {
     val e = edges.toDF("id_a", "id_b")
     val undirected = e.union(e.select(col("id_b"), col("id_a")))
       .toDF("id", "nbr").localCheckpoint()
+    lastPropagationConverged.set(true) // empty graph is trivially converged
     if (undirected.isEmpty)
       return undirected.select(col("id"), col("id").as("label")).limit(0)
     // Sweep 1 needs no labels frame — every node starts labeled by its
@@ -295,8 +296,19 @@ object Dedup {
       labels = next.select("id", "label")
       i += 1
     }
+    // maxIter <= 1 never probes, so convergence is genuinely unknown
+    lastPropagationConverged.set(converged)
     labels
   }
+
+  /** Whether the most recent [[propagateMinLabels]] call on this thread
+    * reached a fixed point within its sweep budget — consumed by the
+    * public graph operator to fail loudly instead of returning
+    * non-minimal labels; the internal dedup call sites are instead
+    * backstopped by their differential gates, which recompute the true
+    * closure. */
+  private[graft] val lastPropagationConverged =
+    new ThreadLocal[Boolean] { override def initialValue(): Boolean = true }
 
   /** End-to-end near-dup grouping — the dedup deliverable a training-data
     * pipeline actually consumes: (doc_id, group_id) where group_id is the

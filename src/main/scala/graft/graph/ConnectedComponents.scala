@@ -19,8 +19,17 @@ object ConnectedComponents {
 
   /** `(id, component)` for every edge endpoint, where `component` is
     * the minimum id reachable. Isolated nodes carry no edges and so
-    * don't appear — union identity rows for the node set if needed. */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame =
-    graft.dedup.Dedup.propagateMinLabels(edges, maxIter)
-      .toDF("id", "component")
+    * don't appear — union identity rows for the node set if needed.
+    *
+    * Fails loudly if the sweep budget runs out before a fixed point
+    * (component diameter > maxIter): un-converged labels assign
+    * DIFFERENT components to nodes of the same component, which a
+    * public operator must never return silently. */
+  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val labels = graft.dedup.Dedup.propagateMinLabels(edges, maxIter)
+    require(graft.dedup.Dedup.lastPropagationConverged.get(),
+      s"label propagation did not reach a fixed point within $maxIter " +
+        "sweeps — a component's diameter exceeds the budget; raise maxIter")
+    labels.toDF("id", "component")
+  }
 }

@@ -232,14 +232,17 @@ object SourceSinkOps {
   private val asOfCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
 
-  /** ANALYZE-style column statistics in ONE map-side-combined pass —
+  /** ANALYZE-style column statistics in one aggregation statement —
     * the relation a cost-based optimizer feeds on (and the first thing
     * a data engineer asks of an unfamiliar 100 TB table): per column
-    * min / max / null count, plus exact distinct counts. Emitted long
-    * (one row per column) so adding columns never changes the schema.
-    * Numeric min/max are cast to double for one uniform value column;
-    * exact NDV is the verification harness here — at scale the HLL
-    * form (q_approx_distinct) replaces it. */
+    * min / max / null count, plus exact distinct counts. The exact
+    * NDVs force an Expand (one replicated row stream per distinct
+    * aggregate) and a shuffle of distinct values — NOT map-side
+    * combinable; that exact form is the verification harness here, and
+    * at scale the HLL form (q_approx_distinct, one combinable sketch
+    * per column) replaces it. Emitted long (one row per column) so
+    * adding columns never changes the schema; numeric min/max cast to
+    * double for one uniform value column. */
   def tableStats(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
     val cols = Seq("l_orderkey", "l_partkey", "l_quantity",

@@ -55,11 +55,20 @@ final class Store(spark: SparkSession, root: String) {
       .filter(_.getName.endsWith(".parquet"))
     require(!files.exists(_.getName.startsWith("compacted_")),
       s"time-travel horizon lost: '$table' has compacted generations")
+    val tagRe = "batch_(.+)_p\\d+\\.parquet".r
+    val tags = files.flatMap(f =>
+      tagRe.findFirstMatchIn(f.getName).map(_.group(1))).distinct
+    // one scheme per table: numeric-vs-lexical per PAIR is not a total
+    // order, and a mixed table would get an arbitrary subset, not a
+    // prefix of publish history
+    val numericAsOf = asOf.toLongOption.isDefined
+    require(tags.forall(_.toLongOption.isDefined == numericAsOf),
+      s"mixed tag schemes in '$table': as-of '$asOf' cannot totally " +
+        s"order tags [${tags.mkString(", ")}]")
     def leq(t: String): Boolean = (t.toLongOption, asOf.toLongOption) match {
       case (Some(a), Some(b)) => a <= b
       case _ => t <= asOf
     }
-    val tagRe = "batch_(.+)_p\\d+\\.parquet".r
     val keep = files.filter(f => tagRe.findFirstMatchIn(f.getName)
       .exists(m => leq(m.group(1))))
     if (keep.isEmpty) empty

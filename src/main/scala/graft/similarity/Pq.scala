@@ -153,7 +153,7 @@ object Pq {
       idCol: String = "vec_id", mvCol: String = "mv"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       distTable(col(mvCol), cb).as("dt"))
-    scoreAndRank(codes.crossJoin(broadcast(q)), cb, k)
+    scoreAndRank(codes.crossJoin(broadcast(q)), k)
   }
 
   /** The shared ADC scoring + ranking contract: candidates carry
@@ -165,8 +165,7 @@ object Pq {
     * exchange. Both the flat and the cell-pruned scan MUST rank through
     * this one definition — the q_ann_ivfpq full-probe == q_ann_pq
     * equivalence depends on it. */
-  private def scoreAndRank(candidates: DataFrame, cb: Codebooks,
-      k: Int): DataFrame = {
+  private def scoreAndRank(candidates: DataFrame, k: Int): DataFrame = {
     import graft.functions.expressions.AdcDistance.adcNative
     val scored = candidates
       .filter(col("id") =!= col("qid"))
@@ -209,7 +208,7 @@ object Pq {
       .withColumn("rn", row_number().over(cellRank))
       .filter(col("rn") <= nProbe)
       .select("qid", "dt", "cell")
-    scoreAndRank(cells.join(broadcast(probes), Seq("cell")), cb, k)
+    scoreAndRank(cells.join(broadcast(probes), Seq("cell")), k)
   }
 
   // ---------------------------------------------------------------- persist

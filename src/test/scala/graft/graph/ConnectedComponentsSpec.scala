@@ -21,6 +21,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.size == 12) // every endpoint, nothing else
   }
 
+  test("fails loudly when the sweep budget can't cover the diameter") {
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.run(chain, maxIter = 3)
+    }
+    // with budget, the same chain collapses to one component
+    val ok = ConnectedComponents.run(chain, maxIter = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.forall(_._2 == 1L) && ok.length == 30)
+  }
+
   test("empty edge frame yields an empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(ConnectedComponents.run(empty).count() == 0)

@@ -64,6 +64,12 @@ class StoreCompactSpec extends AnyFunSuite {
     assert(store.readAsOf("t", dataSchema, "2").count() == 20)
     assert(store.readAsOf("t", dataSchema, "10").count() == 30)
     assert(store.readAsOf("t", dataSchema, "1").count() == 10)
+    // mixed tag schemes are not totally orderable — fail, don't guess
+    FsUtils.publishBatch(batch(31, 40), store.path("t"), "2024-01-01")
+    intercept[IllegalArgumentException] {
+      store.readAsOf("t", dataSchema, "2")
+    }
+    FsUtils.clearBatch(store.path("t"), "2024-01-01")
     // compaction retires the horizon: as-of must fail, not silently
     // return a partial frame
     store.compactBatched("t", dataSchema, excludeTags = Set.empty)
