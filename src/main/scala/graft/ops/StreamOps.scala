@@ -228,6 +228,64 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** STREAM-STREAM inner join — the hardest streaming semantic Spark
+    * offers (both sides buffer keyed state; the event-time range
+    * condition plus watermarks bound how long): clicks and purchases
+    * arrive as two independent file streams, joined on user_id with
+    * purchases within 7 days AFTER the click. The watermark delay
+    * exceeds the fixture span so no state is evicted mid-run and the
+    * append output equals the batch join exactly — which is what the
+    * oracle replays. At 100 TB the delay IS the state bound: state per
+    * side ≈ rate × (delay + range). */
+  private val ssjCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val out = ssjCache.synchronized {
+      ssjCache.getOrElseUpdate((spark, dir), {
+        val base = SourceSinkOps.tmp("ssj", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        val ev = graft.Tables.load(spark, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("event_type"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("c_ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("b_user"), col("ts").as("p_ts"))
+        clicks.coalesce(1).write.parquet(s"$base/clicks")
+        buys.coalesce(1).write.parquet(s"$base/buys")
+        val cs = spark.readStream.schema(clicks.schema)
+          .parquet(s"$base/clicks")
+          .withWatermark("c_ts", "3650 days")
+        val bs = spark.readStream.schema(buys.schema)
+          .parquet(s"$base/buys")
+          .withWatermark("p_ts", "3650 days")
+        val q = cs.join(bs,
+            col("user_id") === col("b_user")
+              && col("p_ts") >= col("c_ts")
+              && col("p_ts") <= col("c_ts") + expr("interval 7 days"))
+          .select("click_id", "purchase_id", "user_id")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s"$base/out"
+      })
+    }
+    spark.read.parquet(out).orderBy("click_id", "purchase_id")
+  }
+
+  private val streamStreamJoinOracle: String =
+    """SELECT c.event_id AS click_id, b.event_id AS purchase_id, c.user_id
+      |FROM events c JOIN events b ON b.user_id = c.user_id
+      |  AND c.event_type = 'click' AND b.event_type = 'purchase'
+      |  AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 7 DAY
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   private val streamDropDuplicatesOracle: String =
     """SELECT event_id, user_id, ts, event_type FROM events
       |ORDER BY event_id""".stripMargin
@@ -241,5 +299,7 @@ object StreamOps {
       Some(streamLateOracle), "stream/T2-late-gate"),
     QuerySpec("q_stream_dropdup", streamDropDuplicates,
       Some(streamDropDuplicatesOracle), "stream/T5-dropdup-watermark"),
+    QuerySpec("q_stream_join", streamStreamJoin,
+      Some(streamStreamJoinOracle), "stream/stream-stream-join"),
   )
 }
