@@ -76,6 +76,19 @@ object StreamingIngest {
         col("nhc_id"))
       .agg(count(lit(1)).as("n_obs"), max("intensity_kts").as("peak_kts"))
 
+  /** T8 sliding — HOPPING event-time aggregation (12 h window, 6 h
+    * slide): each observation contributes to window/slide = 2
+    * overlapping windows, expanded map-side by `window()` before the
+    * keyed state — the smoothed-cycle view tumbling can't express.
+    * Same watermark contract as [[cycleAggStream]]. */
+  def slidingAggStream(obs: DataFrame): DataFrame =
+    obs
+      .withWatermark("datetime_utc", "48 hours")
+      .groupBy(window(col("datetime_utc"), "12 hours", "6 hours")
+          .getField("start").as("win_start"),
+        col("nhc_id"))
+      .agg(count(lit(1)).as("n_obs"), max("intensity_kts").as("peak_kts"))
+
   /** T3 — stateful Active→Archive transition as a streaming aggregation:
     * latest observation per storm, status derived on read. */
   def statusStream(obs: DataFrame): DataFrame =

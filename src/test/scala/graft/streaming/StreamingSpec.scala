@@ -98,6 +98,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(models2 == Set("AVNO", "OFCL"))
   }
 
+  test("T8-sliding hopping aggregation: real stream equals batch, each " +
+      "row lands in 2 windows") {
+    val obs = Seq(
+      ("AL092022", "2022-09-28 00:15:00", 100.0),
+      ("AL092022", "2022-09-28 05:59:00", 105.0),
+      ("AL092022", "2022-09-28 06:01:00", 110.0),
+      ("EP052022", "2022-09-28 11:30:00", 65.0))
+      .map { case (id, t, k) => (id, Timestamp.valueOf(t), k) }
+      .toDF("nhc_id", "datetime_utc", "intensity_kts")
+    val base = s"/tmp/graft_ss/p${ProcessHandle.current().pid}" +
+      s"/sliding_${System.nanoTime()}"
+    obs.coalesce(1).write.parquet(s"$base/in")
+    val sink = s"m${System.nanoTime()}"
+    StreamingIngest.slidingAggStream(
+        spark.readStream.schema(obs.schema).parquet(s"$base/in"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Timestamp]("win_start"), r.getAs[String]("nhc_id"),
+        r.getAs[Long]("n_obs"), r.getAs[Double]("peak_kts"))
+    val streamed = spark.table(sink).collect().map(key).toSet
+    val batch = StreamingIngest.slidingAggStream(obs).collect().map(key).toSet
+    assert(streamed == batch)
+    // 4 rows x 2 windows each = 8 contributions across the groups
+    assert(batch.toSeq.map(_._3).sum == 8L)
+  }
+
   test("T2/T8 windowed cycle aggregation equals the batch computation") {
     val obs = Seq(
       ("AL092022", "2022-09-28 00:15:00", 100.0),
