@@ -802,26 +802,42 @@ object CurateOps {
     * (~2^-64 per pair; independent hash functions on the two engines
     * make the differential strictly stronger).
     *
-    * Scale shape: one distinct-aggregate shuffle keyed on (source, h),
-    * then a self-join keyed on h whose per-key fan-out is the number of
-    * sources sharing that shingle — bounded by the source count, not the
-    * corpus. The per-source totals are a source-cardinality-sized frame,
-    * broadcast. At 100 TB the exact h-join gives way to per-source
-    * MinHash sketches (constant size per source, machinery in
+    * Scale shape: the corpus is scanned EXACTLY ONCE. One
+    * distinct-aggregate shuffle keyed on (source, h), one groupBy-h
+    * building the per-shingle source set (array bounded by the source
+    * count, not the corpus), then every ordered pair src_a <= src_b from
+    * that set is exploded and counted in a single aggregate: the
+    * diagonal (a, a) IS the per-source distinct-shingle total and the
+    * off-diagonal (a, b) IS the pairwise intersection. That collapses
+    * the previous shape — a shingle self-join whose three consumers each
+    * re-derived the corpus-wide shingle frame — into one pass; the only
+    * multiply-consumed frame is the sources²-sized pair-count table,
+    * cached in memory (a few hundred rows even at thousands of sources).
+    * At 100 TB the exact path gives way to per-source MinHash sketches
+    * (constant size per source, machinery in
     * [[graft.dedup.Dedup.portableMinhash]]) — the estimate replaces the
-    * join, the report shape is identical. */
+    * shingle aggregate, the report shape is identical. */
   def corpusOverlap(spark: SparkSession, dir: String): DataFrame = {
     val sh = load(spark, dir, "documents")
       .select(col("source"), Text.tokens(col("text")).as("w"))
       .select(col("source"),
         explode(Text.hashedShinglesFromTokens(col("w"), 4)).as("h"))
       .distinct()
-    val per = sh.groupBy("source").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("source").as("src_a"), col("h"))
-      .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
-      .filter(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
-    inter
+    // Ordered pairs (incl. the diagonal) of sources sharing each shingle:
+    // for srcs sorted, element i pairs with every element at index >= i.
+    val pairCounts = sh.groupBy("h")
+      .agg(sort_array(collect_set("source")).as("srcs"))
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> " +
+          "transform(slice(srcs, i + 1, size(srcs) - i), " +
+          "y -> struct(x AS src_a, y AS src_b))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val per = pairCounts.filter(col("src_a") === col("src_b"))
+      .select(col("src_a").as("source"), col("n"))
+    pairCounts.filter(col("src_a") < col("src_b"))
+      .withColumnRenamed("n", "n_inter")
       .join(broadcast(per.select(col("source").as("src_a"), col("n").as("n_a"))),
         Seq("src_a"))
       .join(broadcast(per.select(col("source").as("src_b"), col("n").as("n_b"))),
