@@ -248,9 +248,18 @@ object Dedup {
     * each iteration lineage-truncated. A non-converged exit (a chain
     * longer than maxIter hops) yields a consistent but possibly
     * non-minimal labeling — the differential gates compute the TRUE
-    * closure in the oracle, so such a divergence fails loudly there. */
+    * closure in the oracle, so such a divergence fails loudly there.
+    *
+    * Returns (labels, converged). Convergence is determined exactly: if
+    * the sweep budget runs out before a fixed point was OBSERVED, one
+    * final probe-only pass (a join that adopts nothing) decides it, so
+    * a graph that converged on its last permitted sweep — including
+    * maxIter = 1 on a single edge — reports converged = true rather
+    * than unknown. Returned explicitly (not via any side channel) so
+    * interleaved calls on one thread can't clobber each other's
+    * status. */
   private[graft] def propagateMinLabels(edges: DataFrame,
-      maxIter: Int): DataFrame = {
+      maxIter: Int): (DataFrame, Boolean) = {
     // EAGER checkpoints throughout the loop, by measurement: each
     // iteration references `labels` twice, so any non-truncating reuse
     // (persist) doubles the logical plan per iteration — driver-side
@@ -265,9 +274,9 @@ object Dedup {
     val e = edges.toDF("id_a", "id_b")
     val undirected = e.union(e.select(col("id_b"), col("id_a")))
       .toDF("id", "nbr").localCheckpoint()
-    lastPropagationConverged.set(true) // empty graph is trivially converged
-    if (undirected.isEmpty)
-      return undirected.select(col("id"), col("id").as("label")).limit(0)
+    if (undirected.isEmpty) // empty graph is trivially converged
+      return (undirected.select(col("id"), col("id").as("label")).limit(0),
+        true)
     // Sweep 1 needs no labels frame — every node starts labeled by its
     // own id, so the first propagation is least(id, min(nbr)) straight
     // off the edge list (saves the identity-labels checkpoint plus one
@@ -296,19 +305,19 @@ object Dedup {
       labels = next.select("id", "label")
       i += 1
     }
-    // maxIter <= 1 never probes, so convergence is genuinely unknown
-    lastPropagationConverged.set(converged)
-    labels
+    if (!converged) {
+      // Budget exhausted without observing a fixed point (this is also
+      // every maxIter <= 1 call, which never enters the probing loop):
+      // one probe-only pass — would another sweep lower any label? —
+      // settles convergence exactly without spending another sweep.
+      val nbrMin = undirected
+        .join(labels.toDF("nbr", "nbr_label"), Seq("nbr"))
+        .groupBy("id").agg(min("nbr_label").as("nbr_min"))
+      converged = labels.join(nbrMin, Seq("id"))
+        .filter(col("nbr_min") < col("label")).isEmpty
+    }
+    (labels, converged)
   }
-
-  /** Whether the most recent [[propagateMinLabels]] call on this thread
-    * reached a fixed point within its sweep budget — consumed by the
-    * public graph operator to fail loudly instead of returning
-    * non-minimal labels; the internal dedup call sites are instead
-    * backstopped by their differential gates, which recompute the true
-    * closure. */
-  private[graft] val lastPropagationConverged =
-    new ThreadLocal[Boolean] { override def initialValue(): Boolean = true }
 
   /** End-to-end near-dup grouping — the dedup deliverable a training-data
     * pipeline actually consumes: (doc_id, group_id) where group_id is the
@@ -346,7 +355,9 @@ object Dedup {
           bands, threshold))
       .select(col("id_a"), col("id_b"))
 
-    val labels = propagateMinLabels(edges, maxIter)
+    // convergence backstopped by the differential gates (true closure
+    // recomputed in the oracle), so the flag is intentionally unused here
+    val (labels, _) = propagateMinLabels(edges, maxIter)
 
     docToRep
       .join(labels.toDF("rep", "group_id"), Seq("rep"), "left_outer")
@@ -531,7 +542,7 @@ object Dedup {
     val novel = rem.join(near.select(col("bid").as("id")), Seq("id"),
       "left_anti")
     val novelIds = novel.select("id")
-    val labels = propagateMinLabels(
+    val (labels, _) = propagateMinLabels(
       remPairs
         .join(novelIds.toDF("id_a"), Seq("id_a"), "left_semi")
         .join(novelIds.toDF("id_b"), Seq("id_b"), "left_semi")
@@ -800,7 +811,7 @@ object Dedup {
 
     val novel = b.select("id")
       .join(near.select(col("bid").as("id")), Seq("id"), "left_anti")
-    val labels = propagateMinLabels(
+    val (labels, _) = propagateMinLabels(
       pairs
         .join(novel.toDF("id_a"), Seq("id_a"), "left_semi")
         .join(novel.toDF("id_b"), Seq("id_b"), "left_semi")

@@ -52,7 +52,7 @@ object SemDedup {
       .filter(col("id_a") < col("id_b"))
       .filter(cosineNative(col("v_a"), col("v_b")) >= threshold)
       .select("id_a", "id_b")
-    val labels = Dedup.propagateMinLabels(edges, maxIter)
+    val (labels, _) = Dedup.propagateMinLabels(edges, maxIter)
     val withCent = assigned.join(broadcast(centroids), Seq("cell"))
       .select(col("id"), col("cell"),
         round(cosineNative(col("v"), col("cent")), 6).as("cent_cos"))

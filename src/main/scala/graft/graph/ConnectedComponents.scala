@@ -26,8 +26,9 @@ object ConnectedComponents {
     * DIFFERENT components to nodes of the same component, which a
     * public operator must never return silently. */
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val labels = graft.dedup.Dedup.propagateMinLabels(edges, maxIter)
-    require(graft.dedup.Dedup.lastPropagationConverged.get(),
+    val (labels, converged) =
+      graft.dedup.Dedup.propagateMinLabels(edges, maxIter)
+    require(converged,
       s"label propagation did not reach a fixed point within $maxIter " +
         "sweeps — a component's diameter exceeds the budget; raise maxIter")
     labels.toDF("id", "component")

@@ -77,19 +77,21 @@ object OlapOps {
     * an explicit, non-hierarchical set of grouping combinations in one
     * pass (Spark expands to one Expand node feeding one aggregate — no
     * per-set rescan). grouping() flags disambiguate real NULL keys from
-    * set placeholders. */
-  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    * set placeholders. Built on the DataFrame groupingSets API directly —
+    * no session-global temp view, so concurrent gate runs in one
+    * SparkSession can't race a view definition. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "orders")
       .withColumn("pri", substring(col("o_orderpriority"), 1, 1))
-      .createOrReplaceTempView("orders_gs")
-    spark.sql(
-      """SELECT pri, o_orderstatus, count(*) AS n,
-        |  grouping(pri) AS g_p, grouping(o_orderstatus) AS g_s
-        |FROM orders_gs
-        |GROUP BY GROUPING SETS ((pri, o_orderstatus), (pri), (o_orderstatus))
-        |ORDER BY g_p, g_s, pri ASC NULLS FIRST,
-        |  o_orderstatus ASC NULLS FIRST""".stripMargin)
-  }
+      .groupingSets(
+        Seq(Seq(col("pri"), col("o_orderstatus")), Seq(col("pri")),
+          Seq(col("o_orderstatus"))),
+        col("pri"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("pri")).as("g_p"),
+        grouping(col("o_orderstatus")).as("g_s"))
+      .orderBy(col("g_p"), col("g_s"), col("pri").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
 
   /** EXCEPT ALL / INTERSECT ALL — multiset semantics (per-key
     * multiplicities subtract / take the minimum), which the DISTINCT

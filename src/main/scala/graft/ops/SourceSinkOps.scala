@@ -225,6 +225,38 @@ object SourceSinkOps {
       .orderBy("o_orderstatus")
   }
 
+  /** CDC-style incremental read ([[graft.pipeline.Store.readSince]])
+    * over the same three-batch table as [[storeAsOf]]: the delta after
+    * tag "1" up to tag "2" is exactly batch "2"'s rows — and tag "10"
+    * must stay excluded (numeric order, same trap as the as-of gate).
+    * A consumer who checkpointed at tag "1" catches up by reading this
+    * range instead of rescanning the whole prefix; StoreSpec pins the
+    * algebra readSince(a, b) == readAsOf(b) \ readAsOf(a). */
+  def storeCdc(spark: SparkSession, dir: String): DataFrame = {
+    val base = asOfCache.synchronized {
+      asOfCache.getOrElseUpdate((spark, dir), {
+        val b = tmp("asof", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(b))
+        val o = asOfFrame(spark, dir)
+        graft.pipeline.FsUtils.publishBatch(
+          o.filter(col("o_orderkey") % 3 === 0), s"$b/t", "1")
+        graft.pipeline.FsUtils.publishBatch(
+          o.filter(col("o_orderkey") % 3 === 1), s"$b/t", "2")
+        graft.pipeline.FsUtils.publishBatch(
+          o.filter(col("o_orderkey") % 3 === 2), s"$b/t", "10")
+        b
+      })
+    }
+    new graft.pipeline.Store(spark, base)
+      .readSince("t", asOfFrame(spark, dir).schema,
+        afterTag = "1", upToTag = "2")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   private def asOfFrame(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -276,6 +308,11 @@ object SourceSinkOps {
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin), "S8-timetravel/as-of"),
+    QuerySpec("q_store_cdc", storeCdc, Some(
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin), "S8-timetravel/cdc"),
     QuerySpec("q_schema_evolution", schemaEvolution, Some(
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
         |  AS o_orderstatus,

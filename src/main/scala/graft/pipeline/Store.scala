@@ -45,7 +45,24 @@ final class Store(spark: SparkSession, root: String) {
     * vacuumed Delta table, as-of below the compaction point is
     * unanswerable, so the read fails loudly rather than returning a
     * silently incomplete frame. */
-  def readAsOf(table: String, schema: StructType, asOf: String): DataFrame = {
+  def readAsOf(table: String, schema: StructType, asOf: String): DataFrame =
+    readTagRange(table, schema, after = None, upTo = asOf)
+
+  /** CDC-style incremental read over a BATCH-PUBLISHED table: exactly
+    * the rows published after `afterTag` up to and including `upToTag` —
+    * the delta a reader who last consumed at `afterTag` needs, without
+    * rescanning the prefix ([[readAsOf]]'s job). Same tag-scheme and
+    * compaction-horizon guards as [[readAsOf]]: both tags must order
+    * under the table's single scheme, and a compacted generation makes
+    * the range unanswerable (folded batches lose their tags), so it
+    * fails loudly. By construction readSince(a, b) ==
+    * readAsOf(b) minus readAsOf(a) on an append-published table. */
+  def readSince(table: String, schema: StructType, afterTag: String,
+      upToTag: String): DataFrame =
+    readTagRange(table, schema, after = Some(afterTag), upTo = upToTag)
+
+  private def readTagRange(table: String, schema: StructType,
+      after: Option[String], upTo: String): DataFrame = {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val dir = new java.io.File(path(table))
@@ -56,21 +73,37 @@ final class Store(spark: SparkSession, root: String) {
     require(!files.exists(_.getName.startsWith("compacted_")),
       s"time-travel horizon lost: '$table' has compacted generations")
     val tagRe = "batch_(.+)_p\\d+\\.parquet".r
+    // fail loudly on parquet files OUTSIDE the batch naming (e.g. a table
+    // published via write()'s part-*.parquet): their publish point is
+    // unknowable, so a tag-ranged read would silently drop them
+    val untagged = files.filterNot(f => tagRe.pattern.matcher(f.getName).matches)
+    require(untagged.isEmpty,
+      s"'$table' is not (only) batch-published: files " +
+        s"[${untagged.map(_.getName).mkString(", ")}] carry no batch tag, " +
+        "so a tag-ranged read cannot place them in publish history")
     val tags = files.flatMap(f =>
       tagRe.findFirstMatchIn(f.getName).map(_.group(1))).distinct
     // one scheme per table: numeric-vs-lexical per PAIR is not a total
     // order, and a mixed table would get an arbitrary subset, not a
     // prefix of publish history
-    val numericAsOf = asOf.toLongOption.isDefined
-    require(tags.forall(_.toLongOption.isDefined == numericAsOf),
-      s"mixed tag schemes in '$table': as-of '$asOf' cannot totally " +
-        s"order tags [${tags.mkString(", ")}]")
-    def leq(t: String): Boolean = (t.toLongOption, asOf.toLongOption) match {
-      case (Some(a), Some(b)) => a <= b
-      case _ => t <= asOf
-    }
+    val bounds = after.toSeq :+ upTo
+    val numeric = upTo.toLongOption.isDefined
+    require(bounds.forall(_.toLongOption.isDefined == numeric)
+      && tags.forall(_.toLongOption.isDefined == numeric),
+      s"mixed tag schemes in '$table': bounds [${bounds.mkString(", ")}] " +
+        s"cannot totally order tags [${tags.mkString(", ")}]")
+    def leq(a: String, b: String): Boolean =
+      (a.toLongOption, b.toLongOption) match {
+        case (Some(x), Some(y)) => x <= y
+        case _ => a <= b
+      }
+    require(after.forall(a => leq(a, upTo)),
+      s"empty tag range in '$table': after '${after.get}' > up-to '$upTo'")
     val keep = files.filter(f => tagRe.findFirstMatchIn(f.getName)
-      .exists(m => leq(m.group(1))))
+      .exists { m =>
+        val t = m.group(1)
+        leq(t, upTo) && after.forall(a => !leq(t, a))
+      })
     if (keep.isEmpty) empty
     else spark.read.schema(schema).parquet(keep.map(_.getPath).toSeq: _*)
   }

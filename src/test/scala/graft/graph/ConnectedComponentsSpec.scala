@@ -32,6 +32,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(ok.forall(_._2 == 1L) && ok.length == 30)
   }
 
+  test("maxIter=1 accepts a graph that converged in sweep 1") {
+    // a single edge reaches its fixed point in one sweep; the budget-
+    // exhausted final probe must recognize that instead of rejecting
+    // every maxIter=1 call as unknown
+    val got = ConnectedComponents.run(Seq((1L, 2L)).toDF("a", "b"),
+      maxIter = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+    // whereas a 3-chain genuinely needs a second sweep
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.run(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"),
+        maxIter = 1)
+    }
+  }
+
   test("empty edge frame yields an empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(ConnectedComponents.run(empty).count() == 0)

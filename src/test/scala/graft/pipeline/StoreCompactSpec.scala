@@ -78,6 +78,45 @@ class StoreCompactSpec extends AnyFunSuite {
     }
   }
 
+  test("readSince returns exactly the tag-range delta (as-of algebra)") {
+    val store = freshStore("cdc")
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).toDF("id").select(col("id"), lit(0.0).as("v"))
+    FsUtils.publishBatch(batch(1, 10), store.path("t"), "1")
+    FsUtils.publishBatch(batch(11, 20), store.path("t"), "2")
+    FsUtils.publishBatch(batch(21, 30), store.path("t"), "10")
+    // readSince(a, b) == readAsOf(b) \ readAsOf(a): the delta a consumer
+    // checkpointed at "1" needs — batch "2" only, NOT "10" (numeric order)
+    val delta = store.readSince("t", dataSchema, "1", "2")
+    assert(delta.count() == 10)
+    val diff = store.readAsOf("t", dataSchema, "2")
+      .exceptAll(store.readAsOf("t", dataSchema, "1"))
+    assert(delta.exceptAll(diff).isEmpty && diff.exceptAll(delta).isEmpty)
+    // full catch-up from "2" picks up batch "10" alone
+    assert(store.readSince("t", dataSchema, "2", "10").count() == 10)
+    // inverted range: fail, don't return empty
+    intercept[IllegalArgumentException] {
+      store.readSince("t", dataSchema, "10", "2")
+    }
+  }
+
+  test("tag-ranged reads reject tables with untagged parquet files") {
+    val store = freshStore("untag")
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).toDF("id").select(col("id"), lit(0.0).as("v"))
+    FsUtils.publishBatch(batch(1, 10), store.path("t"), "1")
+    // a write()-published table drops part-*.parquet — its publish point
+    // is unknowable, so as-of/since must fail instead of silently
+    // dropping those files from the read
+    batch(11, 20).write.mode("append").parquet(store.path("t"))
+    intercept[IllegalArgumentException] {
+      store.readAsOf("t", dataSchema, "1")
+    }
+    intercept[IllegalArgumentException] {
+      store.readSince("t", dataSchema, "1", "1")
+    }
+  }
+
   test("compact plans unpartitioned tables by row count") {
     val store = freshStore("flat")
     store.write("t", (1L to 900L).toDF("id")
