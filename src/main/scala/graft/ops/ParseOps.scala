@@ -558,12 +558,104 @@ object ParseOps {
         .select(col("nhc_id"), col("region")).distinct()
         .withColumn("name", concat(lit("S"), col("nhc_id")))
         .withColumn("annual_id",
+          substring(col("nhc_id"), 3, 2).cast("int"))
+        .withColumn("nhc_number",
           substring(col("nhc_id"), 3, 2).cast("int")))
+      // forecasts + tracks exactly as Pipelines.runAdeckLines derives
+      // them (one per distinct init/model[, member]) so the four db/*.sql
+      // count analytics run over the tables a tcdb user actually queries
+      val org = when(lower(col("region")).isin("al", "ep", "cp"), "NHC")
+        .otherwise("JTWC")
+      store.write("forecasts", written
+        .select(col("region"), org.as("data_source"), col("model"),
+          col("datetime_utc"))
+        .distinct()
+        .withColumn("run_id", lit("r0")))
+      store.write("tracks", written
+        .select(col("region"), col("model"), col("datetime_utc"),
+          col("nhc_id"))
+        .distinct()
+        .withColumn("ensemble_number", lit(1))
+        .withColumn("run_id", lit("r0")))
       val firstId = written.agg(min("nhc_id")).first().getString(0)
       (store, firstId)
     })
     graft.analytics.ReferenceQueries.trackExtraction(spark, store, firstId)
   }
+
+  /** db/basin_model_counts.sql:1-13 over the pipeline-built store —
+    * tracks per model within basin AL (the reference's own literal). */
+  def refBasinModelCounts(spark: SparkSession, dir: String): DataFrame = {
+    refTrackExtraction(spark, dir) // ensure the memoized store exists
+    graft.analytics.ReferenceQueries
+      .basinModelCounts(spark, storeCache((spark, dir))._1, "AL")
+  }
+
+  /** db/model_counts_by_basin.sql:1-12 — forecasts per basin for one
+    * model. The reference's literal is 'HWRF'; the a-deck fixture only
+    * emits AVNO/GFSO (ok%4<2 keys), so the gate binds 'GFSO' to keep the
+    * differential non-vacuous. */
+  def refModelCountsByBasin(spark: SparkSession, dir: String): DataFrame = {
+    refTrackExtraction(spark, dir)
+    graft.analytics.ReferenceQueries
+      .modelCountsByBasin(spark, storeCache((spark, dir))._1, "GFSO")
+  }
+
+  /** db/basin_track_counts_by_model.sql — forecasts per model in WP. */
+  def refBasinTrackCountsByModel(spark: SparkSession,
+      dir: String): DataFrame = {
+    refTrackExtraction(spark, dir)
+    graft.analytics.ReferenceQueries
+      .basinTrackCountsByModel(spark, storeCache((spark, dir))._1, "WP")
+  }
+
+  /** db/storm_track_counts_by_model.sql:12-15 — tracks per (storm,
+    * model) in WP with the storm-name join. */
+  def refStormTrackCountsByModel(spark: SparkSession,
+      dir: String): DataFrame = {
+    refTrackExtraction(spark, dir)
+    graft.analytics.ReferenceQueries
+      .stormTrackCountsByModel(spark, storeCache((spark, dir))._1, "WP")
+  }
+
+  /** Shared oracle CTE: the store's tracks/forecasts replayed from the
+    * a-deck fixture the same way the store builder derives them. */
+  private val refStoreCte =
+    s"""$adeckStepsCte,
+       |steps AS (SELECT
+       |  upper(region || lpad(CAST(nhc_number AS VARCHAR),2,'0') ||
+       |    CAST(season AS VARCHAR)) AS nhc_id,
+       |  region, nhc_number, datetime_utc, model
+       |  FROM vsteps),
+       |tracks AS (SELECT DISTINCT region, model, datetime_utc, nhc_id
+       |  FROM steps),
+       |forecasts AS (SELECT DISTINCT region, model, datetime_utc
+       |  FROM steps)""".stripMargin
+
+  private val refBasinModelCountsOracle =
+    s"""$refStoreCte
+       |SELECT model, count(*) AS n_tracks FROM tracks
+       |WHERE region = 'AL' GROUP BY model
+       |ORDER BY n_tracks DESC, model ASC""".stripMargin
+
+  private val refModelCountsByBasinOracle =
+    s"""$refStoreCte
+       |SELECT region, count(*) AS n_forecasts FROM forecasts
+       |WHERE model = 'GFSO' GROUP BY region
+       |ORDER BY n_forecasts DESC, region ASC""".stripMargin
+
+  private val refBasinTrackCountsByModelOracle =
+    s"""$refStoreCte
+       |SELECT model, count(*) AS n_forecasts FROM forecasts
+       |WHERE region = 'WP' GROUP BY model
+       |ORDER BY n_forecasts DESC, model ASC""".stripMargin
+
+  private val refStormTrackCountsByModelOracle =
+    s"""$refStoreCte
+       |SELECT 'S' || nhc_id AS name, model, count(*) AS n_tracks
+       |FROM tracks WHERE region = 'WP'
+       |GROUP BY nhc_id, model
+       |ORDER BY name, model""".stripMargin
 
   private val refTrackExtractionOracle =
     s"""$adeckStepsCte,
@@ -590,5 +682,13 @@ object ParseOps {
     QuerySpec("q_observations_pivot", observationsPivot, Some(observationsOracle), "A8"),
     QuerySpec("q_forecast_steps", forecastSteps, Some(forecastStepsOracle), "A4/E2"),
     QuerySpec("q_ref_track_extraction", refTrackExtraction,
-      Some(refTrackExtractionOracle), "J9/S8"))
+      Some(refTrackExtractionOracle), "J9/S8"),
+    QuerySpec("q_ref_basin_model_counts", refBasinModelCounts,
+      Some(refBasinModelCountsOracle), "A1/db-analytics"),
+    QuerySpec("q_ref_model_counts_by_basin", refModelCountsByBasin,
+      Some(refModelCountsByBasinOracle), "A1/db-analytics"),
+    QuerySpec("q_ref_basin_track_counts_by_model", refBasinTrackCountsByModel,
+      Some(refBasinTrackCountsByModelOracle), "A1/db-analytics"),
+    QuerySpec("q_ref_storm_track_counts_by_model", refStormTrackCountsByModel,
+      Some(refStormTrackCountsByModelOracle), "A2/J2/db-analytics"))
 }
