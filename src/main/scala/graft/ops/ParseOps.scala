@@ -618,6 +618,54 @@ object ParseOps {
       .stormTrackCountsByModel(spark, storeCache((spark, dir))._1, "WP")
   }
 
+  /** E3(a) SQL-text surface — db/track_queries.sql:16-25 as LITERAL SQL
+    * through `spark.sql` over the Store tables registered as temp views
+    * ([[graft.analytics.SqlSurface]]): the natural-key translation of
+    * the reference's 5-way tracks–steps–storms–forecasts join for one
+    * storm and one model (surrogate ids become the composite natural
+    * keys, the models dim is denormalized onto forecasts per SURVEY
+    * §7.3). Every other gate builds plans with the DataFrame API; this
+    * one proves the declared SQL-text lifecycle — text → Catalyst
+    * parse/analyze/optimize → rows — over the same store. */
+  def refSqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    refTrackExtraction(spark, dir) // ensure the memoized store exists
+    val (store, _) = storeCache((spark, dir))
+    // the storm id is itself SQL (scalar subquery) — the whole gate is
+    // one self-contained text, like the reference's .sql files; AVNO
+    // scopes the pick because each fixture file carries a single model
+    graft.analytics.SqlSurface.sql(spark, store,
+      """SELECT t.nhc_id, t.ensemble_number, s.name, s.annual_id,
+        |  p.hour, p.latitude, p.longitude, p.intensity_kts, p.mslp_mb,
+        |  f.model, f.region, f.datetime_utc AS init
+        |FROM tracks t
+        |  INNER JOIN steps p ON p.region = t.region AND p.model = t.model
+        |    AND p.datetime_utc = t.datetime_utc AND p.nhc_id = t.nhc_id
+        |    AND p.ensemble_number = t.ensemble_number
+        |  INNER JOIN storms s ON s.nhc_id = t.nhc_id
+        |  INNER JOIN forecasts f ON f.region = t.region
+        |    AND f.model = t.model AND f.datetime_utc = t.datetime_utc
+        |WHERE t.nhc_id = (SELECT min(nhc_id) FROM tracks
+        |                  WHERE model = 'AVNO')
+        |  AND t.model = 'AVNO'
+        |ORDER BY p.datetime_utc, p.hour""".stripMargin)
+  }
+
+  private val refSqlSurfaceOracle =
+    s"""$adeckStepsCte,
+       |steps AS (SELECT
+       |  upper(region || lpad(CAST(nhc_number AS VARCHAR),2,'0') ||
+       |    CAST(season AS VARCHAR)) AS nhc_id,
+       |  region, nhc_number, datetime_utc, model, hour,
+       |  latitude, longitude, intensity_kts, mslp_mb
+       |  FROM vsteps)
+       |SELECT nhc_id, CAST(1 AS INT) AS ensemble_number,
+       |  'S' || nhc_id AS name, CAST(nhc_number AS INT) AS annual_id,
+       |  hour, latitude, longitude, intensity_kts, mslp_mb,
+       |  model, region, datetime_utc AS init
+       |FROM steps
+       |WHERE nhc_id = (SELECT min(nhc_id) FROM steps WHERE model = 'AVNO')
+       |  AND model = 'AVNO'""".stripMargin
+
   /** Shared oracle CTE: the store's tracks/forecasts replayed from the
     * a-deck fixture the same way the store builder derives them. */
   private val refStoreCte =
@@ -690,5 +738,7 @@ object ParseOps {
     QuerySpec("q_ref_basin_track_counts_by_model", refBasinTrackCountsByModel,
       Some(refBasinTrackCountsByModelOracle), "A1/db-analytics"),
     QuerySpec("q_ref_storm_track_counts_by_model", refStormTrackCountsByModel,
-      Some(refStormTrackCountsByModelOracle), "A2/J2/db-analytics"))
+      Some(refStormTrackCountsByModelOracle), "A2/J2/db-analytics"),
+    QuerySpec("q_sql_surface", refSqlSurface,
+      Some(refSqlSurfaceOracle), "E3a/sql-text"))
 }
