@@ -19,10 +19,12 @@ object Ensemble {
     * member, left-join observed points; missing steps stay null. */
   def denseGrid(tracks: DataFrame, numEns: Int, maxStep: Int,
       resHours: Int = 6): DataFrame = {
+    // long-typed spine keys: track points carry long hour/ens, and an
+    // int spine would force a cast on the join keys of every point row
     val spine = tracks.select("model", "init").distinct()
       .withColumn("hour",
-        explode(sequence(lit(0), lit(maxStep), lit(resHours))))
-      .withColumn("ens", explode(sequence(lit(1), lit(numEns))))
+        explode(sequence(lit(0L), lit(maxStep.toLong), lit(resHours.toLong))))
+      .withColumn("ens", explode(sequence(lit(1L), lit(numEns.toLong))))
       .withColumn("valid",
         col("init") + col("hour") * expr("interval 1 hour"))
     spine.join(tracks, Seq("model", "init", "ens", "hour"), "left_outer")

@@ -72,6 +72,114 @@ object EnsembleOps {
         .withColumn("mslp", lit(1010) - col("wind") / 2.0)
         .drop("track_no", "storm_name")))
 
+  /** The composed syntracks flow, end to end in ONE differential — the
+    * reference's makeSyntracks orchestration
+    * (tcdb/etl/syntracks.py:281-325 claim → :152-191 ens-mean append →
+    * :91-149 dense xarray grid → step rows to the DB): wide-grid intake
+    * ([[Ensemble.fromWide]]) → invest claiming
+    * ([[Ensemble.claimTracks]]) → synthetic mean member
+    * ([[Ensemble.withEnsMean]], members 1..8 of 10, appended as ens 11)
+    * → dense 6-hourly spine alignment ([[Ensemble.denseGrid]], 0..48 h
+    * × ens 1..11) → published to a parquet [[graft.pipeline.Store]] and
+    * read back. Each stage is separately gated (q_ens_wide_roundtrip,
+    * q_claim_tracks, q_ens_mean_member, q_window_spine); this gate pins
+    * the COMPOSITION — column contracts between stages, claim labels
+    * flowing into the mean groups, spine nulls for missing steps — the
+    * way q_curation_pipeline does for the curation chain.
+    *
+    * Scale shape: the claim fan-out is bounded by invests × members
+    * (broadcast), the mean is one map-side-combinable aggregate, the
+    * spine explode is (inits × 9 hours × 11 members) rows joined
+    * left — no shuffle grows super-linearly in track points. */
+  def syntracksE2e(spark: SparkSession, dir: String): DataFrame = {
+    val memberTracks = trackPoints(spark, dir)
+      .filter(col("track_no") === 1)
+      .withColumn("ens_name", concat(lit("M"), col("ens")))
+      .withColumn("mslp", lit(1010) - col("wind") / 2.0)
+      .drop("track_no", "storm_name")
+    // wide-grid intake contract (the .mat-converted Parquet shape)
+    val longIn = Ensemble.fromWide(Ensemble.toWide(memberTracks))
+      .withColumn("track_no", lit(1L))
+    val claimed = Ensemble
+      .claimTracks(longIn, invests(spark, dir))
+      .drop("track_no")
+    val withMean = Ensemble.withEnsMean(claimed, numEns = 10)
+    val dense = Ensemble.denseGrid(withMean, numEns = 11, maxStep = 48)
+    val store = new graft.pipeline.Store(spark, SourceSinkOps.tmp("syn", dir))
+    store.write("syntracks", dense)
+    store.read("syntracks", dense.schema)
+  }
+
+  private val syntracksE2eOracle =
+    s"""WITH tr AS (SELECT DISTINCT c_custkey % 240 AS t FROM customer),
+       |stepsrc AS (SELECT t, unnest(range(0, t % 9 + 1)) AS s FROM tr
+       |  WHERE t // 40 = 0),
+       |pts AS (SELECT
+       |  'GEFS' AS model,
+       |  TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+       |    CAST(1590969600 + (t % 4) * 21600 AS INT) AS init,
+       |  (t // 4) % 10 + 1 AS ens,
+       |  'M' || CAST((t // 4) % 10 + 1 AS VARCHAR) AS ens_name,
+       |  CASE WHEN t % 7 = 3 THEN t % 3 + 1 ELSE 0 END AS annual_id,
+       |  (t % 3) * 6 + 6 * s AS hour,
+       |  CASE WHEN (t + s) % 17 = 0 THEN NULL
+       |       ELSE (t % 40) - 20 + s / 4.0 END AS lat,
+       |  ((t * 11) % 60) + 70 + s / 2.0 AS lon,
+       |  20 + (t * 3 + s * 7) % 80 AS wind,
+       |  1010 - (20 + (t * 3 + s * 7) % 80) / 2.0 AS mslp
+       |  FROM stepsrc),
+       |inv AS (SELECT
+       |  n_nationkey + 1 AS inv_annual_id,
+       |  TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+       |    CAST(1590969600 + ((n_nationkey * 7) % 20 - 10) * 21600 AS INT) AS inv_valid,
+       |  (n_nationkey * 13) % 40 - 20 + 3 / 10.0 AS inv_lat,
+       |  (n_nationkey * 17) % 60 + 70 + 4 / 10.0 AS inv_lon
+       |  FROM nation),
+       |fs AS (SELECT model, init, ens,
+       |    min(hour) AS hour0, arg_min(lat, hour) AS lat0,
+       |    arg_min(lon, hour) AS lon0, count(*) AS n_steps,
+       |    min(annual_id) AS annual_id
+       |  FROM pts WHERE lat IS NOT NULL GROUP BY 1, 2, 3),
+       |un AS (SELECT *, init + INTERVAL 1 SECOND * CAST(hour0 * 3600 AS INT)
+       |    AS valid0 FROM fs WHERE annual_id = 0),
+       |cand AS (SELECT un.*, inv.inv_annual_id
+       |  FROM un CROSS JOIN inv
+       |  WHERE epoch(valid0) - epoch(inv_valid) < 129600
+       |    AND ${gcNm("lat0", "lon0", "inv_lat", "inv_lon")} <= 310.0),
+       |r1 AS (SELECT *, row_number() OVER (
+       |    PARTITION BY model, init, inv_annual_id, ens
+       |    ORDER BY n_steps DESC) AS rn FROM cand),
+       |r2 AS (SELECT *, row_number() OVER (
+       |    PARTITION BY model, init, ens
+       |    ORDER BY inv_annual_id ASC) AS rt FROM r1 WHERE rn = 1),
+       |cl AS (SELECT model, init, ens, inv_annual_id FROM r2 WHERE rt = 1),
+       |claimed AS (SELECT p.model, p.init, p.ens, p.ens_name,
+       |  CASE WHEN p.annual_id = 0 AND c.inv_annual_id IS NOT NULL
+       |       THEN c.inv_annual_id ELSE p.annual_id END AS annual_id,
+       |  p.hour, p.lat, p.lon, p.wind, p.mslp
+       |  FROM pts p LEFT JOIN cl c
+       |    ON p.model = c.model AND p.init = c.init AND p.ens = c.ens),
+       |mn AS (SELECT model, init, CAST(11 AS BIGINT) AS ens,
+       |    'ENS_MEAN' AS ens_name, annual_id, hour,
+       |    round(avg(lat), 3) AS lat, round(avg(lon), 3) AS lon,
+       |    round(avg(wind), 3) AS wind, round(avg(mslp), 3) AS mslp
+       |  FROM claimed WHERE ens BETWEEN 1 AND 8
+       |  GROUP BY model, init, annual_id, hour),
+       |allm AS (SELECT model, init, ens, ens_name, annual_id, hour,
+       |    lat, lon, wind, mslp FROM claimed
+       |  UNION ALL SELECT model, init, ens, ens_name, annual_id, hour,
+       |    lat, lon, wind, mslp FROM mn),
+       |spine AS (SELECT mi.model, mi.init, h.hour, e.ens,
+       |    mi.init + INTERVAL 1 SECOND * CAST(h.hour * 3600 AS INT) AS valid
+       |  FROM (SELECT DISTINCT model, init FROM allm) mi
+       |  CROSS JOIN (SELECT unnest(range(0, 49, 6)) AS hour) h
+       |  CROSS JOIN (SELECT unnest(range(1, 12)) AS ens) e)
+       |SELECT sp.model, sp.init, sp.hour, sp.ens, sp.valid,
+       |  a.ens_name, a.annual_id, a.lat, a.lon, a.wind, a.mslp
+       |FROM spine sp LEFT JOIN allm a
+       |  ON a.model = sp.model AND a.init = sp.init
+       |  AND a.ens = sp.ens AND a.hour = sp.hour""".stripMargin
+
   /** Haversine in nm, matching Geo.greatCircle's operation order:
     * multiply by the precomputed (pi()/180) factor, not (x*pi())/180. */
   private def gcNm(lat1: String, lon1: String, lat2: String, lon2: String) =
@@ -158,5 +266,7 @@ object EnsembleOps {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_claim_tracks", claimTracks, Some(claimTracksOracle), "J7"),
     QuerySpec("q_ens_wide_roundtrip", ensWideRoundtrip,
-      Some(ensWideRoundtripOracle), "W5/intake"))
+      Some(ensWideRoundtripOracle), "W5/intake"),
+    QuerySpec("q_syntracks_e2e", syntracksE2e,
+      Some(syntracksE2eOracle), "J7/A9/W5/S8 composed"))
 }
