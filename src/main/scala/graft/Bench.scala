@@ -43,7 +43,35 @@ object Bench {
       }.toMap
   }
 
+  /** PIDs of java processes OUTSIDE this process's own ancestry chain.
+    * Any such JVM competes for the same cores and is the documented
+    * 1.3x-suite-wide bench pollution mode (round-7/9 postmortems); the
+    * chain itself (this JVM, the sbt launcher, its shell) is expected. */
+  private def foreignJvms(): Seq[Long] = {
+    val self = ProcessHandle.current()
+    val ancestry = Iterator.iterate(Option(self))(_.flatMap(h =>
+        Option(h.parent().orElse(null))))
+      .takeWhile(_.isDefined).flatten.map(_.pid()).toSet
+    import scala.jdk.CollectionConverters._
+    ProcessHandle.allProcesses().iterator().asScala
+      .filter(h => h.info().command().map[Boolean](_.contains("java"))
+        .orElse(false))
+      .map(_.pid()).filterNot(ancestry).toSeq.sorted
+  }
+
   def main(args: Array[String]): Unit = {
+    // contention guard BEFORE any timing: a concurrent JVM makes every
+    // number in this run suspect. Loud by default; strict mode (for
+    // certification runs) refuses to produce a polluted artifact.
+    val foreign = foreignJvms()
+    if (foreign.nonEmpty) {
+      println(s"BENCH GUARD: ${foreign.size} foreign JVM(s) running " +
+        s"(pids ${foreign.mkString(", ")}) — timings will be contended.")
+      if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")) {
+        println("BENCH GUARD: SPARK_GRAFT_BENCH_STRICT=1 — aborting.")
+        sys.exit(2)
+      }
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Session.configure(
@@ -97,7 +125,8 @@ object Bench {
         starts(i).map(s => f"$s%.1f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val detailLine = fullLine.dropRight(1) +
-      s""","repeats":$repeats,"samples":$perRepeat,"starts":$startOffsets}"""
+      s""","repeats":$repeats,"foreign_jvms":${foreign.size}""" +
+      s""","samples":$perRepeat,"starts":$startOffsets}"""
     val outFile =
       if (filtered.isDefined) "bench_filtered.json" else "bench_full.json"
     try java.nio.file.Files.write(
