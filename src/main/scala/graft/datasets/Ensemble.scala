@@ -103,7 +103,25 @@ object Ensemble {
     val unassigned = firstSteps.filter(col("annual_id") === 0)
       .withColumn("valid0", col("init") + col("hour0") * expr("interval 1 hour"))
 
-    val candidates = unassigned.crossJoin(broadcast(invests))
+    // Candidate generation is a broadcast HASH join on a latitude band,
+    // not a nested loop over every invest: a track within distThresholdNm
+    // of an invest differs by at most distThresholdNm/60 degrees of
+    // latitude, so with bands one degree wider than that, exploding each
+    // invest into its band +-1 makes the band-equi-join a strict superset
+    // of the distance matches — the exact great-circle and time gates
+    // below are unchanged (the reference's time gate is one-sided:
+    // syntracks.py:350, earlier-starting tracks always pass). Per-track
+    // work is then O(invests in 3 bands), not O(all invests), while the
+    // invest side stays broadcast (bounded by concurrently-active
+    // systems, dozens per season at any scale).
+    val bandDeg = math.floor(distThresholdNm / 60.0) + 1.0
+    val investBands = invests.withColumn("lat_band", explode(array(
+      floor(col("inv_lat") / bandDeg) - 1,
+      floor(col("inv_lat") / bandDeg),
+      floor(col("inv_lat") / bandDeg) + 1)))
+    val candidates = unassigned
+      .withColumn("lat_band", floor(col("lat0") / bandDeg))
+      .join(broadcast(investBands), Seq("lat_band"))
       .filter((unix_timestamp(col("valid0")) - unix_timestamp(col("inv_valid")))
         < (timeThresholdDays * 86400).toLong)
       .withColumn("dist", Geo.greatCircle(col("lat0"), col("lon0"),

@@ -311,6 +311,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchangeIdx >= 0 && partialIdx > exchangeIdx, s)
   }
 
+  test("track claiming: candidate join is a broadcast HASH join on the " +
+      "latitude band, never a nested loop over all invests") {
+    val s = plan(EnsembleOps.claimTracks(spark, dir))
+    // invests explode into lat bands and equi-join — per-track work is
+    // O(invests in 3 bands). A BroadcastNestedLoopJoin here means the
+    // band key was lost and every track re-evaluates every invest.
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("Cartesian"), s)
+    assert(s.contains("lat_band"), s)
+  }
+
   test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
     val s = plan(RelationalOps.aggPricingSummary(spark, dir))
     // `*(N)` prefixes mark whole-stage-codegen spans in the compact plan
