@@ -513,19 +513,57 @@ object VectorOps {
       |  FROM q JOIN c ON neighbor != qid) t
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
-  /** SemDedup over the planted fixture, k-means quantizer (k = 16,
-    * seeded): the production path. K-means cell ids are not replayable
-    * in another engine, so this gate is rows-only; the full differential
-    * rides [[semdedupPortable]] (identical decision core, portable
-    * quantizer), and SemDedupSpec asserts the semantic property the
-    * fixture plants (twin pairs sharing a cell collapse to one kept
-    * member). */
-  def semdedup(spark: SparkSession, dir: String): DataFrame =
-    graft.dedup.SemDedup.semDedup(plantedEmbeddings(spark, dir),
-        "embedding", "vec_id", threshold = 0.9, k = 16)
-      .select(col("id").as("vec_id"), col("cell"), col("group_id"),
-        col("cent_cos"), col("keep"))
+  /** SemDedup through the PRODUCTION k-means path ([[graft.similarity
+    * .Ivf.build]] quantizer → the shared decision core), run in a
+    * provably-exact regime so the gate carries a FULL differential —
+    * the same trick that made q_ann_ivf exact (full probe): plant EXACT
+    * duplicate vectors (base ∪ copies of vec_id &lt; 50 under shifted
+    * ids) and set the threshold where only exact copies can land
+    * (0.9999; the nearest distinct fixture pair is far below). K-means
+    * cell ids are engine-arbitrary, but `transform` is a pure function
+    * of the vector, so identical vectors ALWAYS share a cell — every
+    * above-threshold edge survives the within-cell restriction no
+    * matter what partition the quantizer fit, the closure equals the
+    * all-pairs closure, and exact copies tie on centroid cosine so
+    * keep falls to the id tiebreak. The oracle replays that closure
+    * all-pairs; if the fixture ever grew a distinct pair above
+    * threshold split across cells, the diff would fail loudly. Cell id
+    * and cent_cos stay engine-native and are not emitted here —
+    * [[semdedupPortable]] carries their differential with the portable
+    * quantizer, and SemDedupSpec pins the k = 16 multi-cell planted
+    * semantics. */
+  def semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val emb = base.unionByName(base.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + 100000))
+    graft.dedup.SemDedup.semDedup(emb, "embedding", "vec_id",
+        threshold = 0.9999, k = 8)
+      .select(col("id").as("vec_id"), col("group_id"), col("keep"))
       .orderBy("vec_id")
+  }
+
+  private val semdedupOracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+      |  WHERE vec_id < 50),
+      |pairs AS MATERIALIZED (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+      |  FROM e a JOIN e c ON a.vec_id < c.vec_id
+      |    AND list_cosine_similarity(a.v, c.v) >= 0.9999),
+      |edges AS MATERIALIZED (SELECT id_a AS id, id_b AS nbr FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (SELECT id, id AS label FROM (SELECT DISTINCT id FROM edges) s
+      |  UNION
+      |  SELECT e2.id, r.label FROM edges e2 JOIN reach r ON r.id = e2.nbr),
+      |labels AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+      |lab AS (SELECT e.vec_id,
+      |    coalesce(l.group_id, e.vec_id) AS group_id
+      |  FROM e LEFT JOIN labels l ON l.id = e.vec_id)
+      |SELECT vec_id, group_id,
+      |  row_number() OVER (PARTITION BY group_id ORDER BY vec_id) = 1 AS keep
+      |FROM lab ORDER BY vec_id""".stripMargin
 
   /** SemDedup with every stage engine-portable: one 6-bit seeded
     * hyperplane table as the quantizer (≤64 cells), micro-unit-quantized
@@ -660,7 +698,8 @@ object VectorOps {
       Some(dedupEmbeddingIncrementalOracle), "dedup/embedding-incremental"),
     QuerySpec("q_dedup_embedding_stream", dedupEmbeddingStream,
       Some(dedupEmbeddingStreamOracle), "dedup/embedding-streaming"),
-    QuerySpec("q_semdedup", semdedup, None, "dedup/semdedup-kmeans"),
+    QuerySpec("q_semdedup", semdedup, Some(semdedupOracle),
+      "dedup/semdedup-kmeans-exact-regime"),
     QuerySpec("q_semdedup_portable", semdedupPortable,
       Some(semdedupPortableOracle), "dedup/semdedup-differential"),
     QuerySpec("q_ann_quantized", annQuantized,
