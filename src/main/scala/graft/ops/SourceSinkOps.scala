@@ -257,6 +257,51 @@ object SourceSinkOps {
       .orderBy("o_orderstatus")
   }
 
+  /** Incremental rollup maintenance ([[graft.pipeline.Rollup]]) over the
+    * same three-batch table: bootstrap the per-status (count, decimal
+    * sum) partials from batch "1", then one maintenance tick folds the
+    * (1, 2] delta in via [[graft.pipeline.Store.readSince]] — WITHOUT
+    * re-reading batch "1"'s rows — and the finalized frame (avg derived
+    * from the stored partials) must equal the oracle's full recompute
+    * over both slices. Batch "10" stays outside the maintained horizon,
+    * re-proving numeric tag order on the CDC path. */
+  def storeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val base = asOfCache.synchronized {
+      asOfCache.getOrElseUpdate((spark, dir), {
+        val b = tmp("asof", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(b))
+        val o = asOfFrame(spark, dir)
+        graft.pipeline.FsUtils.publishBatch(
+          o.filter(col("o_orderkey") % 3 === 0), s"$b/t", "1")
+        graft.pipeline.FsUtils.publishBatch(
+          o.filter(col("o_orderkey") % 3 === 1), s"$b/t", "2")
+        graft.pipeline.FsUtils.publishBatch(
+          o.filter(col("o_orderkey") % 3 === 2), s"$b/t", "10")
+        b
+      })
+    }
+    val store = new graft.pipeline.Store(spark, base)
+    val schema = asOfFrame(spark, dir).schema
+    def partials(rows: DataFrame): DataFrame = rows
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_price"))
+    // bootstrap from batch "1" (a fresh rollup table each run: the gate
+    // must measure one deterministic tick, not accumulated re-runs)
+    val rollup = s"rollup_${ProcessHandle.current().pid}"
+    graft.pipeline.FsUtils.deleteRecursively(
+      new java.io.File(store.path(rollup)))
+    graft.pipeline.Rollup.applyDelta(store, rollup,
+      partials(store.readAsOf("t", schema, "1")), Seq("o_orderstatus"))
+    // the maintenance tick: fold in ONLY the (1, 2] delta
+    val state = graft.pipeline.Rollup.applyDelta(store, rollup,
+      partials(store.readSince("t", schema, "1", "2")), Seq("o_orderstatus"))
+    state.select(col("o_orderstatus"), col("n"),
+        col("sum_price").cast("double").as("sum_price"),
+        round(col("sum_price").cast("double") / col("n"), 6).as("avg_price"))
+      .orderBy("o_orderstatus")
+  }
+
   private def asOfFrame(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -308,6 +353,13 @@ object SourceSinkOps {
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin), "S8-timetravel/as-of"),
+    QuerySpec("q_store_rollup", storeRollup, Some(
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  / count(*), 6) AS avg_price
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin), "S8-maintenance/rollup"),
     QuerySpec("q_store_cdc", storeCdc, Some(
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -577,6 +577,34 @@ object VectorOps {
         col("cent_cos"), col("keep"))
       .orderBy("vec_id")
 
+  /** Johnson–Lindenstrauss random projection 64 → 16
+    * ([[graft.similarity.Projection]]): the ANN-preprocessing pass that
+    * narrows vectors before indexing. Fully differential — the seeded
+    * Gaussian matrix rides into the oracle as literal coefficients and
+    * both engines fold the dot product left-to-right, so the projected
+    * values match bit-for-bit before the round. Emitted long
+    * (id, pos, value) so the diff is per-component. */
+  def embedProject(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.Projection.project(load(spark, dir, "embeddings"),
+        "embedding", "vec_id", outDim = 16, dim = 64)
+      .select(col("id").as("vec_id"),
+        posexplode(col("p")).as(Seq("pos", "pv")))
+      .select(col("vec_id"), col("pos"), round(col("pv"), 6).as("pv"))
+      .orderBy("vec_id", "pos")
+
+  private val embedProjectOracle: String = {
+    val branches = graft.similarity.Projection.matrix(16, 64, 42L)
+      .zipWithIndex.map { case (row, j) =>
+        val lst = row.mkString("[", ", ", "]")
+        s"""SELECT vec_id, $j AS pos, round(list_reduce(
+           |  list_transform(generate_series(1, 64), i -> v[i] * ($lst)[i]),
+           |  (a, x) -> a + x) / sqrt(16.0), 6) AS pv FROM e""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |$branches
+       |ORDER BY vec_id, pos""".stripMargin
+  }
+
   private val semdedupPortableOracle: String = {
     val cellExpr = nearDupBucketExprs(tables = 1, bits = 6, dim = 64,
       seed = 42).head
@@ -698,6 +726,8 @@ object VectorOps {
       Some(dedupEmbeddingIncrementalOracle), "dedup/embedding-incremental"),
     QuerySpec("q_dedup_embedding_stream", dedupEmbeddingStream,
       Some(dedupEmbeddingStreamOracle), "dedup/embedding-streaming"),
+    QuerySpec("q_embed_project", embedProject, Some(embedProjectOracle),
+      "similarity/jl-projection"),
     QuerySpec("q_semdedup", semdedup, Some(semdedupOracle),
       "dedup/semdedup-kmeans-exact-regime"),
     QuerySpec("q_semdedup_portable", semdedupPortable,
