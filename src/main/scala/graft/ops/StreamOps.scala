@@ -279,6 +279,90 @@ object StreamOps {
     spark.read.parquet(out).orderBy("click_id", "purchase_id")
   }
 
+  /** Streaming SESSION windows ([[graft.streaming.StreamingIngest
+    * .sessionStream]], the built-in `session_window` gap-merge): events
+    * arrive as two mtime-ordered micro-batches split by event_id parity
+    * — each user's session events are SPLIT ACROSS batches, so the
+    * merging state (extend a live session, fuse two adjacent ones) is
+    * genuinely exercised, not just replayed within one batch. Complete
+    * output mode through foreachBatch-overwrite: the final state after
+    * AvailableNow is every session, including the tail ones an
+    * append-mode watermark would still be holding (at 100 TB you run
+    * append + a real watermark and accept finalize-on-watermark; the
+    * gate needs the exact total answer). Oracle: the batch gap rule —
+    * session_window merges an exactly-at-gap event (pinned in
+    * StreamingSessionSpec), matching the strict-> lag/cumsum
+    * sessionization, with session_end = last event + gap. */
+  private val ssessCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  def streamSession(spark: SparkSession, dir: String): DataFrame = {
+    val out = ssessCache.synchronized {
+      ssessCache.getOrElseUpdate((spark, dir), {
+        val base = SourceSinkOps.tmp("ssess", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        val ev = graft.Tables.load(spark, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"))
+        val landing = s"$base/landing"
+        new java.io.File(landing).mkdirs()
+        def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmpd = s"$base/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+          val part = new java.io.File(tmpd).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$landing/$name")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          require(dst.setLastModified(mtime),
+            s"could not pin mtime on $dst — batch order would be undefined")
+        }
+        val t0 = 1700000000000L
+        writeBatchFile(ev.filter(col("event_id") % 2 === 0), "b0.parquet", t0)
+        writeBatchFile(ev.filter(col("event_id") % 2 === 1), "b1.parquet",
+          t0 + 3600000L)
+        val src = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        val q = graft.streaming.StreamingIngest
+          .sessionStream(src, "ts", "user_id",
+            gap = "30 minutes", watermark = "3650 days")
+          .writeStream
+          .outputMode("complete")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(s"$base/out"); ()
+          }
+          .option("checkpointLocation", s"$base/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s"$base/out"
+      })
+    }
+    spark.read.parquet(out)
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val streamSessionOracle: String =
+    """WITH g AS (SELECT user_id, ts, event_id,
+      |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |s AS (SELECT user_id, ts, event_id,
+      |  CASE WHEN prev_ts IS NULL
+      |         OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM g),
+      |i AS (SELECT user_id, ts, CAST(SUM(new_session) OVER (
+      |  PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM s)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events
+      |FROM i GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   private val streamStreamJoinOracle: String =
     """SELECT c.event_id AS click_id, b.event_id AS purchase_id, c.user_id
       |FROM events c JOIN events b ON b.user_id = c.user_id
@@ -301,5 +385,7 @@ object StreamOps {
       Some(streamDropDuplicatesOracle), "stream/T5-dropdup-watermark"),
     QuerySpec("q_stream_join", streamStreamJoin,
       Some(streamStreamJoinOracle), "stream/stream-stream-join"),
+    QuerySpec("q_stream_session", streamSession,
+      Some(streamSessionOracle), "stream/session-window"),
   )
 }
