@@ -339,7 +339,64 @@ object SourceSinkOps {
       .orderBy("col")
   }
 
+  /** Declarative data-quality audit (the Deequ-style constraint suite a
+    * training pipeline runs before trusting a drop): completeness,
+    * key uniqueness, value ranges and accepted-value sets validated in
+    * ONE aggregation job — conditional counters are all map-side
+    * combinable, and the single exact count-distinct is the only Expand
+    * (same verification-vs-scale tradeoff as [[tableStats]]; swap in
+    * the HLL sketch at 100 TB when an approximate uniqueness check
+    * suffices). Emitted long — (check_name, violations, passed) — so
+    * adding constraints never changes the schema, and all metrics are
+    * exact integers (no float ratios to diverge between engines). */
+  def dataQuality(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val agg = li.agg(
+      count(lit(1)).as("n"),
+      count(col("l_quantity")).as("n_qty"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_key"),
+      sum(when(col("l_discount").between(0.0, 1.0), 0L).otherwise(1L))
+        .as("bad_disc"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L))
+        .as("bad_flag"),
+      sum(when(col("l_linenumber").between(1, 7), 0L).otherwise(1L))
+        .as("bad_ln"))
+    def c(name: String, viol: org.apache.spark.sql.Column) =
+      struct(lit(name).as("check_name"), viol.cast("long").as("violations"),
+        (viol === 0L).as("passed"))
+    agg.select(explode(array(
+        c("completeness:l_quantity", col("n") - col("n_qty")),
+        c("unique:(l_orderkey,l_linenumber)", col("n") - col("n_key")),
+        c("range:l_discount[0,1]", col("bad_disc")),
+        c("accepted:l_returnflag{A,N,R}", col("bad_flag")),
+        c("range:l_linenumber[1,7]", col("bad_ln")))).as("r"))
+      .select("r.*")
+      .orderBy("check_name")
+  }
+
+  private val dataQualityOracle: String =
+    """WITH a AS (SELECT count(*) AS n, count(l_quantity) AS nq,
+      |  count(DISTINCT (l_orderkey, l_linenumber)) AS nk,
+      |  CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS bd,
+      |  CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS bf,
+      |  CAST(sum(CASE WHEN l_linenumber BETWEEN 1 AND 7 THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS bl
+      |  FROM lineitem)
+      |SELECT check_name, violations, violations = 0 AS passed FROM (
+      |  SELECT 'completeness:l_quantity' AS check_name,
+      |    CAST(n - nq AS BIGINT) AS violations FROM a
+      |  UNION ALL SELECT 'unique:(l_orderkey,l_linenumber)',
+      |    CAST(n - nk AS BIGINT) FROM a
+      |  UNION ALL SELECT 'range:l_discount[0,1]', bd FROM a
+      |  UNION ALL SELECT 'accepted:l_returnflag{A,N,R}', bf FROM a
+      |  UNION ALL SELECT 'range:l_linenumber[1,7]', bl FROM a) t
+      |ORDER BY check_name""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_data_quality", dataQuality, Some(dataQualityOracle),
+      "S8-analyze/data-quality"),
     QuerySpec("q_zorder_layout", zorderLayout,
       Some(zorderLayoutOracle), "S8-layout/zorder"),
     QuerySpec("q_gzip_scan", gzipScan, Some(gzipScanOracle), "S4"),
