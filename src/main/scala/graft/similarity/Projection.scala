@@ -28,17 +28,16 @@ object Projection {
     Dedup.hyperplaneTables(1, outDim, dim, seed).head
 
   /** (idCol, vecCol) → (id, p): p(j) = (row_j · v) / sqrt(outDim),
-    * components summed left-to-right per row. */
+    * components summed left-to-right per row — one native
+    * [[graft.functions.expressions.MatVec]] loop per row (the
+    * outDim×dim literal-expression form breaks janino's method limits
+    * and falls out of codegen; the native expression stays inside). */
   def project(emb: DataFrame, vecCol: String, idCol: String,
       outDim: Int, dim: Int, seed: Long = 42L): DataFrame = {
-    val m = matrix(outDim, dim, seed)
+    val m = matrix(outDim, dim, seed).map(_.toArray).toArray
     val scale = math.sqrt(outDim.toDouble)
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val comps: Seq[Column] = m.map { row =>
-      row.zipWithIndex
-        .map { case (c, i) => v.getItem(i) * lit(c) }
-        .reduce(_ + _) / lit(scale)
-    }
-    emb.select(col(idCol).as("id"), array(comps: _*).as("p"))
+    emb.select(col(idCol).as("id"),
+      graft.functions.expressions.MatVec.matVecNative(
+        col(vecCol), m, scale).as("p"))
   }
 }
