@@ -183,39 +183,51 @@ object TextOps {
       .withColumn("elang", elang)
       .withColumn("s",
         lower(substring(concat(phrase, lit(" "), col("text")), 1, 96)))
+    // ONE doc_id exchange carries the whole classification: the ranking
+    // window establishes hash(doc_id) partitioning, ntg rides the same
+    // window (no separate groupBy + re-join), the profile joins
+    // broadcast, and every later aggregate clusters on doc_id-prefixed
+    // keys, which the existing partitioning already satisfies. The
+    // per-language distances then fold over the LITERAL language list
+    // (map lookup per language), so the former corpus×langs cross join,
+    // its corpus-sized sort-merge join against the matches, the second
+    // argmin window, and the final corpus self-join are all gone —
+    // trigram-less docs come from a map-side re-scan filter, not a join.
     val ranked = scored
       .select(col("doc_id"), col("elang"),
         explode(Text.charTrigrams(col("s"))).as("t"))
       .groupBy("doc_id", "elang", "t").agg(count(lit(1)).as("c"))
       .withColumn("rd", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("c").desc, col("t").asc)))
+      .withColumn("ntg", count(lit(1)).over(Window.partitionBy("doc_id")))
     val prof = Text.langProfilesRanked.flatMap { case (l, ts) =>
       ts.zipWithIndex.map { case (t, i) => (l, t, i + 1) }
     }.toDF("plang", "t", "rp")
-    val nDoc = ranked.groupBy("doc_id", "elang")
-      .agg(count(lit(1)).as("ntg"))
-    val matched = ranked.join(broadcast(prof), Seq("t"))
-      .groupBy("doc_id", "plang")
+    val perLang = ranked.join(broadcast(prof), Seq("t"), "left_outer")
+      .groupBy("doc_id", "elang", "plang")
       .agg(sum(abs(col("rd") - col("rp"))).as("md"),
-        count(lit(1)).as("nm"))
-    val langsDf = langProfileLengths.toDF("plang", "plen")
-    val guessed = nDoc.crossJoin(broadcast(langsDf))
-      .join(matched, Seq("doc_id", "plang"), "left_outer")
-      .select(col("doc_id"), col("plang"),
-        (coalesce(col("md"), lit(0L))
-          + (col("ntg") - coalesce(col("nm"), lit(0L))) * col("plen"))
-          .as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("dist").asc, col("plang").asc)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("plang"))
-    // re-attach documents that produced NO trigram (window shorter than
-    // 3 chars): they get a deterministic 'und' instead of dropping out
-    // of the totals
-    scored.select(col("doc_id"), col("elang"))
-      .join(guessed, Seq("doc_id"), "left_outer")
-      .groupBy(col("elang").as("lang"),
-        coalesce(col("plang"), lit("und")).as("guess"))
+        count(col("rp")).as("nm"), min("ntg").as("ntg"))
+    val perDoc = perLang.groupBy("doc_id", "elang")
+      .agg(min("ntg").as("ntg"),
+        map_from_entries(collect_list(when(col("plang").isNotNull,
+          struct(col("plang"), struct(col("md"), col("nm"))))))
+          .as("m"))
+    val distStructs = langProfileLengths.map { case (l, plen) =>
+      val e = element_at(col("m"), l)
+      struct(
+        (coalesce(e.getField("md"), lit(0L))
+          + (col("ntg") - coalesce(e.getField("nm"), lit(0L))) * plen)
+          .as("dist"),
+        lit(l).as("plang"))
+    }
+    val guessed = perDoc.select(col("doc_id"), col("elang"),
+      array_min(array(distStructs: _*)).getField("plang").as("guess"))
+    // documents that produced NO trigram (window shorter than 3 chars)
+    // get a deterministic 'und' — by the same length predicate, no join
+    val und = scored.filter(length(col("s")) < 3)
+      .select(col("doc_id"), col("elang"), lit("und").as("guess"))
+    guessed.unionByName(und)
+      .groupBy(col("elang").as("lang"), col("guess"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "guess")
   }
