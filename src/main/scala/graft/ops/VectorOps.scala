@@ -111,6 +111,34 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** Batch-vs-batch kNN JOIN — the shape where the query side is a
+    * TABLE, not a serving batch (corpus-vs-corpus linking, SemDedup-like
+    * candidate generation): [[graft.similarity.Ivf.topK]] with
+    * `broadcastProbes = Some(false)` forces the cell-partitioned
+    * SHUFFLE join — both sides repartition by cell, no broadcast,
+    * the plan that survives when neither side fits an executor. Run at
+    * FULL probe so the result is provably the exact brute-force top-3
+    * for every tenth vector (the same exactness trick as q_ann_ivf),
+    * giving the shuffle path its own differential; PlanShapeSpec pins
+    * that no broadcast of the probe side sneaks back in. */
+  def annKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val index = graft.similarity.Ivf.build(emb, k = 8)
+    graft.similarity.Ivf.topK(index, emb.filter(col("vec_id") % 10 === 0),
+        k = 3, nProbe = 8, broadcastProbes = Some(false))
+      .orderBy("qid", "rank")
+  }
+
+  private val annKnnJoinOracle =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |c AS (SELECT vec_id AS neighbor, embedding::DOUBLE[] AS cv FROM embeddings)
+      |SELECT qid, rank, neighbor FROM (
+      |  SELECT qid, neighbor, row_number() OVER (PARTITION BY qid
+      |    ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, neighbor ASC) AS rank
+      |  FROM q JOIN c ON neighbor != qid) t
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** Incremental EMBEDDING assignment against a PERSISTED hyperplane
     * index ([[graft.dedup.EmbeddingIndex]] — the vector analog of the
     * q_dedup_incremental_indexed lifecycle): corpus = vec_id % 5 != 0
@@ -726,6 +754,8 @@ object VectorOps {
       Some(dedupEmbeddingIncrementalOracle), "dedup/embedding-incremental"),
     QuerySpec("q_dedup_embedding_stream", dedupEmbeddingStream,
       Some(dedupEmbeddingStreamOracle), "dedup/embedding-streaming"),
+    QuerySpec("q_ann_knn_join", annKnnJoin, Some(annKnnJoinOracle),
+      "similarity/knn-join-shuffle"),
     QuerySpec("q_embed_project", embedProject, Some(embedProjectOracle),
       "similarity/jl-projection"),
     QuerySpec("q_semdedup", semdedup, Some(semdedupOracle),

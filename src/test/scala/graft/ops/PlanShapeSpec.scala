@@ -323,6 +323,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("lat_band"), s)
   }
 
+  test("kNN join (batch-vs-batch): probes shuffle by cell, no probe broadcast") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val index = graft.similarity.Ivf.build(emb, k = 4)
+    val df = graft.similarity.Ivf.topK(index,
+      emb.filter(col("vec_id") % 10 === 0), k = 3, nProbe = 4,
+      broadcastProbes = Some(false))
+    df.collect()
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case o => o.children.flatMap(all)
+    })
+    val nodes = all(df.queryExecution.executedPlan)
+    // the CELL join must not broadcast the probe side: any BHJ whose
+    // build side carries the query-vector column qv is the forbidden
+    // shape (the tiny centroid cross product's broadcast is fine)
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    val probeBroadcasts = nodes.collect { case j: BroadcastHashJoinExec => j }
+      .filter { j =>
+        val build = if (j.buildSide == BuildLeft) j.left else j.right
+        build.output.exists(_.name == "qv")
+      }
+    assert(probeBroadcasts.isEmpty,
+      df.queryExecution.executedPlan.toString())
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Cartesian")))
+  }
+
   test("pricing summary aggregates inside whole-stage codegen, map-side partial") {
     val s = plan(RelationalOps.aggPricingSummary(spark, dir))
     // `*(N)` prefixes mark whole-stage-codegen spans in the compact plan
