@@ -157,6 +157,36 @@ object Ensemble {
     named.drop("inv_annual_id", "inv_name", "__claimed")
   }
 
+  /** Linear gap interpolation over an ordered series — fill a null
+    * value column from its nearest non-null neighbors on each side
+    * (edges with no neighbor stay null): the standard repair step
+    * between [[denseGrid]] alignment (missing steps surface as nulls)
+    * and any consumer that needs a dense numeric grid.
+    *
+    * Scale shape: two window passes per value column over ONE
+    * partitioning (the track key) — the running last-non-null before
+    * and first-non-null after each row; no joins, no explode, state
+    * bounded per partition. The lerp is pure IEEE double arithmetic in
+    * a fixed operation order, so an external engine replays it
+    * exactly. */
+  def interpolate(tracks: DataFrame, keys: Seq[String], ordCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ordCol))
+    valueCols.foldLeft(tracks) { (df, v) =>
+      val mark = when(col(v).isNotNull,
+        struct(col(ordCol).as("o"), col(v).as("x")))
+      val pv = last(mark, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val nv = first(mark, ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing))
+      df.withColumn(v,
+        when(col(v).isNotNull, col(v)).otherwise(
+          pv.getField("x") + (nv.getField("x") - pv.getField("x")) *
+            ((col(ordCol) - pv.getField("o")) /
+              (nv.getField("o") - pv.getField("o")))))
+    }
+  }
+
   /** Wide-grid intake — the executable contract for out-of-band ensemble
     * sources (the reference reads MATLAB .mat grids, syntracks.py:203-269;
     * here the converter lands the same dense grid as Parquet arrays, one

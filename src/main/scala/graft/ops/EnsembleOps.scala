@@ -180,6 +180,51 @@ object EnsembleOps {
        |  ON a.model = sp.model AND a.init = sp.init
        |  AND a.ens = sp.ens AND a.hour = sp.hour""".stripMargin
 
+  /** W-family extension — linear gap interpolation
+    * ([[Ensemble.interpolate]]) over the ensemble points: the fixture
+    * plants null lat at (t + s) % 17 == 0, and each gap fills from its
+    * nearest non-null neighbors within the track (edge gaps stay
+    * null). Exact differential: the lerp is IEEE double arithmetic in
+    * a pinned operation order on both engines (integer hour deltas,
+    * one float division), rounded to 6 at the edge. */
+  def tsInterpolate(spark: SparkSession, dir: String): DataFrame =
+    Ensemble.interpolate(trackPoints(spark, dir),
+        Seq("model", "init", "ens", "track_no"), "hour", Seq("lat"))
+      .select(col("model"), col("init"), col("ens"), col("track_no"),
+        col("hour"), round(col("lat"), 6).as("lat"), col("wind"))
+      .orderBy("init", "ens", "track_no", "hour")
+
+  private val tsInterpolateOracle: String =
+    s"""WITH tr AS (SELECT DISTINCT c_custkey % 240 AS t FROM customer),
+       |steps AS (SELECT t, unnest(range(0, t % 9 + 1)) AS s FROM tr),
+       |pts AS (SELECT
+       |  'GEFS' AS model,
+       |  TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+       |    CAST(1590969600 + (t % 4) * 21600 AS INT) AS init,
+       |  (t // 4) % 10 + 1 AS ens,
+       |  t // 40 + 1 AS track_no,
+       |  (t % 3) * 6 + 6 * s AS hour,
+       |  CASE WHEN (t + s) % 17 = 0 THEN NULL
+       |       ELSE (t % 40) - 20 + s / 4.0 END AS lat,
+       |  20 + (t * 3 + s * 7) % 80 AS wind
+       |  FROM steps),
+       |wd AS (SELECT model, init, ens, track_no, hour, lat, wind,
+       |  last_value(CASE WHEN lat IS NOT NULL
+       |      THEN struct_pack(o := hour, x := lat) END IGNORE NULLS)
+       |    OVER (PARTITION BY model, init, ens, track_no ORDER BY hour
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+       |  first_value(CASE WHEN lat IS NOT NULL
+       |      THEN struct_pack(o := hour, x := lat) END IGNORE NULLS)
+       |    OVER (PARTITION BY model, init, ens, track_no ORDER BY hour
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+       |  FROM pts)
+       |SELECT model, init, ens, track_no, hour,
+       |  round(CASE WHEN lat IS NOT NULL THEN lat
+       |    ELSE pv.x + (nv.x - pv.x) * ((hour - pv.o) / (nv.o - pv.o))
+       |    END, 6) AS lat,
+       |  wind
+       |FROM wd ORDER BY init, ens, track_no, hour""".stripMargin
+
   /** Haversine in nm, matching Geo.greatCircle's operation order:
     * multiply by the precomputed (pi()/180) factor, not (x*pi())/180. */
   private def gcNm(lat1: String, lon1: String, lat2: String, lon2: String) =
@@ -268,5 +313,7 @@ object EnsembleOps {
     QuerySpec("q_ens_wide_roundtrip", ensWideRoundtrip,
       Some(ensWideRoundtripOracle), "W5/intake"),
     QuerySpec("q_syntracks_e2e", syntracksE2e,
-      Some(syntracksE2eOracle), "J7/A9/W5/S8 composed"))
+      Some(syntracksE2eOracle), "J7/A9/W5/S8 composed"),
+    QuerySpec("q_ts_interpolate", tsInterpolate,
+      Some(tsInterpolateOracle), "W5-gap-fill"))
 }
