@@ -273,6 +273,46 @@ object CurateOps {
       |WHERE bucket < CASE WHEN lang = 'en' THEN 30 ELSE 60 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    * each doc draws a deterministic uniform u from an md5 hash and a
+    * sampling key u^(1/w); the global top-k keys ARE a weighted sample
+    * without replacement — the importance-sampling primitive behind
+    * quality-weighted data selection, in ONE pass. Here w = whitespace
+    * token count (longer docs proportionally likelier), k = 100.
+    *
+    * Scale shape: a map-side key computation + a global top-k
+    * (TakeOrdered — each partition forwards at most k rows, no corpus
+    * shuffle). Reproducible across runs, engines, and cluster sizes:
+    * u is hash-derived (53-bit mantissa-exact), pow/log are IEEE on
+    * both engines, and the rank carries a doc_id tie-break. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val u = (pmod(Dedup.md5Hash60(
+        concat(lit("wsmp"), col("doc_id").cast("string"))),
+      lit(1L << 53)).cast("double") + 1.0) / lit((1L << 53).toDouble + 2.0)
+    load(spark, dir, "documents")
+      .withColumn("w", size(Text.tokens(col("text"))).cast("double"))
+      .filter(col("w") > 0)
+      .withColumn("key", pow(u, lit(1.0) / col("w")))
+      .orderBy(col("key").desc, col("doc_id").asc)
+      .limit(100)
+      .select(col("doc_id"), col("w").cast("long").as("w"),
+        round(col("key"), 9).as("key"))
+      .orderBy("doc_id")
+  }
+
+  private val sampleWeightedOracle: String =
+    """WITH b AS (SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(text, ' +'),
+      |    x -> x != '')) AS DOUBLE) AS w,
+      |  (CAST(CAST('0x' || substr(md5('wsmp' || CAST(doc_id AS VARCHAR)),
+      |      2, 15) AS BIGINT) % 9007199254740992 AS DOUBLE) + 1.0)
+      |    / 9007199254740994.0 AS u
+      |  FROM documents),
+      |k AS (SELECT doc_id, w, pow(u, 1.0 / w) AS key FROM b WHERE w > 0
+      |  ORDER BY key DESC, doc_id ASC LIMIT 100)
+      |SELECT doc_id, CAST(w AS BIGINT) AS w, round(key, 9) AS key
+      |FROM k ORDER BY doc_id""".stripMargin
+
   /** Embedding normalization + int8 quantization signals: l2 norm, the
     * first unit-vector component, and the symmetric max-abs int8
     * quantization of the first component plus the per-vector quantized
@@ -1332,6 +1372,8 @@ object CurateOps {
       Some(textRepetitionOracle), "curate/repetition-signals"),
     QuerySpec("q_sample_stratified", sampleStratified,
       Some(sampleStratifiedOracle), "curate/stratified-sample"),
+    QuerySpec("q_sample_weighted", sampleWeighted,
+      Some(sampleWeightedOracle), "curate/weighted-sample"),
     QuerySpec("q_embed_quantize", embedQuantize,
       Some(embedQuantizeOracle), "curate/embed-quantize"),
     QuerySpec("q_shard_balance", shardBalance,
