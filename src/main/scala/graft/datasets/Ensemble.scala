@@ -179,11 +179,15 @@ object Ensemble {
         .over(w.rowsBetween(Window.unboundedPreceding, -1))
       val nv = first(mark, ignoreNulls = true)
         .over(w.rowsBetween(1, Window.unboundedFollowing))
+      // the nv.o > pv.o guard keeps a malformed series (duplicate
+      // ordinates around a gap) at null instead of silently producing
+      // NaN/Infinity from a zero-width interval
       df.withColumn(v,
         when(col(v).isNotNull, col(v)).otherwise(
-          pv.getField("x") + (nv.getField("x") - pv.getField("x")) *
-            ((col(ordCol) - pv.getField("o")) /
-              (nv.getField("o") - pv.getField("o")))))
+          when(nv.getField("o") > pv.getField("o"),
+            pv.getField("x") + (nv.getField("x") - pv.getField("x")) *
+              ((col(ordCol) - pv.getField("o")) /
+                (nv.getField("o") - pv.getField("o"))))))
     }
   }
 

@@ -201,8 +201,13 @@ object SourceSinkOps {
     * be excluded, which proves tags compare NUMERICALLY ("10" < "2"
     * lexicographically, so a string compare would wrongly include it).
     * The oracle replays the first two slices from the source table. */
-  def storeAsOf(spark: SparkSession, dir: String): DataFrame = {
-    val base = asOfCache.synchronized {
+  /** Shared three-batch fixture for every tag-range Store gate: table
+    * "t" published as batches "1", "2", "10" (orderkey mod-3 slices) —
+    * the numeric-vs-lexical tag trap built in. Memoized per (session,
+    * dir); the gates share ONE publish so a layout change cannot
+    * silently diverge between them. */
+  private def asOfBase(spark: SparkSession, dir: String): String =
+    asOfCache.synchronized {
       asOfCache.getOrElseUpdate((spark, dir), {
         val b = tmp("asof", dir)
         graft.pipeline.FsUtils.deleteRecursively(new java.io.File(b))
@@ -216,7 +221,9 @@ object SourceSinkOps {
         b
       })
     }
-    new graft.pipeline.Store(spark, base)
+
+  def storeAsOf(spark: SparkSession, dir: String): DataFrame = {
+    new graft.pipeline.Store(spark, asOfBase(spark, dir))
       .readAsOf("t", asOfFrame(spark, dir).schema, asOf = "2")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -233,21 +240,7 @@ object SourceSinkOps {
     * range instead of rescanning the whole prefix; StoreSpec pins the
     * algebra readSince(a, b) == readAsOf(b) \ readAsOf(a). */
   def storeCdc(spark: SparkSession, dir: String): DataFrame = {
-    val base = asOfCache.synchronized {
-      asOfCache.getOrElseUpdate((spark, dir), {
-        val b = tmp("asof", dir)
-        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(b))
-        val o = asOfFrame(spark, dir)
-        graft.pipeline.FsUtils.publishBatch(
-          o.filter(col("o_orderkey") % 3 === 0), s"$b/t", "1")
-        graft.pipeline.FsUtils.publishBatch(
-          o.filter(col("o_orderkey") % 3 === 1), s"$b/t", "2")
-        graft.pipeline.FsUtils.publishBatch(
-          o.filter(col("o_orderkey") % 3 === 2), s"$b/t", "10")
-        b
-      })
-    }
-    new graft.pipeline.Store(spark, base)
+    new graft.pipeline.Store(spark, asOfBase(spark, dir))
       .readSince("t", asOfFrame(spark, dir).schema,
         afterTag = "1", upToTag = "2")
       .groupBy("o_orderstatus")
@@ -266,21 +259,7 @@ object SourceSinkOps {
     * over both slices. Batch "10" stays outside the maintained horizon,
     * re-proving numeric tag order on the CDC path. */
   def storeRollup(spark: SparkSession, dir: String): DataFrame = {
-    val base = asOfCache.synchronized {
-      asOfCache.getOrElseUpdate((spark, dir), {
-        val b = tmp("asof", dir)
-        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(b))
-        val o = asOfFrame(spark, dir)
-        graft.pipeline.FsUtils.publishBatch(
-          o.filter(col("o_orderkey") % 3 === 0), s"$b/t", "1")
-        graft.pipeline.FsUtils.publishBatch(
-          o.filter(col("o_orderkey") % 3 === 1), s"$b/t", "2")
-        graft.pipeline.FsUtils.publishBatch(
-          o.filter(col("o_orderkey") % 3 === 2), s"$b/t", "10")
-        b
-      })
-    }
-    val store = new graft.pipeline.Store(spark, base)
+    val store = new graft.pipeline.Store(spark, asOfBase(spark, dir))
     val schema = asOfFrame(spark, dir).schema
     def partials(rows: DataFrame): DataFrame = rows
       .groupBy("o_orderstatus")
@@ -354,7 +333,12 @@ object SourceSinkOps {
     val agg = li.agg(
       count(lit(1)).as("n"),
       count(col("l_quantity")).as("n_qty"),
-      countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_key"),
+      // distinct over the STRUCT, not the bare columns: countDistinct
+      // skips rows where any argument is null, which would miscount a
+      // null-keyed row as a uniqueness violation — the struct is never
+      // null, matching the oracle's ROW(a, b) distinct semantics
+      countDistinct(struct(col("l_orderkey"), col("l_linenumber")))
+        .as("n_key"),
       sum(when(col("l_discount").between(0.0, 1.0), 0L).otherwise(1L))
         .as("bad_disc"),
       sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L))

@@ -222,9 +222,10 @@ object TextOps {
     }
     val guessed = perDoc.select(col("doc_id"), col("elang"),
       array_min(array(distStructs: _*)).getField("plang").as("guess"))
-    // documents that produced NO trigram (window shorter than 3 chars)
-    // get a deterministic 'und' — by the same length predicate, no join
-    val und = scored.filter(length(col("s")) < 3)
+    // documents that produced NO trigram (window shorter than 3 chars,
+    // or a NULL text making the whole window null) get a deterministic
+    // 'und' — by the same predicate charTrigrams empties on, no join
+    val und = scored.filter(coalesce(length(col("s")), lit(0)) < 3)
       .select(col("doc_id"), col("elang"), lit("und").as("guess"))
     guessed.unionByName(und)
       .groupBy(col("elang").as("lang"), col("guess"))

@@ -140,4 +140,26 @@ class EnsembleSpec extends AnyFunSuite {
     assert(med.getAs[String]("ens_name") == "ENS_MEDIAN")
     assert(med.getAs[Double]("lat") == 20.0)
   }
+
+  test("interpolate fills interior gaps, leaves edges null, and never " +
+      "divides by a zero-width interval") {
+    val df = Seq(
+      (1L, 0L, Option.empty[Double]), // leading edge: no left neighbor
+      (1L, 6L, Some(10.0)),
+      (1L, 12L, None), // interior: lerp midpoint
+      (1L, 18L, Some(16.0)),
+      (1L, 24L, None), // trailing edge: no right neighbor
+      // duplicate ordinate around a gap: guard must yield null, not NaN
+      (2L, 6L, Some(1.0)),
+      (2L, 6L, None),
+      (2L, 6L, Some(3.0))).toDF("k", "hour", "v")
+    val got = Ensemble.interpolate(df, Seq("k"), "hour", Seq("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+    val k1 = got.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(k1 == Seq(None, Some(10.0), Some(13.0), Some(16.0), None))
+    val k2 = got.filter(_._1 == 2L).map(_._3)
+    assert(!k2.exists(_.exists(v =>
+      v.asInstanceOf[Double].isNaN || v.asInstanceOf[Double].isInfinite)))
+  }
 }
