@@ -877,21 +877,20 @@ object CurateOps {
           "y -> struct(x AS src_a, y AS src_b))))")).as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n"))
-      // localCheckpoint, not persist: the frame is consumed by both the
-      // per-source and pairwise branches, and a persist here would leak
-      // cached partitions across repeated invocations in a long session
-      // (nothing ever unpersists a lazily-returned gate frame)
-      .localCheckpoint()
-    val per = pairCounts.filter(col("src_a") === col("src_b"))
-      .select(col("src_a").as("source"), col("n"))
-    pairCounts.filter(col("src_a") < col("src_b"))
-      .withColumnRenamed("n", "n_inter")
-      .join(broadcast(per.select(col("source").as("src_a"), col("n").as("n_a"))),
-        Seq("src_a"))
-      .join(broadcast(per.select(col("source").as("src_b"), col("n").as("n_b"))),
-        Seq("src_b"))
-      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"),
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6)
+    // the diagonal (a, a) rows ARE the per-source totals; attach them to
+    // the off-diagonal rows with two windows over the sources²-sized
+    // frame, so pairCounts is consumed ONCE — no self-join, no persist
+    // (a cached gate frame can never unpersist), no eager checkpoint
+    // (measured 4x on the gate: the eager job re-ran per invocation)
+    val diag = max(when(col("src_a") === col("src_b"), col("n")))
+    import org.apache.spark.sql.expressions.Window
+    pairCounts
+      .withColumn("n_a", diag.over(Window.partitionBy("src_a")))
+      .withColumn("n_b", diag.over(Window.partitionBy("src_b")))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n").as("n_inter"),
+        round(col("n") / (col("n_a") + col("n_b") - col("n")), 6)
           .as("jaccard"))
       .orderBy("src_a", "src_b")
   }
