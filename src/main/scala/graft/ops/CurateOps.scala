@@ -304,6 +304,47 @@ object CurateOps {
       .orderBy("doc_id")
   }
 
+  /** PER-SOURCE weighted sampling — the A-Res key of [[sampleWeighted]]
+    * rank-limited within each source (keep the 20 highest keys per
+    * source): the per-domain quota form of importance sampling (cap
+    * every source's contribution while preferring its weightiest docs).
+    * The row_number() <= 20 filter rewrites into the custom partial
+    * [[graft.plans.TopKPerGroup]] BELOW the exchange, so a mega-source
+    * forwards at most 20 rows per map task instead of its whole
+    * candidate set — same plan contract as sourceCap, pinned in
+    * PlanShapeSpec. */
+  def sampleWeightedPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val u = (pmod(Dedup.md5Hash60(
+        concat(lit("wsmp"), col("doc_id").cast("string"))),
+      lit(1L << 53)).cast("double") + 1.0) / lit((1L << 53).toDouble + 2.0)
+    load(spark, dir, "documents")
+      .withColumn("w", size(Text.tokens(col("text"))).cast("double"))
+      .filter(col("w") > 0)
+      .withColumn("key", pow(u, lit(1.0) / col("w")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("key").desc, col("doc_id").asc)))
+      .filter(col("rn") <= 20)
+      .select(col("source"), col("doc_id"), col("w").cast("long").as("w"),
+        round(col("key"), 6).as("key"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val sampleWeightedPerGroupOracle: String =
+    """WITH b AS (SELECT source, doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(text, ' +'),
+      |    x -> x != '')) AS DOUBLE) AS w,
+      |  (CAST(CAST('0x' || substr(md5('wsmp' || CAST(doc_id AS VARCHAR)),
+      |      2, 15) AS BIGINT) % 9007199254740992 AS DOUBLE) + 1.0)
+      |    / 9007199254740994.0 AS u
+      |  FROM documents),
+      |k AS (SELECT source, doc_id, w, pow(u, 1.0 / w) AS key,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY pow(u, 1.0 / w) DESC, doc_id ASC) AS rn
+      |  FROM b WHERE w > 0)
+      |SELECT source, doc_id, CAST(w AS BIGINT) AS w, round(key, 6) AS key
+      |FROM k WHERE rn <= 20 ORDER BY source, doc_id""".stripMargin
+
   private val sampleWeightedOracle: String =
     """WITH b AS (SELECT doc_id,
       |  CAST(len(list_filter(regexp_split_to_array(text, ' +'),
@@ -1381,6 +1422,8 @@ object CurateOps {
       Some(sampleStratifiedOracle), "curate/stratified-sample"),
     QuerySpec("q_sample_weighted", sampleWeighted,
       Some(sampleWeightedOracle), "curate/weighted-sample"),
+    QuerySpec("q_sample_weighted_group", sampleWeightedPerGroup,
+      Some(sampleWeightedPerGroupOracle), "curate/weighted-sample-quota"),
     QuerySpec("q_embed_quantize", embedQuantize,
       Some(embedQuantizeOracle), "curate/embed-quantize"),
     QuerySpec("q_shard_balance", shardBalance,

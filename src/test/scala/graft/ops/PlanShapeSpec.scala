@@ -46,6 +46,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchangeIdx >= 0 && partialIdx > exchangeIdx, s)
   }
 
+  test("per-source weighted sample rank-limits before the shuffle") {
+    val s = plan(CurateOps.sampleWeightedPerGroup(spark, dir))
+    // the row_number()<=20 quota must rewrite to TopKPerGroup with the
+    // partial (final=false) instance BELOW the exchange — a mega-source
+    // forwards at most 20 candidate rows per map task
+    assert("TopKPerGroup .*20, false".r.findFirstIn(s).isDefined, s)
+    assert("TopKPerGroup .*20, true".r.findFirstIn(s).isDefined, s)
+    val partialIdx = s.indexOf("20, false")
+    val exchangeIdx = s.indexOf("Exchange hashpartitioning(source")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx, s)
+  }
+
   test("dimension joins broadcast; the big side never shuffles for them") {
     val s = plan(RelationalOps.join5Way(spark, dir))
     assert(s.contains("BroadcastHashJoin"), s)
