@@ -289,7 +289,12 @@ object CurateOps {
     * fixture's margins — the rank-100 key gap (~1e-3) and the 6-decimal
     * output rounding leave ~10 orders of magnitude of headroom over a
     * 1-ulp divergence, unlike the hash-exact sampling gates. */
-  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+  /** The one A-Res keying both weighted-sampling gates rank over: a
+    * deterministic uniform u per doc (md5-derived, 53-bit
+    * mantissa-exact), w = token count, key = u^(1/w). ONE definition so
+    * a change to the salt, modulus, or w-filter can never diverge the
+    * global and per-source gates. */
+  private def aResKeyed(spark: SparkSession, dir: String): DataFrame = {
     val u = (pmod(Dedup.md5Hash60(
         concat(lit("wsmp"), col("doc_id").cast("string"))),
       lit(1L << 53)).cast("double") + 1.0) / lit((1L << 53).toDouble + 2.0)
@@ -297,12 +302,15 @@ object CurateOps {
       .withColumn("w", size(Text.tokens(col("text"))).cast("double"))
       .filter(col("w") > 0)
       .withColumn("key", pow(u, lit(1.0) / col("w")))
+  }
+
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    aResKeyed(spark, dir)
       .orderBy(col("key").desc, col("doc_id").asc)
       .limit(100)
       .select(col("doc_id"), col("w").cast("long").as("w"),
         round(col("key"), 6).as("key"))
       .orderBy("doc_id")
-  }
 
   /** PER-SOURCE weighted sampling — the A-Res key of [[sampleWeighted]]
     * rank-limited within each source (keep the 20 highest keys per
@@ -312,23 +320,22 @@ object CurateOps {
     * [[graft.plans.TopKPerGroup]] BELOW the exchange, so a mega-source
     * forwards at most 20 rows per map task instead of its whole
     * candidate set — same plan contract as sourceCap, pinned in
-    * PlanShapeSpec. */
-  def sampleWeightedPerGroup(spark: SparkSession, dir: String): DataFrame = {
-    val u = (pmod(Dedup.md5Hash60(
-        concat(lit("wsmp"), col("doc_id").cast("string"))),
-      lit(1L << 53)).cast("double") + 1.0) / lit((1L << 53).toDouble + 2.0)
-    load(spark, dir, "documents")
-      .withColumn("w", size(Text.tokens(col("text"))).cast("double"))
-      .filter(col("w") > 0)
-      .withColumn("key", pow(u, lit(1.0) / col("w")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("source")
-          .orderBy(col("key").desc, col("doc_id").asc)))
+    * PlanShapeSpec.
+    *
+    * Same pow-1-ulp caveat as [[sampleWeighted]], with one cut boundary
+    * PER SOURCE instead of one global one: the fixture draws ~100+ docs
+    * per source, so every source's rank-20/21 key gap sits at the same
+    * ~1e-3 order as the global gate's rank-100 gap, and the 6-decimal
+    * rounding keeps ~10 orders of magnitude of headroom per emitted
+    * key — the margins the differential relies on. */
+  def sampleWeightedPerGroup(spark: SparkSession, dir: String): DataFrame =
+    aResKeyed(spark, dir)
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(col("key").desc, col("doc_id").asc)))
       .filter(col("rn") <= 20)
       .select(col("source"), col("doc_id"), col("w").cast("long").as("w"),
         round(col("key"), 6).as("key"))
       .orderBy("source", "doc_id")
-  }
 
   private val sampleWeightedPerGroupOracle: String =
     """WITH b AS (SELECT source, doc_id,
@@ -797,7 +804,6 @@ object CurateOps {
     * shuffle is the per-language sort for ranks, which at 100 TB would
     * come from a sampled sketch instead — the filter side is unchanged. */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
@@ -895,9 +901,11 @@ object CurateOps {
     * diagonal (a, a) IS the per-source distinct-shingle total and the
     * off-diagonal (a, b) IS the pairwise intersection. That collapses
     * the previous shape — a shingle self-join whose three consumers each
-    * re-derived the corpus-wide shingle frame — into one pass; the only
-    * multiply-consumed frame is the sources²-sized pair-count table,
-    * cached in memory (a few hundred rows even at thousands of sources).
+    * re-derived the corpus-wide shingle frame — into one pass, and the
+    * sources²-sized pair-count table is consumed exactly ONCE: the
+    * diagonal totals attach by two windows over it, NOT by a cached
+    * self-join (a persisted gate frame is a plan-cache hit across bench
+    * repeats and can never unpersist — do not re-add one here).
     * At 100 TB the exact path gives way to per-source MinHash sketches
     * (constant size per source, machinery in
     * [[graft.dedup.Dedup.portableMinhash]]) — the estimate replaces the
@@ -924,7 +932,6 @@ object CurateOps {
     // (a cached gate frame can never unpersist), no eager checkpoint
     // (measured 4x on the gate: the eager job re-ran per invocation)
     val diag = max(when(col("src_a") === col("src_b"), col("n")))
-    import org.apache.spark.sql.expressions.Window
     pairCounts
       .withColumn("n_a", diag.over(Window.partitionBy("src_a")))
       .withColumn("n_b", diag.over(Window.partitionBy("src_b")))
