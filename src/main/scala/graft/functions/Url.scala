@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL column functions for web-corpus curation (the CommonCrawl /
+  * RefinedWeb pipeline stage that precedes text dedup): canonicalization
+  * collapses the cosmetic variants crawlers see for one resource
+  * (scheme/host case, `www.`, default ports, tracking params, fragments,
+  * trailing slashes), and registered-domain extraction feeds per-domain
+  * stats and caps. Pure column regex expressions — codegen'd,
+  * partition-parallel, no UDFs.
+  *
+  * Scope: the canonicalizer is deliberately conservative — it never
+  * strips non-`www` subdomains, never reorders surviving query params,
+  * and never touches path case (all of which can change the resource).
+  */
+object Url {
+
+  /** Lowercased scheme ("https"); empty if the value has no scheme. */
+  def scheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Lowercased host[:port] authority component. */
+  def hostPort(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+
+  /** Canonical host: lowercase, `www.` stripped, default port stripped. */
+  def canonicalHost(url: Column): Column = {
+    val h0 = regexp_replace(hostPort(url), "^www\\.", "")
+    when(scheme(url) === "https", regexp_replace(h0, ":443$", ""))
+      .when(scheme(url) === "http", regexp_replace(h0, ":80$", ""))
+      .otherwise(h0)
+  }
+
+  /** Registered domain: the last two dot-labels of the canonical host
+    * ("cdn.en-news.com" -> "en-news.com"). Public-suffix-list nuances
+    * (co.uk) are out of scope for the synthetic corpus; the extraction
+    * point is the operator seam where a PSL table would broadcast-join. */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(canonicalHost(url), "([^.:]+\\.[^.:]+)$", 1)
+
+  /** Canonical URL: lowercased scheme + canonical host + path with
+    * trailing slashes stripped + query with tracking params
+    * (utm_*, fbclid, gclid) removed and separators re-normalized;
+    * fragment dropped. Deterministic, replayable in any regex engine. */
+  def canonicalize(url: Column): Column = {
+    // path+query (fragment dropped), then split path from query
+    val pq = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path = regexp_replace(regexp_extract(pq, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(pq, "(\\?[^#]*)$", 1)
+    // strip tracking params (separator goes with them), then restore a
+    // leading '?' on whatever survives
+    val q1 = regexp_replace(query,
+      "[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "")
+    val q2 = when(q1 === "", lit(""))
+      .otherwise(concat(lit("?"), regexp_replace(q1, "^[?&]", "")))
+    concat(scheme(url), lit("://"), canonicalHost(url), path, q2)
+  }
+}

@@ -7,7 +7,7 @@ object Registry {
     RelationalOps.specs ++ PipelineOps.specs ++ FunctionOps.specs ++
       TextOps.specs ++ VectorOps.specs ++ CurateOps.specs ++ LmOps.specs ++
       SearchOps.specs ++ PqOps.specs ++ SketchOps.specs ++
-      ExtraOps.specs ++ OlapOps.specs ++ MatchOps.specs ++
+      ExtraOps.specs ++ OlapOps.specs ++ MatchOps.specs ++ WebOps.specs ++
       MultimodalOps.specs ++ ParseOps.specs ++ EnsembleOps.specs ++
       SourceSinkOps.specs ++ StreamOps.specs
 
