@@ -378,7 +378,35 @@ object SourceSinkOps {
       |  UNION ALL SELECT 'range:l_linenumber[1,7]', bl FROM a) t
       |ORDER BY check_name""".stripMargin
 
+  /** S-source — JSONL (newline-delimited JSON), the interchange format
+    * training corpora actually ship in (one JSON doc per line, gzipped
+    * shards). The documents table is exported as jsonl.gz and re-read
+    * with the DECLARED schema — never inference: a 100 TB read cannot
+    * afford the schema-inference pre-pass, and inference can silently
+    * widen types between shards. The aggregate carries max(md5(text)),
+    * so the oracle (computing the same from parquet directly) proves the
+    * text column survived the JSON escape/encode boundary byte-exactly —
+    * including the non-ASCII zh docs. */
+  def jsonlScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("jsonl", dir)
+    val docs = load(spark, dir, "documents")
+    docs.write.mode("overwrite").option("compression", "gzip").json(path)
+    spark.read.schema(docs.schema).json(path)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        min("doc_id").as("first_doc"), max(md5(col("text"))).as("text_md5_max"))
+      .orderBy("lang", "source")
+  }
+
+  private val jsonlScanOracle =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS first_doc, max(md5(text)) AS text_md5_max
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_jsonl_scan", jsonlScan, Some(jsonlScanOracle),
+      "S-source: JSONL gzip shard round trip, declared schema"),
     QuerySpec("q_data_quality", dataQuality, Some(dataQualityOracle),
       "S8-analyze/data-quality"),
     QuerySpec("q_zorder_layout", zorderLayout,
