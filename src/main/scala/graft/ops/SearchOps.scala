@@ -175,9 +175,95 @@ object SearchOps {
       |SELECT tok, df, postings20 FROM g WHERE df >= 50
       |ORDER BY tok""".stripMargin
 
+  /** Cosine-normalized TF-IDF retrieval — the VECTORIZER complement to
+    * [[bm25TopK]]'s literal-query fast path: where BM25 needs only the
+    * query terms' frequencies, the cosine norm needs every doc's FULL
+    * tf-idf vector, so this is the honest explode → df-join → per-doc
+    * norm shape a TfidfVectorizer runs at corpus scale.
+    *
+    * Every stage is a keyed partial aggregate over (doc, token) pairs:
+    * explode (corpus-sized, map-side), tf groupBy, df groupBy (|vocab|
+    * rows, broadcast back), norm groupBy, query-term dot groupBy, top-k
+    * through the partial TopKPerGroup rewrite. No all-pairs, no collect.
+    *
+    * Float determinism: idf = ln((N+1)/(df+1)) + 1 is a fixed double
+    * from integer corpus stats; each (doc, token) weight quantizes to
+    * MILLI-units (BIGINT) before any sum, so the norm² and the query dot
+    * are exact integer sums (milli² keeps norm² < 2^53 for any plausible
+    * doc); the only float ops after that are one sqrt and one divide per
+    * doc — identical sequences on both engines — rounded to 6 places
+    * with doc_id as the total-order tie-break. */
+  def tfidfTopK(docs: DataFrame, terms: Seq[String], k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "terms must be non-empty and distinct")
+    val base = docs.select(col(idCol).as("doc_id"),
+      Text.tokens(col(textCol)).as("toks"))
+    val stats = broadcast(base.agg(count(lit(1)).as("n_docs")))
+    val tf = base.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = tf.join(dfs, "token").crossJoin(stats)
+      .select(col("doc_id"), col("token"),
+        round(col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + lit(1.0)) /
+            (col("df").cast("double") + lit(1.0))) + lit(1.0)) * lit(1e3), 0)
+          .cast("long").as("c"))
+    val norm = w.groupBy("doc_id").agg(sum(col("c") * col("c")).as("n2"))
+    val hits = w.filter(col("token").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum("c").as("dot"))
+    hits.join(norm, "doc_id")
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("dot").cast("double") / sqrt(col("n2").cast("double")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))))
+  }
+
+  def searchTfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopK(load(spark, dir, "documents"), gateTerms, k = 20)
+
+  private val searchTfidfOracle: String = {
+    val inList = gateTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '')
+       |      AS toks
+       |  FROM documents),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+       |tf AS (SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+       |dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |  FROM tf GROUP BY 1),
+       |w AS (SELECT tf.doc_id, tf.token,
+       |    CAST(round(CAST(tf.tf AS DOUBLE) *
+       |      (ln((CAST(s.n_docs AS DOUBLE) + 1.0) /
+       |        (CAST(dfs.df AS DOUBLE) + 1.0)) + 1.0) * 1000.0)
+       |      AS BIGINT) AS c
+       |  FROM tf JOIN dfs USING (token), s),
+       |norm AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2
+       |  FROM w GROUP BY 1),
+       |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       |    CAST(sum(c) AS BIGINT) AS dot
+       |  FROM w WHERE token IN ($inList) GROUP BY 1)
+       |SELECT h.doc_id, h.n_terms_hit,
+       |  round(CAST(h.dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)), 6)
+       |    AS score,
+       |  CAST(row_number() OVER (ORDER BY
+       |    round(CAST(h.dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)), 6)
+       |      DESC, h.doc_id) AS INT) AS rank
+       |FROM hits h JOIN norm n USING (doc_id)
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_search_bm25", searchBm25,
       Some(searchBm25Oracle), "search/bm25-topk"),
+    QuerySpec("q_search_tfidf", searchTfidf,
+      Some(searchTfidfOracle), "search/tfidf-cosine-topk"),
     QuerySpec("q_inverted_index", invertedIndex,
       Some(invertedIndexOracle), "search/inverted-index-build"),
   )
