@@ -1414,7 +1414,74 @@ object CurateOps {
       |LEFT JOIN ds ON ds.doc_id = b.doc_id AND ds.lang = b.lang
       |ORDER BY b.doc_id""".stripMargin
 
+  /** Robust outlier detection per language group: median / MAD over doc
+    * length, flagging docs with |x - med| > 3·MAD — the length-outlier
+    * screen (truncated scrapes, concatenation blobs) a quality pipeline
+    * runs before training. Median and MAD are exact LOWER medians via
+    * the established rank trick (row_number = ceil(cnt/2) on a total
+    * order ending in doc_id), so every quantity here is INTEGER
+    * arithmetic — no percentile interpolation for engines to round
+    * differently.
+    *
+    * Scale note: exact per-group medians cost one sort-window per pass
+    * (two passes here). At 100 TB the same operator runs on the
+    * bounded-error quantile sketch (q_sketch_quantiles machinery) with
+    * identical downstream flagging; this gate is the exact harness. */
+  def outlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame =
+      df.withColumn("rn", row_number().over(Window.partitionBy("lang")
+          .orderBy(col(valueCol), col("doc_id"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+        .filter(col("rn") === ceil(col("cnt") / 2).cast("long"))
+        .select(col("lang"), col(valueCol).as(out))
+    val med = lowerMedian(docs, "n_chars", "med_chars")
+    val dev = docs.join(med, "lang")
+      .withColumn("dev", abs(col("n_chars") - col("med_chars")))
+    val mad = lowerMedian(dev.select(col("lang"), col("doc_id"),
+      col("dev")), "dev", "mad_chars")
+    dev.join(mad, "lang")
+      .withColumn("is_outlier", col("dev") > lit(3) * col("mad_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        max("med_chars").as("med_chars"), max("mad_chars").as("mad_chars"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("is_outlier"), col("doc_id"))).as("first_outlier"),
+        max("dev").as("max_dev"))
+      .orderBy("lang")
+  }
+
+  private val outlierMadOracle: String =
+    """WITH d AS (SELECT lang, doc_id, n_chars FROM documents),
+      |m AS (SELECT lang, n_chars AS med_chars FROM (
+      |    SELECT lang, doc_id, n_chars,
+      |      row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |        AS rn,
+      |      count(*) OVER (PARTITION BY lang) AS cnt
+      |    FROM d) WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT)),
+      |dev AS (SELECT d.lang, d.doc_id, d.n_chars, m.med_chars,
+      |    abs(d.n_chars - m.med_chars) AS dev
+      |  FROM d JOIN m USING (lang)),
+      |md AS (SELECT lang, dev AS mad_chars FROM (
+      |    SELECT lang, doc_id, dev,
+      |      row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id)
+      |        AS rn,
+      |      count(*) OVER (PARTITION BY lang) AS cnt
+      |    FROM dev) WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT))
+      |SELECT dev.lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  max(dev.med_chars) AS med_chars, max(md.mad_chars) AS mad_chars,
+      |  CAST(sum(CASE WHEN dev.dev > 3 * md.mad_chars THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  min(CASE WHEN dev.dev > 3 * md.mad_chars THEN dev.doc_id END)
+      |    AS first_outlier,
+      |  max(dev.dev) AS max_dev
+      |FROM dev JOIN md USING (lang)
+      |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_outlier_mad", outlierMad,
+      Some(outlierMadOracle), "curate/mad-outlier-screen"),
     QuerySpec("q_quality_filter", qualityFilter,
       Some(qualityFilterOracle), "curate/quality-percentile-gate"),
     QuerySpec("q_decontaminate", decontaminate,

@@ -919,7 +919,38 @@ object TextOps {
       |    AS chunk_text
       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Vocabulary construction — the id-assignment step every tokenizer /
+    * embedding-table pipeline runs before training: count corpus token
+    * frequencies, keep the top-V by (count desc, token asc), assign
+    * contiguous ids in that order.
+    *
+    * 100 TB shape: the explode partial-aggregates map-side to the
+    * vocabulary-bounded (token, count) frame; the top-V goes through
+    * `orderBy().limit(V)` = distributed TakeOrdered (every partition
+    * keeps V rows, the driver merges) — NEVER a global sort or an
+    * unpartitioned rank window over the full vocabulary. The contiguous
+    * ids come from a row_number over the already-V-sized result. */
+  def vocabBuild(spark: SparkSession, dir: String): DataFrame = {
+    val counts = load(spark, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    counts.orderBy(col("cnt").desc, col("tok")).limit(200)
+      .withColumn("id", (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok"))) - 1).cast("int"))
+  }
+
+  private val vocabBuildOracle: String =
+    """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(text, ' +'),
+      |    w -> w != '')) AS tok FROM documents),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok)
+      |SELECT tok, cnt,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS INT) AS id
+      |FROM c ORDER BY cnt DESC, tok LIMIT 200""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_vocab_build", vocabBuild,
+      Some(vocabBuildOracle), "text/vocabulary-build"),
     QuerySpec("q_curation_pipeline", curationPipeline,
       Some(curationOracle), "curation/end-to-end"),
     QuerySpec("q_text_chunks", textChunks,
