@@ -10,6 +10,61 @@ import graft.similarity.Ann
 /** Similarity search + embedding dedup over the `embeddings` table. */
 object VectorOps {
 
+  /** Seed-centroid quality scoring — the "similarity to a curated seed
+    * corpus" screen (the LLaMA-1 Wikipedia-likeness filter, one linear
+    * probe cheaper than a classifier): average a small trusted seed set
+    * into one centroid, score every corpus vector by cosine to it, and
+    * tier the corpus for downstream sampling.
+    *
+    * Determinism: the centroid's per-dimension mean is an exact integer
+    * micro-unit sum (the SemDedup-portable pattern) divided once, so
+    * both engines build bit-identical centroids; scoring is the native
+    * codegen cosine, rounded to 6.
+    *
+    * 100 TB shape: the seed aggregate collapses to 64 rows; the centroid
+    * (one 64-double array) rides into the scan as a literal — scoring is
+    * a map-side expression over the corpus, no join, no shuffle at all
+    * after the seed pass. */
+  def seedQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.CosineSimilarity.cosineNative
+    val emb = load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val seeds = emb.filter(col("vec_id") < 32)
+    val nSeeds = 32.0
+    val centroid = seeds
+      .select(posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy("j").agg(sum(round(col("x") * 1e6, 0).cast("long")).as("ms"))
+      .orderBy("j")
+      .collect() // 64 rows — bounded centroid read, like the IVF path
+      .map(r => r.getAs[Long]("ms").toDouble / (nSeeds * 1e6))
+    val cv = array(centroid.toSeq.map(lit): _*)
+    emb.select(col("vec_id"),
+        round(cosineNative(col("v"), cv), 6).as("score"))
+      .withColumn("tier",
+        when(col("score") >= 0.15, "high")
+          .when(col("score") >= 0.0, "mid")
+          .otherwise("low"))
+      .orderBy("vec_id")
+  }
+
+  private val seedQualityOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |m AS (SELECT j, sum(CAST(round(v[j] * 1000000.0) AS BIGINT)) AS ms
+      |  FROM (SELECT v FROM e WHERE vec_id < 32) seeds,
+      |    (SELECT unnest(generate_series(1, 64)) AS j) g
+      |  GROUP BY j),
+      |c AS (SELECT list(CAST(ms AS DOUBLE) / (32.0 * 1000000.0) ORDER BY j)
+      |    AS cv FROM m)
+      |SELECT e.vec_id, round(list_cosine_similarity(e.v, c.cv), 6) AS score,
+      |  CASE WHEN round(list_cosine_similarity(e.v, c.cv), 6) >= 0.15
+      |    THEN 'high'
+      |    WHEN round(list_cosine_similarity(e.v, c.cv), 6) >= 0.0 THEN 'mid'
+      |    ELSE 'low' END AS tier
+      |FROM e, c ORDER BY e.vec_id""".stripMargin
+
   /** Brute-force exact cosine top-3 for a small query set (ids < 8). */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
@@ -731,6 +786,8 @@ object VectorOps {
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_embed_seed_quality", seedQuality, Some(seedQualityOracle),
+      "curate/seed-centroid-quality-screen"),
     QuerySpec("q_ann_ivf", annIvf, Some(exactTop3Oracle), "similarity/ann-ivf"),
     QuerySpec("q_ann_ivf_indexed", annIvfIndexed, Some(exactTop3Oracle),
       "similarity/ann-ivf-persisted"),
