@@ -1479,7 +1479,77 @@ object CurateOps {
       |FROM dev JOIN md USING (lang)
       |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin
 
+  /** Per-source distribution drift: Jensen-Shannon divergence between
+    * each source's token distribution and the whole-corpus distribution
+    * — the mixture-monitoring signal that catches a source going off
+    * -distribution (scrape rot, pipeline bugs, domain shift) before it
+    * trains. JS (not KL) because it is finite when a source misses
+    * vocabulary, symmetric, and bounded by ln 2.
+    *
+    * Determinism: all probabilities are ratios of exact integer counts;
+    * each token's contribution is one fixed double expression quantized
+    * to NANO-nats (BIGINT) before summing — the LM-perplexity micro-nat
+    * pattern — so the per-source sum is exact integer arithmetic.
+    *
+    * 100 TB shape: one corpus explode partial-aggregates to the
+    * (source, token) frame; everything after lives on vocabulary-bounded
+    * relations (|V| and |sources|×|V| rows), with the per-source and
+    * per-token totals broadcast back. The corpus is scanned once. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val st = load(spark, dir, "documents")
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n_st"))
+    val perSource = st.groupBy("source").agg(sum("n_st").as("n_s"))
+    val perTok = st.groupBy("tok").agg(sum("n_st").as("n_t"))
+    val total = perTok.agg(sum("n_t").as("n")).select(col("n"))
+    val grid = perSource.crossJoin(broadcast(perTok))
+      .join(st, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("n_st"))
+      .crossJoin(broadcast(total))
+    val p = col("n_st").cast("double") / col("n_s").cast("double")
+    val q = col("n_t").cast("double") / col("n").cast("double")
+    val m = (p + q) / lit(2.0)
+    val contrib =
+      when(col("n_st") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+        lit(0.5) * q * log(q / m)
+    grid.select(col("source"), col("n_s"),
+        round(contrib * lit(1e9), 0).cast("long").as("c"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), sum("c").as("js_nano"))
+      .orderBy("source")
+  }
+
+  private val sourceDivergenceOracle: String =
+    """WITH st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n_st
+      |  FROM (SELECT source,
+      |      unnest(list_filter(regexp_split_to_array(text, ' +'),
+      |        w -> w != '')) AS tok
+      |    FROM documents) u GROUP BY source, tok),
+      |s AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s
+      |  FROM st GROUP BY source),
+      |t AS (SELECT tok, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY tok),
+      |n AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM t),
+      |grid AS (SELECT s.source, s.n_s, t.tok, t.n_t,
+      |    coalesce(st.n_st, 0) AS n_st, n.n
+      |  FROM s CROSS JOIN t CROSS JOIN n
+      |    LEFT JOIN st ON st.source = s.source AND st.tok = t.tok),
+      |c AS (SELECT source, n_s,
+      |    CAST(round((CASE WHEN n_st > 0
+      |      THEN 0.5 * (CAST(n_st AS DOUBLE) / n_s) *
+      |        ln((CAST(n_st AS DOUBLE) / n_s) /
+      |          ((CAST(n_st AS DOUBLE) / n_s + CAST(n_t AS DOUBLE) / n) / 2.0))
+      |      ELSE 0.0 END +
+      |      0.5 * (CAST(n_t AS DOUBLE) / n) *
+      |        ln((CAST(n_t AS DOUBLE) / n) /
+      |          ((CAST(n_st AS DOUBLE) / n_s + CAST(n_t AS DOUBLE) / n) / 2.0))
+      |      ) * 1000000000.0) AS BIGINT) AS c
+      |  FROM grid)
+      |SELECT source, max(n_s) AS n_tokens, CAST(sum(c) AS BIGINT) AS js_nano
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_source_divergence", sourceDivergence,
+      Some(sourceDivergenceOracle), "curate/js-divergence-drift"),
     QuerySpec("q_outlier_mad", outlierMad,
       Some(outlierMadOracle), "curate/mad-outlier-screen"),
     QuerySpec("q_quality_filter", qualityFilter,

@@ -6,61 +6,71 @@ import org.apache.spark.sql.functions._
 
 /** Exact edit-distance similarity self-join — the entity-resolution /
   * near-identical-title matcher (fuzzy record linkage over titles, names,
-  * short fields). Returns every unordered pair with
-  * `levenshtein(a, b) <= maxDist`, exactly — the candidate generation
-  * prunes, never drops.
+  * short fields). Returns every unordered id pair with
+  * `levenshtein(a, b) <= maxDist`, exactly — candidate generation prunes,
+  * never drops.
   *
-  * Algorithm: positional q-gram prefix filtering (the ED-Join family,
-  * Xiao/Wang/Lin, VLDB'08 — public literature). One edit operation
-  * destroys at most `q` of a string's `len - q + 1` q-grams, so
-  * `ed(s,t) <= d` implies the q-gram MULTISETS share at least
-  * `max(|s|,|t|) - q + 1 - d*q` elements; by the prefix-filter theorem a
-  * qualifying pair must then collide within the first `d*q + 1` multiset
-  * elements of each string under ANY shared total order. We order
-  * elements rarest-first (global element frequency), so candidate
-  * generation joins only each string's `d*q + 1` RAREST (gram, occurrence)
-  * elements — stopword grams ("e ", "s ") sort last and never fan out.
+  * Algorithm, outside-in:
   *
-  * 100 TB shape: no all-pairs anywhere. The exploded gram relation is
-  * O(corpus chars); candidates come from an equi-join on
-  * (gram, occurrence) restricted to prefixes, are `distinct`-ed BEFORE
-  * the exact verify, and the verify is one codegen `levenshtein` per
-  * surviving candidate. Every stage is a keyed shuffle — no broadcast of
-  * anything corpus-sized, no nested loop on the long-string path.
+  * 1. EXACT-COLLAPSE FIRST (the [[graft.dedup.Dedup.nearDupGroups]]
+  *    lesson): all work runs over DISTINCT strings; id multiplicity
+  *    re-expands only at the end. A duplicate-heavy corpus (the
+  *    realistic title/name case) costs the quadratic machinery nothing —
+  *    the expansion is bounded by the OUTPUT, which is the contract.
   *
-  * Exactness split: the count bound is vacuous for strings shorter than
-  * `q*(d+1)` (every gram could be destroyed), so pairs whose SHORTER side
-  * is below that floor go through a length-banded brute branch instead.
-  * Only strings shorter than `q*(d+1) + d` can participate in such a
-  * pair (the length filter bounds the longer side), so the brute branch
-  * is confined to the short-string mass — typically a trailing sliver of
-  * a title/name corpus, and empty in the gate's fixture.
+  * 2. Candidate generation by positional q-gram prefix filtering (the
+  *    ED-Join family, Xiao/Wang/Lin, VLDB'08). One edit destroys at most
+  *    `q` of a string's `len - q + 1` q-grams, so `ed <= d` implies the
+  *    q-gram MULTISETS share at least `max(|s|,|t|) - q + 1 - d*q`
+  *    elements; by the prefix-filter theorem a qualifying pair must then
+  *    collide within the first `d*q + 1` multiset elements of each
+  *    string under ANY shared total order. Elements are ordered
+  *    rarest-first (global element frequency), so stopword grams sort
+  *    last and never fan out. Candidates are `distinct`-ed BEFORE the
+  *    exact verify (one codegen `levenshtein` per candidate).
+  *
+  * 3. The count bound is vacuous below `len = q*(d+1)`, so pairs whose
+  *    SHORTER side is under that floor go through a length-banded brute
+  *    branch confined to the short-string sliver (both sides of such a
+  *    pair are `< q*(d+1) + d` by the length filter).
+  *
+  * 100 TB shape: every stage is a keyed shuffle over gram-sized rows —
+  * no broadcast of anything corpus-sized. Two regimes are inherently
+  * super-linear and documented as such: (a) a low-entropy alphabet makes
+  * q-grams weakly selective, growing the candidate join with distinct-
+  * string density²; (b) the OUTPUT itself grows as corpus² × pair
+  * density for a fixed threshold — no exact algorithm avoids rows it
+  * must emit.
   */
 object EditJoin {
 
   /** All pairs (id_a < id_b) with levenshtein(str_a, str_b) <= maxDist.
-    * Output columns: id_a, id_b, ed. Exact for any input lengths. */
+    * Output columns: id_a, id_b, ed. Exact for any input; null strings
+    * never match. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, q: Int = 2): DataFrame = {
     require(maxDist >= 0 && q >= 1, "maxDist >= 0, q >= 1")
     val floor = q * (maxDist + 1) // below this the gram bound is vacuous
 
-    val s = df.select(col(idCol).cast("long").as("id"),
-      col(strCol).as("str"), length(col(strCol)).as("len"))
+    val members = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
 
-    // --- brute branch: pairs whose shorter side is below the gram floor.
-    // Both sides of such a pair are < floor + maxDist (length filter), so
-    // the branch sees only the short-string sliver of the corpus.
+    // exact-collapse: one representative per distinct string
+    val s = members.groupBy("str").agg(min("id").as("id"))
+      .withColumn("len", length(col("str")))
+
+    // --- brute branch (distinct strings): pairs whose shorter side is
+    // below the gram floor; both sides < floor + maxDist by length band.
     val shortish = s.filter(col("len") < floor + maxDist)
     val brute = shortish.as("a").join(shortish.as("b"),
         col("a.id") < col("b.id") &&
           least(col("a.len"), col("b.len")) < floor &&
           abs(col("a.len") - col("b.len")) <= maxDist &&
           levenshtein(col("a.str"), col("b.str")) <= maxDist)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("a.str").as("str_a"), col("b.str").as("str_b"),
         levenshtein(col("a.str"), col("b.str")).cast("int").as("ed"))
 
-    // --- gram branch: pairs with BOTH sides >= floor.
+    // --- gram branch (distinct strings with BOTH sides >= floor).
     val g = s.filter(col("len") >= floor)
 
     // multiset elements: (gram, occurrence-index within the string)
@@ -83,19 +93,34 @@ object EditJoin {
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
           col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("cid_a"), col("b.id").as("cid_b"))
       .distinct()
 
     val strs = g.select(col("id"), col("str"))
     val verified = cand
-      .join(strs.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("str", "str_a"), "id_a")
-      .join(strs.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("str", "str_b"), "id_b")
+      .join(strs.select(col("id").as("cid_a"), col("str").as("str_a")),
+        "cid_a")
+      .join(strs.select(col("id").as("cid_b"), col("str").as("str_b")),
+        "cid_b")
       .filter(levenshtein(col("str_a"), col("str_b")) <= maxDist)
-      .select(col("id_a"), col("id_b"),
+      .select(col("str_a"), col("str_b"),
         levenshtein(col("str_a"), col("str_b")).cast("int").as("ed"))
 
-    brute.unionByName(verified)
+    // --- expand distinct-string results back to id pairs (output-bound):
+    // cross-string matches via the member lists of both sides; same-string
+    // (ed = 0) pairs directly from each string's member list.
+    val diff = brute.unionByName(verified)
+      .join(members.select(col("str").as("str_a"), col("id").as("ia")),
+        "str_a")
+      .join(members.select(col("str").as("str_b"), col("id").as("ib")),
+        "str_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("ed"))
+    val same = members.as("a").join(members.as("b"),
+        col("a.str") === col("b.str") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(0).cast("int").as("ed"))
+
+    diff.unionByName(same)
   }
 }
