@@ -61,25 +61,34 @@ object EditJoin {
 
     // --- brute branch (distinct strings): pairs whose shorter side is
     // below the gram floor; both sides < floor + maxDist by length band.
+    // banded threshold form: O(d·n) DP with early exit, -1 when above
+    def lev(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      levenshtein(a, b, maxDist)
+
     val shortish = s.filter(col("len") < floor + maxDist)
     val brute = shortish.as("a").join(shortish.as("b"),
         col("a.id") < col("b.id") &&
           least(col("a.len"), col("b.len")) < floor &&
           abs(col("a.len") - col("b.len")) <= maxDist &&
-          levenshtein(col("a.str"), col("b.str")) <= maxDist)
+          lev(col("a.str"), col("b.str")) >= 0)
       .select(col("a.str").as("str_a"), col("b.str").as("str_b"),
-        levenshtein(col("a.str"), col("b.str")).cast("int").as("ed"))
+        lev(col("a.str"), col("b.str")).cast("int").as("ed"))
 
     // --- gram branch (distinct strings with BOTH sides >= floor).
     val g = s.filter(col("len") >= floor)
 
-    // multiset elements: (gram, occurrence-index within the string)
-    val grams = g.select(col("id"), col("len"),
+    // multiset elements: (gram, occurrence-index within the string). The
+    // string itself rides along — the prefix frame is (d*q+1) rows per
+    // DISTINCT string, so carrying it is cheap and lets the exact verify
+    // run INSIDE the candidate join stage: the bucket-pair blowup (the
+    // weakly-selective-gram regime) is filtered in-task by the codegen
+    // levenshtein and never reaches an exchange. Only survivors dedup.
+    val grams = g.select(col("id"), col("len"), col("str"),
         posexplode(transform(sequence(lit(1), col("len") - (q - 1)),
           i => col("str").substr(i, lit(q)))).as(Seq("pos", "gram")))
       .withColumn("occ", row_number().over(
         Window.partitionBy("id", "gram").orderBy("pos")))
-      .select("id", "len", "gram", "occ")
+      .select("id", "len", "str", "gram", "occ")
 
     // rarest-first global order; ties broken (gram, occ) for determinism
     val freq = grams.groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
@@ -87,24 +96,25 @@ object EditJoin {
       .withColumn("rn", row_number().over(Window.partitionBy("id")
         .orderBy(col("freq"), col("gram"), col("occ"))))
       .filter(col("rn") <= maxDist * q + 1)
-      .select("id", "len", "gram", "occ")
+      .select("id", "len", "str", "gram", "occ")
 
-    val cand = prefix.as("a").join(prefix.as("b"),
+    // The prefix frame is tiny (d*q+1 rows per distinct string) but the
+    // bucket join EXPLODES inside the join stage — AQE, seeing only the
+    // small shuffle, would coalesce it to one partition and serialize
+    // the whole verify on a single task (measured: 52 s -> ~2 s at
+    // sf0.1). An explicit-width repartition on the join key is preserved
+    // by AQE and spreads the bucket work across the cluster.
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val prefixP = prefix.repartition(nParts, col("gram"), col("occ"))
+
+    val verified = prefixP.as("a").join(prefixP.as("b"),
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
           col("a.id") < col("b.id") &&
-          abs(col("a.len") - col("b.len")) <= maxDist)
-      .select(col("a.id").as("cid_a"), col("b.id").as("cid_b"))
+          abs(col("a.len") - col("b.len")) <= maxDist &&
+          lev(col("a.str"), col("b.str")) >= 0)
+      .select(col("a.str").as("str_a"), col("b.str").as("str_b"),
+        lev(col("a.str"), col("b.str")).cast("int").as("ed"))
       .distinct()
-
-    val strs = g.select(col("id"), col("str"))
-    val verified = cand
-      .join(strs.select(col("id").as("cid_a"), col("str").as("str_a")),
-        "cid_a")
-      .join(strs.select(col("id").as("cid_b"), col("str").as("str_b")),
-        "cid_b")
-      .filter(levenshtein(col("str_a"), col("str_b")) <= maxDist)
-      .select(col("str_a"), col("str_b"),
-        levenshtein(col("str_a"), col("str_b")).cast("int").as("ed"))
 
     // --- expand distinct-string results back to id pairs (output-bound):
     // cross-string matches via the member lists of both sides; same-string
