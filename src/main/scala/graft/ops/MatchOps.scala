@@ -36,7 +36,63 @@ object MatchOps {
       |  AND levenshtein(a.title, b.title) <= 4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Entity resolution end-to-end — the composition the fuzzy join
+    * exists for: near-identical titles (ed <= 4) become edges, connected
+    * components merge transitive matches, each doc resolves to its
+    * component's canonical id (min doc_id), singletons to themselves.
+    * One differential covers EditJoin + ConnectedComponents + canonical
+    * selection stacked, the way q_curation_pipeline covers the curation
+    * chain; the oracle replays the closure as a recursive CTE over the
+    * all-pairs edge set. */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val titles = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(Text.tokens(col("text")), 1, 5), " ").as("title"))
+    val edges = EditJoin.selfJoin(titles, "doc_id", "title", maxDist = 4)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val comps = graft.graph.ConnectedComponents.run(edges)
+      .withColumnRenamed("id", "doc_id")
+    val resolved = titles.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canon_id"))
+    val sizes = resolved.groupBy("canon_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    resolved.join(sizes, "canon_id")
+      .select("doc_id", "canon_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+
+  private val entityResolutionOracle: String =
+    """WITH RECURSIVE
+      |t AS MATERIALIZED (SELECT doc_id,
+      |    array_to_string(list_filter(regexp_split_to_array(text, ' +'),
+      |      w -> w != '')[1:5], ' ') AS title
+      |  FROM documents),
+      |e AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM t a, t b
+      |  WHERE a.doc_id < b.doc_id
+      |    AND abs(length(a.title) - length(b.title)) <= 4
+      |    AND levenshtein(a.title, b.title) <= 4),
+      |und AS MATERIALIZED (SELECT a AS id, b AS nbr FROM e
+      |  UNION ALL SELECT b, a FROM e),
+      |reach AS (SELECT id, id AS label
+      |    FROM (SELECT DISTINCT id FROM und) s
+      |  UNION
+      |  SELECT u.id, r.label FROM und u JOIN reach r ON r.id = u.nbr),
+      |lab AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+      |res AS (SELECT t.doc_id,
+      |    coalesce(lab.component, t.doc_id) AS canon_id
+      |  FROM t LEFT JOIN lab ON lab.id = t.doc_id),
+      |sz AS (SELECT canon_id, CAST(count(*) AS BIGINT) AS cluster_size
+      |  FROM res GROUP BY canon_id)
+      |SELECT res.doc_id, res.canon_id, sz.cluster_size
+      |FROM res JOIN sz USING (canon_id) ORDER BY res.doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_join_fuzzy", joinFuzzy, Some(joinFuzzyOracle),
-      "J5+ fuzzy edit-distance join (ED-Join prefix filtering)"))
+      "J5+ fuzzy edit-distance join (ED-Join prefix filtering)"),
+    QuerySpec("q_entity_resolution", entityResolution,
+      Some(entityResolutionOracle),
+      "match/entity-resolution (fuzzy join -> CC -> canonical)"))
 }
