@@ -407,4 +407,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected window partitioning: $windows\n$s")
     assert(s.contains("row_number"), s)
   }
+
+  test("fuzzy join: candidate verify is a spread equi-join, never one task") {
+    val df = MatchOps.joinFuzzy(spark, dir)
+    val s = plan(df)
+    // no cartesian fallback anywhere; the short-string brute branch is a
+    // DOCUMENTED bounded nested loop (empty for this fixture), so BNLJ
+    // itself is not forbidden — but the gram-side candidate join must be
+    // an equi-join on (gram, occ), visible as its hash-partitioned
+    // exchange below.
+    assert(!s.contains("CartesianProduct"), s)
+    // the explicit-width repartition must survive AQE: if the candidate
+    // join's exchange coalesces to one partition, the entire in-join
+    // levenshtein verify serializes on a single task (measured 52 s ->
+    // 3 s at sf0.1). REPARTITION_BY_COL with an explicit count is the
+    // pinned mechanism.
+    assert(s.contains("REPARTITION_BY_NUM") || s.contains("REPARTITION_BY_COL"),
+      s"explicit repartition lost from the fuzzy-join plan:\n$s")
+  }
 }
