@@ -89,9 +89,42 @@ object MatchOps {
       |SELECT res.doc_id, res.canon_id, sz.cluster_size
       |FROM res JOIN sz USING (canon_id) ORDER BY res.doc_id""".stripMargin
 
+  /** Fuzzy decontamination — the cross-corpus form of the edit-distance
+    * join: train titles (doc_id % 10 != 0) within ed <= 4 of any
+    * benchmark title (doc_id % 10 == 0). Exact-hash decontamination
+    * (q_decontaminate) misses near-identical rephrasings; this is the
+    * fuzzy sweep that follows it. Oracle is the all-pairs cross join. */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val titles = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(Text.tokens(col("text")), 1, 5), " ").as("title"))
+    val train = titles.filter(col("doc_id") % 10 =!= 0)
+    val bench = titles.filter(col("doc_id") % 10 === 0)
+    EditJoin.join(train, bench, "doc_id", "title", maxDist = 4)
+      .withColumnRenamed("id_l", "train_doc")
+      .withColumnRenamed("id_r", "bench_doc")
+      .orderBy("train_doc", "bench_doc")
+  }
+
+  private val decontaminateFuzzyOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    array_to_string(list_filter(regexp_split_to_array(text, ' +'),
+      |      w -> w != '')[1:5], ' ') AS title
+      |  FROM documents)
+      |SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
+      |  CAST(levenshtein(a.title, b.title) AS INT) AS ed
+      |FROM t a, t b
+      |WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+      |  AND abs(length(a.title) - length(b.title)) <= 4
+      |  AND levenshtein(a.title, b.title) <= 4
+      |ORDER BY train_doc, bench_doc""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_join_fuzzy", joinFuzzy, Some(joinFuzzyOracle),
       "J5+ fuzzy edit-distance join (ED-Join prefix filtering)"),
+    QuerySpec("q_decontaminate_fuzzy", decontaminateFuzzy,
+      Some(decontaminateFuzzyOracle),
+      "curate/fuzzy-decontamination (cross-corpus edit-distance join)"),
     QuerySpec("q_entity_resolution", entityResolution,
       Some(entityResolutionOracle),
       "match/entity-resolution (fuzzy join -> CC -> canonical)"))

@@ -133,4 +133,80 @@ object EditJoin {
 
     diff.unionByName(same)
   }
+
+  /** Cross-corpus form: all pairs (id_l, id_r) with
+    * levenshtein(str_l, str_r) <= maxDist between two DIFFERENT corpora —
+    * the fuzzy-decontamination shape (train titles vs benchmark titles,
+    * where exact-hash decontamination misses near-identical rephrasings).
+    * Same machinery as [[selfJoin]]: exact-collapse per side, shared
+    * rarest-first element order built from the UNION of both sides'
+    * gram multisets (the prefix-filter theorem needs one total order
+    * across both corpora), in-join banded verify, short-string brute
+    * branch, output-bound expansion. */
+  def join(left: DataFrame, right: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 0 && q >= 1, "maxDist >= 0, q >= 1")
+    val floor = q * (maxDist + 1)
+
+    def lev(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      levenshtein(a, b, maxDist)
+
+    def collapse(df: DataFrame): DataFrame =
+      df.filter(col(strCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
+        .groupBy("str").agg(min("id").as("id"))
+        .withColumn("len", length(col("str")))
+
+    val (ls, rs) = (collapse(left), collapse(right))
+
+    // brute branch: pairs whose shorter side is under the gram floor
+    val (lShort, rShort) =
+      (ls.filter(col("len") < floor + maxDist),
+        rs.filter(col("len") < floor + maxDist))
+    val brute = lShort.as("a").join(rShort.as("b"),
+        least(col("a.len"), col("b.len")) < floor &&
+          abs(col("a.len") - col("b.len")) <= maxDist &&
+          lev(col("a.str"), col("b.str")) >= 0)
+      .select(col("a.str").as("str_l"), col("b.str").as("str_r"),
+        lev(col("a.str"), col("b.str")).cast("int").as("ed"))
+
+    // gram branch over both-long pairs, prefixes under ONE shared order
+    def gramsOf(s: DataFrame): DataFrame =
+      s.filter(col("len") >= floor)
+        .select(col("id"), col("len"), col("str"),
+          posexplode(transform(sequence(lit(1), col("len") - (q - 1)),
+            i => col("str").substr(i, lit(q)))).as(Seq("pos", "gram")))
+        .withColumn("occ", row_number().over(
+          Window.partitionBy("id", "gram").orderBy("pos")))
+        .select("id", "len", "str", "gram", "occ")
+    val (lg, rg) = (gramsOf(ls), gramsOf(rs))
+    val freq = lg.unionByName(rg)
+      .groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
+    def prefixOf(g: DataFrame): DataFrame =
+      g.join(freq, Seq("gram", "occ"))
+        .withColumn("rn", row_number().over(Window.partitionBy("id")
+          .orderBy(col("freq"), col("gram"), col("occ"))))
+        .filter(col("rn") <= maxDist * q + 1)
+        .select("id", "len", "str", "gram", "occ")
+    val nParts = left.sparkSession.sessionState.conf.numShufflePartitions
+    val lp = prefixOf(lg).repartition(nParts, col("gram"), col("occ"))
+    val rp = prefixOf(rg).repartition(nParts, col("gram"), col("occ"))
+
+    val verified = lp.as("a").join(rp.as("b"),
+        col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
+          abs(col("a.len") - col("b.len")) <= maxDist &&
+          lev(col("a.str"), col("b.str")) >= 0)
+      .select(col("a.str").as("str_l"), col("b.str").as("str_r"),
+        lev(col("a.str"), col("b.str")).cast("int").as("ed"))
+      .distinct()
+
+    // expand back to id pairs via each side's member list (output-bound)
+    val lMembers = left.filter(col(strCol).isNotNull)
+      .select(col(strCol).as("str_l"), col(idCol).cast("long").as("id_l"))
+    val rMembers = right.filter(col(strCol).isNotNull)
+      .select(col(strCol).as("str_r"), col(idCol).cast("long").as("id_r"))
+    brute.unionByName(verified)
+      .join(lMembers, "str_l").join(rMembers, "str_r")
+      .select("id_l", "id_r", "ed")
+  }
 }

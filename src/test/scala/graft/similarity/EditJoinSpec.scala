@@ -66,4 +66,22 @@ object EditJoinSpec extends Properties("editjoin") {
       val rows = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       run(rows, d) == brute(rows, d)
     }
+
+  private def bruteCross(l: Seq[(Long, String)], r: Seq[(Long, String)],
+      d: Int): Set[(Long, Long, Int)] =
+    (for {
+      (il, sl) <- l; (ir, sr) <- r
+      ed = editDist(sl, sr)
+      if ed <= d
+    } yield (il, ir, ed)).toSet
+
+  property("randomized cross-corpus: join == all-pairs for d in 1..3") =
+    Prop.forAllNoShrink(corpus, corpus, Gen.choose(1, 3)) { (as, bs, d) =>
+      val l = as.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val r = bs.zipWithIndex.map { case (s, i) => (1000L + i, s) }
+      val got = EditJoin.join(l.toDF("id", "s"), r.toDF("id", "s"),
+          "id", "s", maxDist = d)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      got == bruteCross(l, r, d)
+    }
 }
