@@ -1547,7 +1547,62 @@ object CurateOps {
       |SELECT source, max(n_s) AS n_tokens, CAST(sum(c) AS BIGINT) AS js_nano
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** Winsorization — clip doc-length features at exact per-language
+    * p05/p95 before they feed loss weighting / packing heuristics (the
+    * outlier-robust companion to [[outlierMad]]'s detection: MAD flags,
+    * winsorize repairs). Cut points are exact order statistics via the
+    * rank trick (rank = ceil(q·n) on the (value, doc_id) total order) —
+    * integer arithmetic end to end, no interpolation for engines to
+    * round differently. One sort window per language partition; the
+    * sketch-quantile machinery is the documented 100 TB form. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    def cut(qNum: Int, qDen: Int, out: String): DataFrame =
+      docs.withColumn("rn", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("n_chars"), col("doc_id"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+        .filter(col("rn") ===
+          ceil(col("cnt") * qNum / qDen).cast("long"))
+        .select(col("lang"), col("n_chars").as(out))
+    val lo = cut(1, 20, "p05")
+    val hi = cut(19, 20, "p95")
+    docs.join(lo, "lang").join(hi, "lang")
+      .withColumn("clipped",
+        greatest(least(col("n_chars"), col("p95")), col("p05")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        max("p05").as("p05"), max("p95").as("p95"),
+        sum(when(col("n_chars") =!= col("clipped"), 1L).otherwise(0L))
+          .as("n_clipped"),
+        sum("clipped").as("sum_clipped"))
+      .orderBy("lang")
+  }
+
+  private val winsorizeOracle: String =
+    """WITH d AS (SELECT lang, doc_id, n_chars FROM documents),
+      |r AS (SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM d),
+      |lo AS (SELECT lang, n_chars AS p05 FROM r
+      |  WHERE rn = CAST(ceil(cnt * 1.0 / 20) AS BIGINT)),
+      |hi AS (SELECT lang, n_chars AS p95 FROM r
+      |  WHERE rn = CAST(ceil(cnt * 19.0 / 20) AS BIGINT)),
+      |c AS (SELECT d.lang, d.n_chars, lo.p05, hi.p95,
+      |    greatest(least(d.n_chars, hi.p95), lo.p05) AS clipped
+      |  FROM d JOIN lo USING (lang) JOIN hi USING (lang))
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  max(p05) AS p05, max(p95) AS p95,
+      |  CAST(sum(CASE WHEN n_chars != clipped THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped,
+      |  CAST(sum(clipped) AS BIGINT) AS sum_clipped
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_winsorize", winsorize,
+      Some(winsorizeOracle), "curate/winsorize-exact-percentile-clip"),
     QuerySpec("q_source_divergence", sourceDivergence,
       Some(sourceDivergenceOracle), "curate/js-divergence-drift"),
     QuerySpec("q_outlier_mad", outlierMad,
