@@ -119,9 +119,47 @@ object MatchOps {
       |  AND levenshtein(a.title, b.title) <= 4
       |ORDER BY train_doc, bench_doc""".stripMargin
 
+  /** Fuzzy matching served from the PERSISTED prefix index: the corpus
+    * side (even doc_ids) is indexed once — member list, distinct
+    * strings, frozen element-frequency order, prefix relation — and the
+    * batch (odd doc_ids) assigns against the frozen tables with no
+    * corpus-side recompute. Same oracle family as the direct cross
+    * join; EditJoinSpec additionally pins served == direct. */
+  def joinFuzzyIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val titles = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(Text.tokens(col("text")), 1, 5), " ").as("title"))
+    val corpus = titles.filter(col("doc_id") % 2 === 0)
+    val batch = titles.filter(col("doc_id") % 2 =!= 0)
+    val store = new graft.pipeline.Store(spark,
+      SourceSinkOps.tmp("fuzzyidx", dir))
+    EditJoin.buildIndex(store, "fz", corpus, "doc_id", "title", maxDist = 4)
+    EditJoin.assignAgainstIndex(store, "fz", batch, "doc_id", "title",
+        maxDist = 4)
+      .withColumnRenamed("id_l", "batch_doc")
+      .withColumnRenamed("id_r", "corpus_doc")
+      .orderBy("batch_doc", "corpus_doc")
+  }
+
+  private val joinFuzzyIndexedOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    array_to_string(list_filter(regexp_split_to_array(text, ' +'),
+      |      w -> w != '')[1:5], ' ') AS title
+      |  FROM documents)
+      |SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+      |  CAST(levenshtein(a.title, b.title) AS INT) AS ed
+      |FROM t a, t b
+      |WHERE a.doc_id % 2 != 0 AND b.doc_id % 2 = 0
+      |  AND abs(length(a.title) - length(b.title)) <= 4
+      |  AND levenshtein(a.title, b.title) <= 4
+      |ORDER BY batch_doc, corpus_doc""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_join_fuzzy", joinFuzzy, Some(joinFuzzyOracle),
       "J5+ fuzzy edit-distance join (ED-Join prefix filtering)"),
+    QuerySpec("q_join_fuzzy_indexed", joinFuzzyIndexed,
+      Some(joinFuzzyIndexedOracle),
+      "match/fuzzy-join-persisted-index-serving"),
     QuerySpec("q_decontaminate_fuzzy", decontaminateFuzzy,
       Some(decontaminateFuzzyOracle),
       "curate/fuzzy-decontamination (cross-corpus edit-distance join)"),

@@ -75,37 +75,23 @@ object EditJoin {
         lev(col("a.str"), col("b.str")).cast("int").as("ed"))
 
     // --- gram branch (distinct strings with BOTH sides >= floor).
-    val g = s.filter(col("len") >= floor)
-
-    // multiset elements: (gram, occurrence-index within the string). The
-    // string itself rides along — the prefix frame is (d*q+1) rows per
-    // DISTINCT string, so carrying it is cheap and lets the exact verify
-    // run INSIDE the candidate join stage: the bucket-pair blowup (the
-    // weakly-selective-gram regime) is filtered in-task by the codegen
+    // Multiset elements are (gram, occurrence-index); the string rides
+    // along — the prefix frame is (d*q+1) rows per DISTINCT string, so
+    // carrying it is cheap and lets the exact verify run INSIDE the
+    // candidate join stage: the bucket-pair blowup (the weakly-
+    // selective-gram regime) is filtered in-task by the codegen banded
     // levenshtein and never reaches an exchange. Only survivors dedup.
-    val grams = g.select(col("id"), col("len"), col("str"),
-        posexplode(transform(sequence(lit(1), col("len") - (q - 1)),
-          i => col("str").substr(i, lit(q)))).as(Seq("pos", "gram")))
-      .withColumn("occ", row_number().over(
-        Window.partitionBy("id", "gram").orderBy("pos")))
-      .select("id", "len", "str", "gram", "occ")
-
-    // rarest-first global order; ties broken (gram, occ) for determinism
+    val grams = gramsOf(s, floor, q)
     val freq = grams.groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
-    val prefix = grams.join(freq, Seq("gram", "occ"))
-      .withColumn("rn", row_number().over(Window.partitionBy("id")
-        .orderBy(col("freq"), col("gram"), col("occ"))))
-      .filter(col("rn") <= maxDist * q + 1)
-      .select("id", "len", "str", "gram", "occ")
 
-    // The prefix frame is tiny (d*q+1 rows per distinct string) but the
-    // bucket join EXPLODES inside the join stage — AQE, seeing only the
-    // small shuffle, would coalesce it to one partition and serialize
-    // the whole verify on a single task (measured: 52 s -> ~2 s at
-    // sf0.1). An explicit-width repartition on the join key is preserved
-    // by AQE and spreads the bucket work across the cluster.
+    // The prefix frame is tiny but the bucket join EXPLODES inside the
+    // join stage — AQE, seeing only the small shuffle, would coalesce it
+    // to one partition and serialize the whole verify on a single task
+    // (measured: 52 s -> ~3 s at sf0.1). An explicit-width repartition
+    // on the join key is preserved by AQE and spreads the bucket work.
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val prefixP = prefix.repartition(nParts, col("gram"), col("occ"))
+    val prefixP = prefixOf(grams, freq, maxDist, q)
+      .repartition(nParts, col("gram"), col("occ"))
 
     val verified = prefixP.as("a").join(prefixP.as("b"),
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
@@ -151,13 +137,7 @@ object EditJoin {
     def lev(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       levenshtein(a, b, maxDist)
 
-    def collapse(df: DataFrame): DataFrame =
-      df.filter(col(strCol).isNotNull)
-        .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
-        .groupBy("str").agg(min("id").as("id"))
-        .withColumn("len", length(col("str")))
-
-    val (ls, rs) = (collapse(left), collapse(right))
+    val (ls, rs) = (collapse(left, idCol, strCol), collapse(right, idCol, strCol))
 
     // brute branch: pairs whose shorter side is under the gram floor
     val (lShort, rShort) =
@@ -171,26 +151,14 @@ object EditJoin {
         lev(col("a.str"), col("b.str")).cast("int").as("ed"))
 
     // gram branch over both-long pairs, prefixes under ONE shared order
-    def gramsOf(s: DataFrame): DataFrame =
-      s.filter(col("len") >= floor)
-        .select(col("id"), col("len"), col("str"),
-          posexplode(transform(sequence(lit(1), col("len") - (q - 1)),
-            i => col("str").substr(i, lit(q)))).as(Seq("pos", "gram")))
-        .withColumn("occ", row_number().over(
-          Window.partitionBy("id", "gram").orderBy("pos")))
-        .select("id", "len", "str", "gram", "occ")
-    val (lg, rg) = (gramsOf(ls), gramsOf(rs))
+    val (lg, rg) = (gramsOf(ls, floor, q), gramsOf(rs, floor, q))
     val freq = lg.unionByName(rg)
       .groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
-    def prefixOf(g: DataFrame): DataFrame =
-      g.join(freq, Seq("gram", "occ"))
-        .withColumn("rn", row_number().over(Window.partitionBy("id")
-          .orderBy(col("freq"), col("gram"), col("occ"))))
-        .filter(col("rn") <= maxDist * q + 1)
-        .select("id", "len", "str", "gram", "occ")
     val nParts = left.sparkSession.sessionState.conf.numShufflePartitions
-    val lp = prefixOf(lg).repartition(nParts, col("gram"), col("occ"))
-    val rp = prefixOf(rg).repartition(nParts, col("gram"), col("occ"))
+    val lp = prefixOf(lg, freq, maxDist, q)
+      .repartition(nParts, col("gram"), col("occ"))
+    val rp = prefixOf(rg, freq, maxDist, q)
+      .repartition(nParts, col("gram"), col("occ"))
 
     val verified = lp.as("a").join(rp.as("b"),
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
@@ -207,6 +175,129 @@ object EditJoin {
       .select(col(strCol).as("str_r"), col(idCol).cast("long").as("id_r"))
     brute.unionByName(verified)
       .join(lMembers, "str_l").join(rMembers, "str_r")
+      .select("id_l", "id_r", "ed")
+  }
+
+  // ---- persisted prefix index: build the corpus side once, assign
+  // incoming batches against the frozen tables (the CorpusIndex /
+  // Ivf.buildPersisted serving pattern). The element order is FROZEN at
+  // build time; batch grams unseen by the corpus get frequency 0 and
+  // sort first — any consistent total order satisfies the prefix-filter
+  // theorem (prefix SIZES come from multiset sizes, not frequencies),
+  // and an unseen gram can never collide with a corpus element anyway.
+  import org.apache.spark.sql.types._
+
+  private val membersSchema = StructType(Seq(
+    StructField("str", StringType), StructField("id", LongType)))
+  private val stringsSchema = StructType(Seq(
+    StructField("str", StringType), StructField("id", LongType),
+    StructField("len", IntegerType)))
+  private val prefixSchema = StructType(Seq(
+    StructField("id", LongType), StructField("len", IntegerType),
+    StructField("str", StringType), StructField("gram", StringType),
+    StructField("occ", IntegerType)))
+  private val freqSchema = StructType(Seq(
+    StructField("gram", StringType), StructField("occ", IntegerType),
+    StructField("freq", LongType)))
+  private val metaSchema = StructType(Seq(
+    StructField("max_dist", IntegerType), StructField("q", IntegerType)))
+
+  private def collapse(df: DataFrame, idCol: String,
+      strCol: String): DataFrame =
+    df.filter(col(strCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
+      .groupBy("str").agg(min("id").as("id"))
+      .withColumn("len", length(col("str")))
+
+  private def gramsOf(s: DataFrame, floor: Int, q: Int): DataFrame =
+    s.filter(col("len") >= floor)
+      .select(col("id"), col("len"), col("str"),
+        posexplode(transform(sequence(lit(1), col("len") - (q - 1)),
+          i => col("str").substr(i, lit(q)))).as(Seq("pos", "gram")))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy("id", "gram").orderBy("pos")))
+      .select("id", "len", "str", "gram", "occ")
+
+  private def prefixOf(g: DataFrame, freq: DataFrame, maxDist: Int,
+      q: Int): DataFrame =
+    g.join(freq, Seq("gram", "occ"), "left")
+      .na.fill(0L, Seq("freq"))
+      .withColumn("rn", row_number().over(Window.partitionBy("id")
+        .orderBy(col("freq"), col("gram"), col("occ"))))
+      .filter(col("rn") <= maxDist * q + 1)
+      .select("id", "len", "str", "gram", "occ")
+
+  /** Build the corpus-side index under `name`: member list, distinct
+    * strings, frozen element frequencies, and the d·q+1-element prefix
+    * relation. `maxDist`/`q` are recorded and enforced at serve time. */
+  def buildIndex(store: graft.pipeline.Store, name: String,
+      corpus: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 2): Unit = {
+    require(maxDist >= 0 && q >= 1, "maxDist >= 0, q >= 1")
+    val floor = q * (maxDist + 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val members = corpus.filter(col(strCol).isNotNull)
+      .select(col(strCol).as("str"), col(idCol).cast("long").as("id"))
+    val s = collapse(corpus, idCol, strCol)
+    val g = gramsOf(s, floor, q)
+    val freq = g.groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
+    store.write(s"${name}_members", members)
+    store.write(s"${name}_strings", s.select("str", "id", "len"))
+    store.write(s"${name}_freq", freq)
+    store.write(s"${name}_prefix", prefixOf(g, freq, maxDist, q))
+    store.write(s"${name}_meta", Seq((maxDist, q)).toDF("max_dist", "q"))
+  }
+
+  /** All pairs (id_batch, id_corpus, ed) with ed <= maxDist between a
+    * new batch and the INDEXED corpus — no corpus-side gram recompute,
+    * no corpus scan beyond the stored prefix/short relations. */
+  def assignAgainstIndex(store: graft.pipeline.Store, name: String,
+      batch: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 2): DataFrame = {
+    val meta = store.read(s"${name}_meta", metaSchema).collect()
+    require(meta.length == 1 && meta(0).getInt(0) == maxDist &&
+      meta(0).getInt(1) == q,
+      s"index '$name' was built for (maxDist, q) = " +
+        s"${meta.toSeq.map(r => (r.getInt(0), r.getInt(1)))}, " +
+        s"serve asked ($maxDist, $q)")
+    val floor = q * (maxDist + 1)
+
+    def lev(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      levenshtein(a, b, maxDist)
+
+    val bs = collapse(batch, idCol, strCol)
+    val cs = store.read(s"${name}_strings", stringsSchema)
+
+    val bShort = bs.filter(col("len") < floor + maxDist)
+    val cShort = cs.filter(col("len") < floor + maxDist)
+    val brute = bShort.as("a").join(cShort.as("b"),
+        least(col("a.len"), col("b.len")) < floor &&
+          abs(col("a.len") - col("b.len")) <= maxDist &&
+          lev(col("a.str"), col("b.str")) >= 0)
+      .select(col("a.str").as("str_l"), col("b.str").as("str_r"),
+        lev(col("a.str"), col("b.str")).cast("int").as("ed"))
+
+    val freq = store.read(s"${name}_freq", freqSchema)
+    val nParts = batch.sparkSession.sessionState.conf.numShufflePartitions
+    val bp = prefixOf(gramsOf(bs, floor, q), freq, maxDist, q)
+      .repartition(nParts, col("gram"), col("occ"))
+    val cp = store.read(s"${name}_prefix", prefixSchema)
+      .repartition(nParts, col("gram"), col("occ"))
+    val verified = bp.as("a").join(cp.as("b"),
+        col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
+          abs(col("a.len") - col("b.len")) <= maxDist &&
+          lev(col("a.str"), col("b.str")) >= 0)
+      .select(col("a.str").as("str_l"), col("b.str").as("str_r"),
+        lev(col("a.str"), col("b.str")).cast("int").as("ed"))
+      .distinct()
+
+    val bMembers = batch.filter(col(strCol).isNotNull)
+      .select(col(strCol).as("str_l"), col(idCol).cast("long").as("id_l"))
+    val cMembers = store.read(s"${name}_members", membersSchema)
+      .select(col("str").as("str_r"), col("id").as("id_r"))
+    brute.unionByName(verified)
+      .join(bMembers, "str_l").join(cMembers, "str_r")
       .select("id_l", "id_r", "ed")
   }
 }

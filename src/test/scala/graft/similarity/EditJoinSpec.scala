@@ -75,6 +75,23 @@ object EditJoinSpec extends Properties("editjoin") {
       if ed <= d
     } yield (il, ir, ed)).toSet
 
+  property("persisted-index serving == direct cross join, bit for bit") =
+    Prop.forAllNoShrink(corpus, corpus, Gen.choose(1, 3)) { (as, bs, d) =>
+      val l = as.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val r = bs.zipWithIndex.map { case (s, i) => (1000L + i, s) }
+      val direct = EditJoin.join(l.toDF("id", "s"), r.toDF("id", "s"),
+          "id", "s", maxDist = d)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      val store = new graft.pipeline.Store(spark,
+        s"/tmp/graft_ss/p${ProcessHandle.current().pid}/" +
+          s"editjoin_idx_${System.nanoTime()}")
+      EditJoin.buildIndex(store, "fz", r.toDF("id", "s"), "id", "s", d)
+      val served = EditJoin.assignAgainstIndex(store, "fz",
+          l.toDF("id", "s"), "id", "s", d)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      served == direct && direct == bruteCross(l, r, d)
+    }
+
   property("randomized cross-corpus: join == all-pairs for d in 1..3") =
     Prop.forAllNoShrink(corpus, corpus, Gen.choose(1, 3)) { (as, bs, d) =>
       val l = as.zipWithIndex.map { case (s, i) => (i.toLong, s) }
