@@ -139,7 +139,40 @@ object FunctionOps {
       |        WHEN w < 120 THEN 'ESCS' ELSE 'SuCS' END)
       |ELSE 'CY' END""".stripMargin
 
+  /** Native codegen Jaro-Winkler vs DuckDB's independent C++
+    * implementation — two from-scratch implementations of the classic
+    * definition (byte-level, window floor(max/2)-1, 0.7 boost
+    * threshold, prefix scale 0.1 capped at 4) differentially pinned
+    * over every part name against two probe strings. Filter and rank
+    * both run on the ROUNDED score so a last-ulp divergence cannot flip
+    * a boundary. */
+  def fnJaroWinkler(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.JaroWinkler.jaroWinklerNative
+    load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        round(jaroWinklerNative(col("p_name"), lit("red widget")), 6)
+          .as("jw_widget"),
+        round(jaroWinklerNative(col("p_name"), lit("small gizmo")), 6)
+          .as("jw_gizmo"))
+      .filter(col("jw_widget") >= 0.6 || col("jw_gizmo") >= 0.6)
+      .orderBy(col("jw_widget").desc, col("p_partkey"))
+      .limit(25)
+  }
+
+  private val fnJaroWinklerOracle: String =
+    """SELECT p_partkey, p_name,
+      |  round(jaro_winkler_similarity(p_name, 'red widget'), 6)
+      |    AS jw_widget,
+      |  round(jaro_winkler_similarity(p_name, 'small gizmo'), 6)
+      |    AS jw_gizmo
+      |FROM part
+      |WHERE round(jaro_winkler_similarity(p_name, 'red widget'), 6) >= 0.6
+      |   OR round(jaro_winkler_similarity(p_name, 'small gizmo'), 6) >= 0.6
+      |ORDER BY jw_widget DESC, p_partkey LIMIT 25""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_fn_jaro_winkler", fnJaroWinkler,
+      Some(fnJaroWinklerOracle), "fn/jaro-winkler-native"),
     QuerySpec("q_fn_atcf_latlon", fnAtcfLatLon, Some(
       """SELECT p_partkey,
         |CASE WHEN p_partkey % 2 = 0 THEN (p_partkey % 900) / 10.0

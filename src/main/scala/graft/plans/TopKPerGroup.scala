@@ -232,6 +232,13 @@ object TopK {
         require(args.length == 2,
           s"cosine_similarity expects (a, b), got ${args.length} args")
         graft.functions.expressions.CosineSimilarity(args(0), args(1))
+      }),
+    ("jaro_winkler",
+      classOf[graft.functions.expressions.JaroWinkler].getName,
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"jaro_winkler expects (a, b), got ${args.length} args")
+        graft.functions.expressions.JaroWinkler(args(0), args(1))
       }))
 
   /** For `SparkSession.Builder.withExtensions` (Session.configure):
