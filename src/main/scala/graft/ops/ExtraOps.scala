@@ -122,6 +122,46 @@ object ExtraOps {
           .select(col("c_custkey").as("a"), (col("c_custkey") + 1).as("b")))
       .orderBy("id")
 
+  /** Nested-type packing — the conversation-assembly shape every
+    * chat/SFT dataset pipeline runs: per-user event streams packed into
+    * ONE ordered array<struct> column (collect_list(struct) +
+    * sort_array — the struct sorts lexicographically (ts, event_id, …),
+    * so unique event_ids make the order total), then summarized by
+    * ARRAY access (first/last element fields). Exercises the nested
+    * type system end to end: struct build, array aggregation, ordered
+    * array, element_at on struct fields. The oracle derives the same
+    * facts relationally (rank window), so the packed representation
+    * must agree with the flat one.
+    *
+    * 100 TB shape: one user_id-keyed aggregate; the packed array lives
+    * only inside the row (conversation-sized, bounded by a user's
+    * events). The known hazard is a power-user key whose conversation
+    * exceeds task memory — the production guard is the source-cap /
+    * per-key truncation machinery (q_source_cap) upstream. */
+  def nestedPack(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("msgs"))
+      .select(col("user_id"),
+        size(col("msgs")).as("n_messages"),
+        col("msgs").getItem(0).getField("event_type").as("first_type"),
+        element_at(col("msgs"), -1).getField("event_type").as("last_type"),
+        col("msgs").getItem(0).getField("event_id").as("first_event_id"))
+      .orderBy("user_id")
+
+  private val nestedPackOracle: String =
+    """WITH r AS (SELECT user_id, event_type, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS cnt
+      |  FROM events)
+      |SELECT user_id, CAST(max(cnt) AS INT) AS n_messages,
+      |  max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+      |  max(CASE WHEN rn = cnt THEN event_type END) AS last_type,
+      |  max(CASE WHEN rn = 1 THEN event_id END) AS first_event_id
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** F18 — structured JSON parsing with a declared schema (from_json →
     * typed struct field), the inverse of the to_json sink. */
   def fnFromJson(spark: SparkSession, dir: String): DataFrame =
@@ -133,6 +173,8 @@ object ExtraOps {
       .orderBy("event_type")
 
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_nested_pack", nestedPack, Some(nestedPackOracle),
+      "nested types: conversation packing (array<struct> assembly)"),
     QuerySpec("q_fn_from_json", fnFromJson, Some(
       """SELECT event_type,
         |CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

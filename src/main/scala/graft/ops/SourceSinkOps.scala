@@ -404,9 +404,71 @@ object SourceSinkOps {
       |  min(doc_id) AS first_doc, max(md5(text)) AS text_md5_max
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** S-source — ORC round trip: the same typed aggregate as
+    * [[csvRoundtrip]] (BIGINT, DOUBLE-through-DECIMAL, DATE, TIMESTAMP,
+    * VARCHAR) but through Spark's native ORC reader/writer — the
+    * other columnar format warehouse data actually arrives in. Declared
+    * schema on read (no inference); shares the CSV gate's oracle: the
+    * sink format must be invisible in the data. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("orc", dir)
+    val agg = load(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderdate").cast("date")).as("first_date"),
+        max("o_orderdate").as("last_ts"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_price"),
+        max(concat(lit("k"), col("o_orderkey"))).as("max_key_str"))
+    agg.write.mode("overwrite").orc(path)
+    spark.read.schema(agg.schema).orc(path).orderBy("o_orderstatus")
+  }
+
+  /** Lakehouse write semantic — DYNAMIC partition overwrite: an updated
+    * slice (one status partition, prices bumped) overwrites ONLY the
+    * partitions it contains; untouched partitions survive. The STATIC
+    * default would wipe the whole table — the gate's read-back makes
+    * the difference load-bearing (two of three statuses must still
+    * carry their ORIGINAL rows). Session conf is saved and restored. */
+  def overwriteDynamic(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("dynpart", dir)
+    val o = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    val updated = o.filter(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try updated.write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.read.parquet(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice")).cast(DecimalType(18, 2))).cast("double")
+          .as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val overwriteDynamicOracle: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'
+      |    THEN o_totalprice + 1.0 ELSE o_totalprice END
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_jsonl_scan", jsonlScan, Some(jsonlScanOracle),
       "S-source: JSONL gzip shard round trip, declared schema"),
+    QuerySpec("q_orc_roundtrip", orcRoundtrip, Some(csvRoundtripOracle),
+      "S-source: ORC round trip, declared schema"),
+    QuerySpec("q_overwrite_dynamic", overwriteDynamic,
+      Some(overwriteDynamicOracle),
+      "lakehouse: dynamic partition overwrite"),
     QuerySpec("q_data_quality", dataQuality, Some(dataQualityOracle),
       "S8-analyze/data-quality"),
     QuerySpec("q_zorder_layout", zorderLayout,
