@@ -122,6 +122,50 @@ object ExtraOps {
           .select(col("c_custkey").as("a"), (col("c_custkey") + 1).as("b")))
       .orderBy("id")
 
+  /** PageRank over a deterministic link graph folded out of `orders`
+    * (src = orderkey mod 1024, dst = a fixed affine hash mod 1024 —
+    * a dense pseudo-random digraph with dangling nodes, the web-graph
+    * shape). Integer fixed-point recurrence ([[graft.graph.PageRank]])
+    * so the oracle replays it bit-exactly with `//` floor division —
+    * no float-summation slack in the differential. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.PageRank.run(
+        load(spark, dir, "orders")
+          .select((col("o_orderkey") % 1024).as("src"),
+            ((col("o_orderkey") * 131 + col("o_custkey")) % 1024).as("dst"))
+          .filter(col("src") =!= col("dst")),
+        iterations = 5)
+      .orderBy("id")
+
+  private val pagerankOracle: String = {
+    val base =
+      """WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |    SELECT o_orderkey % 1024 AS src,
+        |      (o_orderkey * 131 + o_custkey) % 1024 AS dst FROM orders)
+        |  WHERE src <> dst),
+        |nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+        |outd AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM nodes)"""
+        .stripMargin
+    val iters = (1 to 5).map { k =>
+      s"""r$k AS (SELECT n.id,
+         |    CAST(150000000000 + dang.share + COALESCE(s.c, 0) AS BIGINT) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS id, SUM(((r.rank * 85) // 100) // o.d) AS c
+         |      FROM e JOIN r${k - 1} r ON r.id = e.src
+         |      JOIN outd o ON o.src = e.src
+         |      GROUP BY e.dst) s ON s.id = n.id
+         |  CROSS JOIN (SELECT COALESCE(SUM((r.rank * 85) // 100), 0)
+         |        // (SELECT n FROM nn) AS share
+         |      FROM r${k - 1} r LEFT JOIN outd o ON o.src = r.id
+         |      WHERE o.src IS NULL) dang)""".stripMargin
+    }
+    (base +: iters).mkString(",\n") +
+      "\nSELECT id, rank FROM r5 ORDER BY id"
+  }
+
   /** Nested-type packing — the conversation-assembly shape every
     * chat/SFT dataset pipeline runs: per-user event streams packed into
     * ONE ordered array<struct> column (collect_list(struct) +
@@ -235,6 +279,8 @@ object ExtraOps {
         |lab AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
         |SELECT id, component FROM lab ORDER BY id""".stripMargin),
       "graph/connected-components"),
+    QuerySpec("q_graph_pagerank", graphPagerank, Some(pagerankOracle),
+      "graph/pagerank (integer fixed-point power iteration)"),
     QuerySpec("q_approx_distinct", approxDistinct, Some(
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |count(*) AS n, true AS within_bound
