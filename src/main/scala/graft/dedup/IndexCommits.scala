@@ -3,14 +3,15 @@ package graft.dedup
 import graft.pipeline.Store
 
 /** Per-batch-tag cross-table commit markers shared by the persisted
-  * index families ([[CorpusIndex]], [[EmbeddingIndex]]): an append
+  * index families ([[CorpusIndex]], [[EmbeddingIndex]],
+  * [[graft.similarity.EditJoin]]): an append
   * publishes its N tables sequentially, so a crash between publications
   * would otherwise leave a silently partial batch. The marker — an empty
   * file named by the tag under `<prefix>_commits/` — is written AFTER
   * the last table publish and validated before every assign; the fix for
   * a missing marker is the replay contract itself (clearBatch + append
   * with the SAME tag). */
-private[dedup] object IndexCommits {
+private[graft] object IndexCommits {
 
   def dir(store: Store, prefix: String): java.io.File =
     new java.io.File(store.path(s"${prefix}_commits"))

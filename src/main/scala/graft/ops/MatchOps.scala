@@ -167,7 +167,132 @@ object MatchOps {
       |  AND levenshtein(a.title, b.title) <= 4
       |ORDER BY batch_doc, corpus_doc""".stripMargin
 
+  /** Streaming fuzzy ingestion over the persisted prefix index
+    * ([[graft.streaming.StreamingDedup.fuzzyIngest]]): two micro-batches
+    * of titles land as parquet files (mtimes pin the order), each is
+    * DECIDED against the frozen index ('exact'/'near'/'novel' with
+    * batch-local closure), and accepted novel representatives are
+    * appended — batch 2 carries re-keyed COPIES of batch 1's titles, so
+    * its decisions can only be right if batch 1's appends are visible
+    * (the cross-batch resolution path the append lifecycle exists for).
+    * The oracle replays both decisions SEQUENTIALLY in DuckDB (batch 2's
+    * corpus = corpus ∪ batch 1's accepted novels). Fixture prep (index
+    * build, landing files, stream run) is memoized; the gate reads the
+    * decisions table — the [[graft.ops.TextOps.dedupStreamIngest]]
+    * convention. */
+  private val streamFuzzyCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Store]
+
+  def streamFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val store = streamFuzzyCache.synchronized {
+      streamFuzzyCache.getOrElseUpdate((spark, dir), {
+        val base = SourceSinkOps.tmp("sfuzzy", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        def titles = load(spark, dir, "documents")
+          .select(col("doc_id"),
+            array_join(slice(Text.tokens(col("text")), 1, 5), " ")
+              .as("title"))
+        val st = new graft.pipeline.Store(spark, s"$base/store")
+        EditJoin.buildIndex(st, "fz",
+          titles.filter(col("doc_id") % 2 === 0), "doc_id", "title",
+          maxDist = 4)
+        val landing = s"$base/landing"
+        new java.io.File(landing).mkdirs()
+        def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmpd = s"$base/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+          val part = new java.io.File(tmpd).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$landing/$name")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          require(dst.setLastModified(mtime),
+            s"could not pin mtime on $dst — batch order would be undefined")
+        }
+        val t0 = 1700000000000L // any fixed epoch — only the ORDER matters
+        writeBatchFile(titles.filter(col("doc_id") % 4 === 1),
+          "b0.parquet", t0)
+        writeBatchFile(titles.filter(col("doc_id") % 4 === 3)
+            .unionAll(titles.filter(col("doc_id") % 4 === 1)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                col("title"))),
+          "b1.parquet", t0 + 3600000L)
+        graft.streaming.StreamingDedup.fuzzyIngest(spark, landing,
+          titles.schema, st, "fz", s"$base/ck", "title", "doc_id",
+          maxDist = 4).awaitTermination()
+        st
+      })
+    }
+    spark.read.parquet(store.path("decisions")).orderBy("doc_id")
+  }
+
+  /** DuckDB replica of ONE fuzzy decision as a parameterized derived
+    * table `(corpusSel, batchSel) -> (doc_id, assigned, matched)`:
+    * batch exact collapse, all-pairs levenshtein vs the corpus with
+    * (min ed, min corpus id) assignment, and the recursive min-label
+    * closure over the novel leftovers — the
+    * [[graft.similarity.EditJoin.assignDecisions]] contract. */
+  private def fuzzyDecisionSql(corpusSel: String, batchSel: String,
+      d: Int): String =
+    s"""(WITH RECURSIVE
+       |corpus AS MATERIALIZED ($corpusSel),
+       |batch AS MATERIALIZED ($batchSel),
+       |brm AS MATERIALIZED (SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY title) AS rep FROM batch),
+       |reps AS MATERIALIZED (SELECT b.doc_id, b.title FROM batch b
+       |  JOIN brm r ON b.doc_id = r.doc_id AND r.doc_id = r.rep),
+       |cand AS MATERIALIZED (SELECT r.doc_id, c.doc_id AS cid,
+       |    levenshtein(r.title, c.title) AS ed
+       |  FROM reps r JOIN corpus c
+       |    ON abs(length(r.title) - length(c.title)) <= $d
+       |    AND levenshtein(r.title, c.title) <= $d),
+       |bmin AS (SELECT doc_id, min(ed) AS ed FROM cand GROUP BY doc_id),
+       |best AS MATERIALIZED (SELECT c.doc_id, min(c.cid) AS assigned,
+       |    CASE WHEN m.ed = 0 THEN 'exact' ELSE 'near' END AS matched
+       |  FROM cand c JOIN bmin m ON m.doc_id = c.doc_id AND c.ed = m.ed
+       |  GROUP BY c.doc_id, m.ed),
+       |novel AS MATERIALIZED (SELECT doc_id, title FROM reps
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM best)),
+       |e AS MATERIALIZED (SELECT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM novel a JOIN novel b ON a.doc_id < b.doc_id
+       |    AND abs(length(a.title) - length(b.title)) <= $d
+       |    AND levenshtein(a.title, b.title) <= $d),
+       |edges AS MATERIALIZED (SELECT ia AS id, ib AS nbr FROM e
+       |  UNION ALL SELECT ib, ia FROM e),
+       |reach AS (SELECT doc_id AS id, doc_id AS label FROM novel
+       |  UNION
+       |  SELECT g.id, r.label FROM edges g JOIN reach r ON r.id = g.nbr),
+       |nlab AS (SELECT id, min(label) AS lbl FROM reach GROUP BY id),
+       |ra AS (SELECT doc_id, assigned, matched FROM best
+       |  UNION ALL SELECT novel.doc_id, lbl, 'novel' FROM novel
+       |    JOIN nlab ON nlab.id = novel.doc_id)
+       |SELECT brm.doc_id, ra.assigned, ra.matched
+       |FROM brm JOIN ra ON ra.doc_id = brm.rep)""".stripMargin
+
+  private val streamFuzzyOracle: String = {
+    val title = "array_to_string(list_filter(regexp_split_to_array(" +
+      "text, ' +'), w -> w != '')[1:5], ' ')"
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id, $title AS title
+       |  FROM documents),
+       |d0 AS MATERIALIZED (SELECT * FROM ${fuzzyDecisionSql(
+          "SELECT doc_id, title FROM docs WHERE doc_id % 2 = 0",
+          "SELECT doc_id, title FROM docs WHERE doc_id % 4 = 1", 4)} t0),
+       |acc0 AS MATERIALIZED (SELECT d.doc_id, d.title FROM docs d
+       |  JOIN d0 ON d0.doc_id = d.doc_id
+       |  WHERE d0.matched = 'novel' AND d0.assigned = d.doc_id),
+       |d1 AS (SELECT * FROM ${fuzzyDecisionSql(
+          "SELECT doc_id, title FROM docs WHERE doc_id % 2 = 0"
+            + " UNION ALL SELECT doc_id, title FROM acc0",
+          "SELECT doc_id, title FROM docs WHERE doc_id % 4 = 3"
+            + " UNION ALL SELECT doc_id + 1000000, title FROM docs"
+            + " WHERE doc_id % 4 = 1", 4)} t1)
+       |SELECT doc_id, assigned, matched FROM d0
+       |UNION ALL SELECT doc_id, assigned, matched FROM d1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_stream_fuzzy", streamFuzzy, Some(streamFuzzyOracle),
+      "stream/fuzzy-ingest (persisted-index append lifecycle)"),
     QuerySpec("q_join_fuzzy", joinFuzzy, Some(joinFuzzyOracle),
       "J5+ fuzzy edit-distance join (ED-Join prefix filtering)"),
     QuerySpec("q_join_fuzzy_indexed", joinFuzzyIndexed,

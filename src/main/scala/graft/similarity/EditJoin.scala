@@ -255,6 +255,8 @@ object EditJoin {
   def assignAgainstIndex(store: graft.pipeline.Store, name: String,
       batch: DataFrame, idCol: String, strCol: String,
       maxDist: Int, q: Int = 2): DataFrame = {
+    graft.dedup.IndexCommits.validate(store, name,
+      Seq("_members", "_strings", "_prefix"))
     val meta = store.read(s"${name}_meta", metaSchema).collect()
     require(meta.length == 1 && meta(0).getInt(0) == maxDist &&
       meta(0).getInt(1) == q,
@@ -299,5 +301,98 @@ object EditJoin {
     brute.unionByName(verified)
       .join(bMembers, "str_l").join(cMembers, "str_r")
       .select("id_l", "id_r", "ed")
+  }
+
+  /** One incremental DECISION per batch row against the indexed corpus
+    * — the per-micro-batch core of
+    * [[graft.streaming.StreamingDedup.fuzzyIngest]], decision semantics
+    * mirroring [[graft.dedup.CorpusIndex.assign]] on the edit-distance
+    * modality. Returns `(idCol, assigned, matched)`:
+    *
+    *  - batch rows exact-collapse by string first (rep = min id per
+    *    distinct string; copies inherit their rep's decision);
+    *  - a rep with ANY corpus match within `maxDist` assigns to the
+    *    (min ed, then min corpus id) match — `matched` is 'exact' at
+    *    ed 0, 'near' otherwise;
+    *  - the leftovers close over the within-batch fuzzy graph
+    *    ([[selfJoin]] edges → min-label components) — `matched` is
+    *    'novel', `assigned` the component minimum (self for the
+    *    component representative, which is what [[appendToIndex]]
+    *    should then be fed). */
+  def assignDecisions(store: graft.pipeline.Store, name: String,
+      batch: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 2, maxIter: Int = 20): DataFrame = {
+    val b = batch.filter(col(strCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
+    val brm = b.withColumn("rep",
+      min("id").over(Window.partitionBy("str")))
+    val reps = brm.filter(col("id") === col("rep"))
+      .select(col("id").as(idCol), col("str").as(strCol))
+    val best = assignAgainstIndex(store, name, reps, idCol, strCol,
+        maxDist, q)
+      .groupBy("id_l").agg(min(struct(col("ed"), col("id_r"))).as("m"))
+      .select(col("id_l").as("id"), col("m.id_r").as("assigned"),
+        when(col("m.ed") === 0, "exact").otherwise("near").as("matched"))
+    val novel = reps
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
+      .join(best.select("id"), Seq("id"), "left_anti")
+      .localCheckpoint() // feeds the edge join AND the label expansion
+    val edges = selfJoin(novel.select(col("id"), col("str")), "id", "str",
+      maxDist, q)
+    val labels = graft.graph.ConnectedComponents
+      .run(edges.select("id_a", "id_b"), maxIter)
+    val novelDec = novel.join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("assigned"),
+        lit("novel").as("matched"))
+    brm.join(best.unionByName(novelDec).withColumnRenamed("id", "rep"),
+        Seq("rep"))
+      .select(col("id").as(idCol), col("assigned"), col("matched"))
+  }
+
+  /** Append accepted novel representatives to the persisted index
+    * (member list, distinct strings, prefix relation) as a
+    * `batchTag`-keyed file publication — per-batch cost proportional to
+    * the BATCH, no read-modify-write of corpus data, replay-safe when
+    * paired with [[clearBatch]] at batch start (the
+    * [[graft.dedup.CorpusIndex.append]] contract). The element order
+    * stays FROZEN at the build-time `_freq` table: appended strings'
+    * prefixes are computed under it, which keeps ONE total order across
+    * corpus, appends, and future batches — all the prefix-filter
+    * theorem requires (an appended gram unseen at build time sorts at
+    * frequency 0, exactly where future batches will sort it). */
+  def appendToIndex(store: graft.pipeline.Store, name: String,
+      novel: DataFrame, idCol: String, strCol: String, batchTag: String,
+      maxDist: Int, q: Int = 2): Unit = {
+    val meta = store.read(s"${name}_meta", metaSchema).collect()
+    require(meta.length == 1 && meta(0).getInt(0) == maxDist &&
+      meta(0).getInt(1) == q,
+      s"index '$name' was built for (maxDist, q) = " +
+        s"${meta.toSeq.map(r => (r.getInt(0), r.getInt(1)))}, " +
+        s"append asked ($maxDist, $q)")
+    val floor = q * (maxDist + 1)
+    val members = novel.filter(col(strCol).isNotNull)
+      .select(col(strCol).as("str"), col(idCol).cast("long").as("id"))
+    val s = collapse(novel, idCol, strCol).localCheckpoint()
+    val freq = store.read(s"${name}_freq", freqSchema)
+    import graft.pipeline.FsUtils.publishBatch
+    publishBatch(members, store.path(s"${name}_members"), batchTag)
+    publishBatch(s.select("str", "id", "len"),
+      store.path(s"${name}_strings"), batchTag)
+    publishBatch(prefixOf(gramsOf(s, floor, q), freq, maxDist, q),
+      store.path(s"${name}_prefix"), batchTag)
+    // cross-table commit point, written LAST (IndexCommits contract)
+    graft.dedup.IndexCommits.mark(store, name, batchTag)
+  }
+
+  /** Purge every index file a previous attempt of `batchTag` published
+    * — the batch-start half of the replay-safety contract. The commit
+    * marker goes first, so no purge ordering can present a partial
+    * batch as committed. */
+  def clearBatch(store: graft.pipeline.Store, name: String,
+      batchTag: String): Unit = {
+    graft.dedup.IndexCommits.unmark(store, name, batchTag)
+    Seq("_members", "_strings", "_prefix").foreach(sfx =>
+      graft.pipeline.FsUtils.clearBatch(store.path(s"$name$sfx"), batchTag))
   }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.dedup.{CorpusIndex, EmbeddingIndex}
 import graft.pipeline.{FsUtils, Store}
+import graft.similarity.EditJoin
 
 /** Continuous corpus ingestion with near-dup gating — the streaming form
   * of [[CorpusIndex]]'s build/assign/append lifecycle: each micro-batch
@@ -128,6 +129,50 @@ object StreamingDedup {
                 excludeTags = Set(tag))
             }
           }
+        }
+        ()
+      }
+      .start()
+
+  /** Continuous FUZZY-STRING ingestion — the same micro-batch
+    * lifecycle over the edit-distance modality
+    * ([[graft.similarity.EditJoin]]'s persisted prefix index): each
+    * arriving batch of short strings (titles, names) is decided against
+    * the frozen index ('exact' at edit distance 0, 'near' within
+    * `maxDist`, else batch-local 'novel' closure), the decision is
+    * published to a decisions table, and the accepted novel
+    * representatives are appended under the FROZEN build-time element
+    * order — so the next micro-batch fuzzy-matches against them with no
+    * corpus-side recompute. Identical replay-safety contract to
+    * [[corpusIngest]]: every effect keyed by batch id, half-applied
+    * files purged before the assign, decision pinned before the index
+    * mutates. */
+  def fuzzyIngest(spark: SparkSession, landing: String,
+      schema: StructType, store: Store, name: String, checkpoint: String,
+      strCol: String, idCol: String, maxDist: Int, q: Int = 2,
+      maxIter: Int = 20,
+      decisionsTable: String = "decisions"): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val b = batch.localCheckpoint()
+        if (!b.isEmpty) {
+          val tag = bid.toString
+          EditJoin.clearBatch(store, name, tag)
+          FsUtils.clearBatch(store.path(decisionsTable), tag)
+          val res = EditJoin.assignDecisions(store, name, b, idCol, strCol,
+            maxDist, q, maxIter).localCheckpoint()
+          FsUtils.publishBatch(res, store.path(decisionsTable), tag)
+          val accepted = b.join(
+            res.filter(col("matched") === "novel"
+                && col("assigned") === col(idCol))
+              .select(idCol), Seq(idCol))
+          EditJoin.appendToIndex(store, name, accepted, idCol, strCol, tag,
+            maxDist, q)
         }
         ()
       }
