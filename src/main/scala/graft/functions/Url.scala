@@ -56,6 +56,10 @@ object Url {
       "[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "")
     val q2 = when(q1 === "", lit(""))
       .otherwise(concat(lit("?"), regexp_replace(q1, "^[?&]", "")))
-    concat(scheme(url), lit("://"), canonicalHost(url), path, q2)
+    // schemeless / malformed input would otherwise assemble "://" +
+    // leftovers — silent corruption on real crawl data where not every
+    // url value parses. No scheme -> null, callers drop-or-quarantine.
+    when(scheme(url) === "", lit(null).cast("string"))
+      .otherwise(concat(scheme(url), lit("://"), canonicalHost(url), path, q2))
   }
 }

@@ -681,16 +681,17 @@ object CurateOps {
 
   /** Corpus mixture weighting: per-source token mass and the resampling
     * weight that would equalize every source's share (weight =
-    * uniform-share / actual-share). One aggregate plus an unpartitioned
-    * window over the (tiny) per-source rollup. */
+    * uniform-share / actual-share). The corpus-wide totals come from a
+    * one-row aggregate cross-joined back (the [[graft.graph.PageRank]]
+    * dangling-mass pattern), NOT an unpartitioned window — same
+    * sources-sized frame, but no single-partition WindowExec. */
   def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
     val perSource = load(spark, dir, "documents")
       .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
       .groupBy("source").agg(sum("n_tokens").as("src_tokens"))
-    val all = Window.partitionBy()
-    perSource
-      .withColumn("total", sum("src_tokens").over(all))
-      .withColumn("n_src", count(lit(1)).over(all))
+    val totals = perSource.agg(sum("src_tokens").as("total"),
+      count(lit(1)).as("n_src"))
+    perSource.crossJoin(broadcast(totals))
       .select(col("source"), col("src_tokens"),
         round(col("total") / (col("n_src") * col("src_tokens")), 6).as("weight"))
       .orderBy("source")
@@ -725,20 +726,24 @@ object CurateOps {
     val perSource = load(spark, dir, "documents")
       .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
       .groupBy("source").agg(sum("n_tokens").as("src_tokens"))
-    val all = Window.partitionBy()
-    perSource
+    // corpus-wide normalizers as broadcast one-row aggregates (the
+    // PageRank dangling-mass pattern) rather than unpartitioned windows
+    val shared = perSource
+      .crossJoin(broadcast(perSource.agg(sum("src_tokens").as("tok_total"))))
       .withColumn("share",
-        col("src_tokens").cast("double") / sum("src_tokens").over(all))
+        col("src_tokens").cast("double") / col("tok_total"))
       // quantize the powered share to pico-units BEFORE the normalizing
-      // sum: a double sum over the window is partition-order-dependent,
-      // an integer sum is exact in any order (the LmOps contract).
-      // Floor at 1 pico-unit — a present source must never quantize to
-      // sampling probability zero, however tiny its share.
+      // sum: a double sum is partition-order-dependent, an integer sum
+      // is exact in any order (the LmOps contract). Floor at 1
+      // pico-unit — a present source must never quantize to sampling
+      // probability zero, however tiny its share.
       .withColumn("pq", greatest(
         round(pow(col("share"), lit(0.7)) * lit(1e12), 0).cast("long"),
         lit(1L)))
+    shared
+      .crossJoin(broadcast(shared.agg(sum("pq").as("pq_total"))))
       .withColumn("t_share",
-        col("pq").cast("double") / sum("pq").over(all))
+        col("pq").cast("double") / col("pq_total"))
       .select(col("source"), col("src_tokens"),
         round(col("share"), 6).as("share"),
         round(col("t_share"), 6).as("t_share"),
@@ -1490,6 +1495,12 @@ object CurateOps {
     * each token's contribution is one fixed double expression quantized
     * to NANO-nats (BIGINT) before summing — the LM-perplexity micro-nat
     * pattern — so the per-source sum is exact integer arithmetic.
+    * Known fragility of the quantization (accepted): JVM Math.log and
+    * DuckDB ln agree only to ~1 ulp (neither libm is correctly
+    * rounded), so a contribution landing EXACTLY on a .5 nano-nat
+    * boundary could round differently on another platform and flip the
+    * hash gate; the green differential pins agreement on this fixture,
+    * and a cross-libm port would re-verify or widen the quantum.
     *
     * 100 TB shape: one corpus explode partial-aggregates to the
     * (source, token) frame; everything after lives on vocabulary-bounded

@@ -429,7 +429,11 @@ object SourceSinkOps {
     * partitions it contains; untouched partitions survive. The STATIC
     * default would wipe the whole table — the gate's read-back makes
     * the difference load-bearing (two of three statuses must still
-    * carry their ORIGINAL rows). Session conf is saved and restored. */
+    * carry their ORIGINAL rows). The mode rides on the WRITE as a
+    * per-write option (takes precedence over the session conf since
+    * Spark 2.4) — mutating the shared session conf around the write
+    * would leak dynamic semantics into any concurrently running
+    * partitioned write on the same session. */
   def overwriteDynamic(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("dynpart", dir)
     val o = load(spark, dir, "orders")
@@ -437,15 +441,9 @@ object SourceSinkOps {
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     val updated = o.filter(col("o_orderstatus") === "F")
       .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try updated.write.mode("overwrite")
+    updated.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("o_orderstatus").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
     spark.read.parquet(path)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),

@@ -69,10 +69,10 @@ object EditJoin {
     val brute = shortish.as("a").join(shortish.as("b"),
         col("a.id") < col("b.id") &&
           least(col("a.len"), col("b.len")) < floor &&
-          abs(col("a.len") - col("b.len")) <= maxDist &&
-          lev(col("a.str"), col("b.str")) >= 0)
+          abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.str").as("str_a"), col("b.str").as("str_b"),
         lev(col("a.str"), col("b.str")).cast("int").as("ed"))
+      .filter(col("ed") >= 0)
 
     // --- gram branch (distinct strings with BOTH sides >= floor).
     // Multiset elements are (gram, occurrence-index); the string rides
@@ -81,6 +81,10 @@ object EditJoin {
     // candidate join stage: the bucket-pair blowup (the weakly-
     // selective-gram regime) is filtered in-task by the codegen banded
     // levenshtein and never reaches an exchange. Only survivors dedup.
+    // The verify is PROJECTED once then filtered (ed >= 0), not placed
+    // in the join condition — Spark CSE does not span join condition
+    // and downstream project, so the condition form ran the hottest
+    // kernel up to 3x per candidate pair.
     val grams = gramsOf(s, floor, q)
     val freq = grams.groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
 
@@ -96,10 +100,10 @@ object EditJoin {
     val verified = prefixP.as("a").join(prefixP.as("b"),
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
           col("a.id") < col("b.id") &&
-          abs(col("a.len") - col("b.len")) <= maxDist &&
-          lev(col("a.str"), col("b.str")) >= 0)
+          abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.str").as("str_a"), col("b.str").as("str_b"),
         lev(col("a.str"), col("b.str")).cast("int").as("ed"))
+      .filter(col("ed") >= 0)
       .distinct()
 
     // --- expand distinct-string results back to id pairs (output-bound):
@@ -145,10 +149,10 @@ object EditJoin {
         rs.filter(col("len") < floor + maxDist))
     val brute = lShort.as("a").join(rShort.as("b"),
         least(col("a.len"), col("b.len")) < floor &&
-          abs(col("a.len") - col("b.len")) <= maxDist &&
-          lev(col("a.str"), col("b.str")) >= 0)
+          abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.str").as("str_l"), col("b.str").as("str_r"),
         lev(col("a.str"), col("b.str")).cast("int").as("ed"))
+      .filter(col("ed") >= 0)
 
     // gram branch over both-long pairs, prefixes under ONE shared order
     val (lg, rg) = (gramsOf(ls, floor, q), gramsOf(rs, floor, q))
@@ -162,10 +166,10 @@ object EditJoin {
 
     val verified = lp.as("a").join(rp.as("b"),
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
-          abs(col("a.len") - col("b.len")) <= maxDist &&
-          lev(col("a.str"), col("b.str")) >= 0)
+          abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.str").as("str_l"), col("b.str").as("str_r"),
         lev(col("a.str"), col("b.str")).cast("int").as("ed"))
+      .filter(col("ed") >= 0)
       .distinct()
 
     // expand back to id pairs via each side's member list (output-bound)
@@ -275,10 +279,10 @@ object EditJoin {
     val cShort = cs.filter(col("len") < floor + maxDist)
     val brute = bShort.as("a").join(cShort.as("b"),
         least(col("a.len"), col("b.len")) < floor &&
-          abs(col("a.len") - col("b.len")) <= maxDist &&
-          lev(col("a.str"), col("b.str")) >= 0)
+          abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.str").as("str_l"), col("b.str").as("str_r"),
         lev(col("a.str"), col("b.str")).cast("int").as("ed"))
+      .filter(col("ed") >= 0)
 
     val freq = store.read(s"${name}_freq", freqSchema)
     val nParts = batch.sparkSession.sessionState.conf.numShufflePartitions
@@ -288,10 +292,10 @@ object EditJoin {
       .repartition(nParts, col("gram"), col("occ"))
     val verified = bp.as("a").join(cp.as("b"),
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
-          abs(col("a.len") - col("b.len")) <= maxDist &&
-          lev(col("a.str"), col("b.str")) >= 0)
+          abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.str").as("str_l"), col("b.str").as("str_r"),
         lev(col("a.str"), col("b.str")).cast("int").as("ed"))
+      .filter(col("ed") >= 0)
       .distinct()
 
     val bMembers = batch.filter(col(strCol).isNotNull)
