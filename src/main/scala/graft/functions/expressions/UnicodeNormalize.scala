@@ -17,9 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `form` is NFC / NFD / NFKC / NFKD (java.text.Normalizer, i.e. the
   * Unicode standard annex #15 reference behavior); `strip = true`
   * additionally removes combining marks (\\p{Mn}) AFTER normalization —
-  * `stripAccents` = NFD + mark removal, matching DuckDB/utf8proc
-  * accent folding on Latin scripts (the gate differentials pin parity
-  * on the planted characters).
+  * `stripAccents` = NFD + mark removal, which matches DuckDB/utf8proc
+  * `strip_accents` on Latin combining-mark accents (the q_text_normalize
+  * gate differential pins parity on its planted NFC/NFD/ligature
+  * variants). Non-Mn folds that utf8proc applies beyond mark removal
+  * (e.g. stroked letters like 'ø', which has no decomposition) are NOT
+  * mirrored — documented divergence outside the pinned surface.
+  * Exposed to SQL as `unicode_normalize(s, form)` / `strip_accents(s)`
+  * ([[graft.plans.TopK]] registration); the operator call site is
+  * [[graft.ops.TextOps.textNormalize]].
   *
   * Hot-path shape: pure-ASCII inputs (the overwhelming majority of a
   * web corpus at byte level) short-circuit before any allocation —

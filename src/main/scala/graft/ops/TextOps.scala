@@ -281,6 +281,66 @@ object TextOps {
        |GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin
   }
 
+  /** Unicode normalization — the canonicalization step that runs before
+    * hashing/dedup on real web text (mixed NFC/NFD sources hash and
+    * dedup differently until normalized; accent folding feeds matching).
+    * Uses the native codegen
+    * [[graft.functions.expressions.UnicodeNormalize]] Expression.
+    *
+    * The synthetic corpus is pure ASCII (where every form is the
+    * identity), so the gate PLANTS a deterministic non-ASCII prefix per
+    * document — NFC 'café', its NFD decomposition, NFC/NFD 'Ångström',
+    * and the 'ﬁ' compatibility ligature — making each output column
+    * load-bearing: NFC must collapse the decomposed variants (len_nfc <
+    * len_raw exactly on the NFD rows), NFKC must additionally expand the
+    * ligature, strip_accents must fold the marks away. The DuckDB oracle
+    * replays with `nfc_normalize` / `strip_accents`; NFKC is emulated by
+    * replacing the (only) planted compatibility char before
+    * nfc_normalize, exact for this fixture.
+    *
+    * 100 TB shape: pure map-side codegen'd projection, no shuffle except
+    * the gate's ORDER BY; the ASCII fast path inside the Expression
+    * short-circuits the overwhelming majority of web-corpus rows. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.UnicodeNormalize.{normalize, stripAccents}
+    val t = col("t")
+    load(spark, dir, "documents")
+      // escapes, not glyphs: the NFC and NFD variants are visually
+      // identical in source; escapes keep them provably distinct
+      .withColumn("pre", element_at(array(
+        lit("caf\u00e9 "), lit("cafe\u0301 "),
+        lit("\u00c5ngstr\u00f6m "), lit("A\u030angstro\u0308m "),
+        lit("\ufb01nal "), lit("plain ")),
+        (col("doc_id") % 6 + 1).cast("int")))
+      .withColumn("t", concat(col("pre"), col("text")))
+      .select(col("doc_id"),
+        length(t).as("len_raw"),
+        length(normalize(t, "NFC")).as("len_nfc"),
+        length(normalize(t, "NFKC")).as("len_nfkc"),
+        length(stripAccents(t)).as("len_strip"),
+        substring(normalize(t, "NFC"), 1, 10).as("nfc_prefix"),
+        substring(stripAccents(t), 1, 10).as("strip_prefix"))
+      .orderBy("doc_id")
+  }
+
+  private val textNormalizeOracle: String =
+    """WITH m AS (SELECT doc_id,
+      |    ['caf' || chr(233) || ' ', 'cafe' || chr(769) || ' ',
+      |     chr(197) || 'ngstr' || chr(246) || 'm ',
+      |     'A' || chr(778) || 'ngstro' || chr(776) || 'm ',
+      |     chr(64257) || 'nal ', 'plain '][CAST(doc_id % 6 AS INT) + 1]
+      |      || text AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(t) AS INT) AS len_raw,
+      |  CAST(length(nfc_normalize(t)) AS INT) AS len_nfc,
+      |  CAST(length(nfc_normalize(replace(t, chr(64257), 'fi'))) AS INT)
+      |    AS len_nfkc,
+      |  CAST(length(strip_accents(t)) AS INT) AS len_strip,
+      |  substr(nfc_normalize(t), 1, 10) AS nfc_prefix,
+      |  substr(strip_accents(t), 1, 10) AS strip_prefix
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** Rolling-hash document fingerprint (first 64 chars, poly-31 mod 1e9+7). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")

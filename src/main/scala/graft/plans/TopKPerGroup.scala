@@ -239,6 +239,29 @@ object TopK {
         require(args.length == 2,
           s"jaro_winkler expects (a, b), got ${args.length} args")
         graft.functions.expressions.JaroWinkler(args(0), args(1))
+      }),
+    ("unicode_normalize",
+      classOf[graft.functions.expressions.UnicodeNormalize].getName,
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"unicode_normalize expects (s, form), got ${args.length} args")
+        val form = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            v.toString.toUpperCase(java.util.Locale.ROOT)
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize form must be a string literal, got $other")
+        }
+        graft.functions.expressions.UnicodeNormalize(args(0), form,
+          strip = false)
+      }),
+    ("strip_accents",
+      classOf[graft.functions.expressions.UnicodeNormalize].getName,
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"strip_accents expects (s), got ${args.length} args")
+        graft.functions.expressions.UnicodeNormalize(args(0), "NFD",
+          strip = true)
       }))
 
   /** For `SparkSession.Builder.withExtensions` (Session.configure):
