@@ -1079,5 +1079,7 @@ object TextOps {
       Some(dedupLinesOracle), "dedup/line-boilerplate-removal"),
     QuerySpec("q_text_entropy", textEntropy,
       Some(textEntropyOracle), "text/char-entropy"),
+    QuerySpec("q_text_normalize", textNormalize,
+      Some(textNormalizeOracle), "text/unicode-normalize"),
   )
 }
