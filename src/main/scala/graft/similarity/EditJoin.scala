@@ -44,6 +44,49 @@ import org.apache.spark.sql.functions._
   */
 object EditJoin {
 
+  /** Which plan shape verifies candidates; see [[verifiedPairs]].
+    * Switchable only for the same-JVM A/B harness
+    * ([[graft.tools.AbFuzzy]]) — production always takes the default. */
+  private def verifyForm: String =
+    sys.props.getOrElse("graft.editjoin.verify", "condition")
+
+  /** Candidate verify shared by all six join sites: join `a`/`b` (aliased
+    * "a"/"b") on the pruning condition and keep pairs whose banded
+    * levenshtein is within `maxDist` (the banded kernel returns -1 above
+    * the band). Two equivalent plan shapes exist:
+    *
+    *  - CONDITION form (default): `lev >= 0` rides in the join
+    *    condition, so non-matches die inside the join operator and never
+    *    materialize as output rows; the projected `ed` re-evaluates the
+    *    kernel only for SURVIVORS (output-bound, tiny vs candidates).
+    *  - PROJECT form: `ed` is projected once and filtered above the
+    *    join. The round-12 edit assumed this halves kernel evaluations,
+    *    but PushPredicateThroughJoin rewrites the deterministic filter
+    *    back into the join condition anyway, reproducing the condition
+    *    shape — same plan, and the measured round-12 bench showed the
+    *    fuzzy family 1.3-1.4x SLOWER, not faster.
+    *
+    * Measured (graft.tools.AbFuzzy, same JVM, interleaved A/B/A/B, 4
+    * reps, sf0.1): condition vs project min 4.35s vs 5.59s
+    * (q_join_fuzzy), 4.92s vs 5.84s (q_entity_resolution), 2.85s vs
+    * 2.78s (q_decontaminate_fuzzy); plan census shows BOTH forms carry
+    * 4 levenshtein instances and no standalone Filter, i.e. the project
+    * form is optimized back into a join-condition shape but still runs
+    * 1.2-1.3x slower. The condition form is the measured winner and the
+    * default. */
+  private def verifiedPairs(a: DataFrame, b: DataFrame,
+      cond: org.apache.spark.sql.Column, outL: String, outR: String,
+      maxDist: Int): DataFrame = {
+    val lv = levenshtein(col("a.str"), col("b.str"), maxDist)
+    val out = Seq(col("a.str").as(outL), col("b.str").as(outR),
+      lv.cast("int").as("ed"))
+    if (verifyForm == "condition")
+      a.as("a").join(b.as("b"), cond && lv >= 0).select(out: _*)
+    else
+      a.as("a").join(b.as("b"), cond).select(out: _*)
+        .filter(col("ed") >= 0)
+  }
+
   /** All pairs (id_a < id_b) with levenshtein(str_a, str_b) <= maxDist.
     * Output columns: id_a, id_b, ed. Exact for any input; null strings
     * never match. */
@@ -62,17 +105,12 @@ object EditJoin {
     // --- brute branch (distinct strings): pairs whose shorter side is
     // below the gram floor; both sides < floor + maxDist by length band.
     // banded threshold form: O(d·n) DP with early exit, -1 when above
-    def lev(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      levenshtein(a, b, maxDist)
-
     val shortish = s.filter(col("len") < floor + maxDist)
-    val brute = shortish.as("a").join(shortish.as("b"),
-        col("a.id") < col("b.id") &&
-          least(col("a.len"), col("b.len")) < floor &&
-          abs(col("a.len") - col("b.len")) <= maxDist)
-      .select(col("a.str").as("str_a"), col("b.str").as("str_b"),
-        lev(col("a.str"), col("b.str")).cast("int").as("ed"))
-      .filter(col("ed") >= 0)
+    val brute = verifiedPairs(shortish, shortish,
+      col("a.id") < col("b.id") &&
+        least(col("a.len"), col("b.len")) < floor &&
+        abs(col("a.len") - col("b.len")) <= maxDist,
+      "str_a", "str_b", maxDist)
 
     // --- gram branch (distinct strings with BOTH sides >= floor).
     // Multiset elements are (gram, occurrence-index); the string rides
@@ -81,10 +119,6 @@ object EditJoin {
     // candidate join stage: the bucket-pair blowup (the weakly-
     // selective-gram regime) is filtered in-task by the codegen banded
     // levenshtein and never reaches an exchange. Only survivors dedup.
-    // The verify is PROJECTED once then filtered (ed >= 0), not placed
-    // in the join condition — Spark CSE does not span join condition
-    // and downstream project, so the condition form ran the hottest
-    // kernel up to 3x per candidate pair.
     val grams = gramsOf(s, floor, q)
     val freq = grams.groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
 
@@ -97,13 +131,11 @@ object EditJoin {
     val prefixP = prefixOf(grams, freq, maxDist, q)
       .repartition(nParts, col("gram"), col("occ"))
 
-    val verified = prefixP.as("a").join(prefixP.as("b"),
+    val verified = verifiedPairs(prefixP, prefixP,
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
           col("a.id") < col("b.id") &&
-          abs(col("a.len") - col("b.len")) <= maxDist)
-      .select(col("a.str").as("str_a"), col("b.str").as("str_b"),
-        lev(col("a.str"), col("b.str")).cast("int").as("ed"))
-      .filter(col("ed") >= 0)
+          abs(col("a.len") - col("b.len")) <= maxDist,
+        "str_a", "str_b", maxDist)
       .distinct()
 
     // --- expand distinct-string results back to id pairs (output-bound):
@@ -138,21 +170,16 @@ object EditJoin {
     require(maxDist >= 0 && q >= 1, "maxDist >= 0, q >= 1")
     val floor = q * (maxDist + 1)
 
-    def lev(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      levenshtein(a, b, maxDist)
-
     val (ls, rs) = (collapse(left, idCol, strCol), collapse(right, idCol, strCol))
 
     // brute branch: pairs whose shorter side is under the gram floor
     val (lShort, rShort) =
       (ls.filter(col("len") < floor + maxDist),
         rs.filter(col("len") < floor + maxDist))
-    val brute = lShort.as("a").join(rShort.as("b"),
-        least(col("a.len"), col("b.len")) < floor &&
-          abs(col("a.len") - col("b.len")) <= maxDist)
-      .select(col("a.str").as("str_l"), col("b.str").as("str_r"),
-        lev(col("a.str"), col("b.str")).cast("int").as("ed"))
-      .filter(col("ed") >= 0)
+    val brute = verifiedPairs(lShort, rShort,
+      least(col("a.len"), col("b.len")) < floor &&
+        abs(col("a.len") - col("b.len")) <= maxDist,
+      "str_l", "str_r", maxDist)
 
     // gram branch over both-long pairs, prefixes under ONE shared order
     val (lg, rg) = (gramsOf(ls, floor, q), gramsOf(rs, floor, q))
@@ -164,12 +191,10 @@ object EditJoin {
     val rp = prefixOf(rg, freq, maxDist, q)
       .repartition(nParts, col("gram"), col("occ"))
 
-    val verified = lp.as("a").join(rp.as("b"),
+    val verified = verifiedPairs(lp, rp,
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
-          abs(col("a.len") - col("b.len")) <= maxDist)
-      .select(col("a.str").as("str_l"), col("b.str").as("str_r"),
-        lev(col("a.str"), col("b.str")).cast("int").as("ed"))
-      .filter(col("ed") >= 0)
+          abs(col("a.len") - col("b.len")) <= maxDist,
+        "str_l", "str_r", maxDist)
       .distinct()
 
     // expand back to id pairs via each side's member list (output-bound)
@@ -269,20 +294,15 @@ object EditJoin {
         s"serve asked ($maxDist, $q)")
     val floor = q * (maxDist + 1)
 
-    def lev(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      levenshtein(a, b, maxDist)
-
     val bs = collapse(batch, idCol, strCol)
     val cs = store.read(s"${name}_strings", stringsSchema)
 
     val bShort = bs.filter(col("len") < floor + maxDist)
     val cShort = cs.filter(col("len") < floor + maxDist)
-    val brute = bShort.as("a").join(cShort.as("b"),
-        least(col("a.len"), col("b.len")) < floor &&
-          abs(col("a.len") - col("b.len")) <= maxDist)
-      .select(col("a.str").as("str_l"), col("b.str").as("str_r"),
-        lev(col("a.str"), col("b.str")).cast("int").as("ed"))
-      .filter(col("ed") >= 0)
+    val brute = verifiedPairs(bShort, cShort,
+      least(col("a.len"), col("b.len")) < floor &&
+        abs(col("a.len") - col("b.len")) <= maxDist,
+      "str_l", "str_r", maxDist)
 
     val freq = store.read(s"${name}_freq", freqSchema)
     val nParts = batch.sparkSession.sessionState.conf.numShufflePartitions
@@ -290,12 +310,10 @@ object EditJoin {
       .repartition(nParts, col("gram"), col("occ"))
     val cp = store.read(s"${name}_prefix", prefixSchema)
       .repartition(nParts, col("gram"), col("occ"))
-    val verified = bp.as("a").join(cp.as("b"),
+    val verified = verifiedPairs(bp, cp,
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
-          abs(col("a.len") - col("b.len")) <= maxDist)
-      .select(col("a.str").as("str_l"), col("b.str").as("str_r"),
-        lev(col("a.str"), col("b.str")).cast("int").as("ed"))
-      .filter(col("ed") >= 0)
+          abs(col("a.len") - col("b.len")) <= maxDist,
+        "str_l", "str_r", maxDist)
       .distinct()
 
     val bMembers = batch.filter(col(strCol).isNotNull)
