@@ -375,18 +375,86 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** MinHash-LSH near-dup candidates (Spark-native hashes — rows-only
-    * check here; ScalaTest verifies recall against exact Jaccard). */
+  /** The corpus with exact-copy plants: every doc_id < 50 duplicated
+    * under a shifted id — the q_semdedup trick that lets a production
+    * pipeline with engine-native hashing run in a provably-exact regime
+    * (identical inputs hash identically under ANY hash function, so the
+    * planted pairs survive every banding no matter the engine). */
+  private def plantedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val base = load(spark, dir, "documents")
+    base.unionByName(base.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  private val plantedDocsCte: String =
+    """e AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)""".stripMargin
+
+  /** MinHash-LSH through the PRODUCTION path (xxhash64 shingles, engine
+    * `hash` band buckets, exact-Jaccard verify), run in the exact-
+    * duplicate regime that makes its output hash-independent — the
+    * q_semdedup playbook: plant exact copies (doc_id < 50 under shifted
+    * ids) and set threshold = 1.0. Identical shingle sets produce
+    * identical signatures under ANY hash family, so every Jaccard-1 pair
+    * collides in every band (recall structurally 1.0) and the exact
+    * verify keeps nothing else — the output is exactly the pairs with
+    * identical distinct-shingle sets, which the oracle computes with no
+    * hashing at all. The 0.2-threshold full pipeline differential is
+    * carried by q_dedup_minhash_portable; recall at 0.2 is asserted in
+    * DedupAnnSpec. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(load(spark, dir, "documents"), "text", "doc_id",
-        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.2)
+    Dedup.minhashLsh(plantedDocs(spark, dir), "text", "doc_id",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 1.0)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs (Spark-native hashes — rows-only check). */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(load(spark, dir, "documents"), "text", "doc_id",
-        maxDist = 10)
+  private val minhashExactOracle: String =
+    s"""WITH $plantedDocsCte,
+      |w AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, ' +'), x -> x != '') AS w
+      |  FROM e),
+      |k AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+      |    list_transform(generate_series(1, len(w) - 2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))), chr(1))) AS kk
+      |  FROM w WHERE len(w) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(1.0 AS DOUBLE) AS jaccard
+      |FROM k a JOIN k b ON a.kk = b.kk AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash through the PRODUCTION path (xxhash64 token hashes, 64-bit
+    * signatures, quarter banding, hamming <= 10), output restricted to
+    * the hash-independent subset: pairs whose token MULTISETS are
+    * identical. Bit sums are pure multiset functions, so an identical
+    * multiset pair shares its full signature under ANY hash family —
+    * quarter 0 collides, hamming is structurally 0, recall survives any
+    * engine. (The unrestricted hamming-0 set is NOT oracle-able: on this
+    * corpus 2-29 genuinely distinct near-dup pairs collide at hamming 0
+    * under xxhash64, measured at sf0.01-0.1 — that engine-native surface
+    * is carried by q_dedup_simhash_portable's md5 differential.) */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = plantedDocs(spark, dir)
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 10)
+    val key = docs.select(col("doc_id"),
+      sha2(to_json(array_sort(Text.tokens(col("text")))), 256).as("k"))
+    pairs.join(key.toDF("id_a", "k_a"), Seq("id_a"))
+      .join(key.toDF("id_b", "k_b"), Seq("id_b"))
+      .filter(col("k_a") === col("k_b"))
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
       .orderBy("id_a", "id_b")
+  }
+
+  private val simhashExactOracle: String =
+    s"""WITH $plantedDocsCte,
+      |k AS (SELECT doc_id, md5(array_to_string(list_sort(
+      |    list_filter(regexp_split_to_array(text, ' +'), x -> x != '')),
+      |    chr(1))) AS kk
+      |  FROM e
+      |  WHERE len(list_filter(regexp_split_to_array(text, ' +'),
+      |    x -> x != '')) > 0)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS dist
+      |FROM k a JOIN k b ON a.kk = b.kk AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash with the engine-portable md5-derived 60-bit token hash: the
     * SAME pipeline (bit sums, quarter banding, hamming threshold) but
@@ -883,13 +951,39 @@ object TextOps {
        |WHERE dist <= 10 ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** End-to-end dedup grouping: exact-first representatives, LSH near-dup
-    * edges, transitive-closure group ids (engine-native hashing —
-    * rows-only; semantics asserted in DedupAnnSpec). */
+  /** End-to-end dedup grouping through the PRODUCTION path (exact-first
+    * sha256 representatives, engine-native LSH edges, transitive-closure
+    * group ids), run in the threshold-1.0 exact regime (the q_semdedup
+    * playbook + planted copies): Jaccard-1 edges exist exactly between
+    * representatives with identical distinct-shingle sets — an
+    * EQUIVALENCE relation, so the closure is plain grouping by shingle-
+    * set key and the whole output (exact collapse → LSH recall on
+    * identical sets, structurally 1.0 under any hash → closure →
+    * re-expansion) is engine-independent. The 0.2-threshold closure
+    * differential is carried by q_dedup_groups_portable. */
   def dedupGroups(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupGroups(load(spark, dir, "documents"), "text", "doc_id",
-        threshold = 0.2)
+    Dedup.nearDupGroups(plantedDocs(spark, dir), "text", "doc_id",
+        threshold = 1.0)
       .orderBy("doc_id")
+
+  private val groupsExactOracle: String =
+    s"""WITH $plantedDocsCte,
+      |r AS (SELECT doc_id, text,
+      |    min(doc_id) OVER (PARTITION BY text) AS rep
+      |  FROM e),
+      |reps AS (SELECT rep AS id,
+      |    list_filter(regexp_split_to_array(min(text), ' +'), x -> x != '') AS w
+      |  FROM r WHERE doc_id = rep GROUP BY rep),
+      |k AS (SELECT id, CASE WHEN len(w) >= 3 THEN
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      list_transform(generate_series(1, len(w) - 2),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))), chr(1)))
+      |    ELSE 'solo:' || id END AS kk
+      |  FROM reps),
+      |lab AS (SELECT id, min(id) OVER (PARTITION BY kk) AS grp FROM k)
+      |SELECT r.doc_id, lab.grp AS group_id
+      |FROM r JOIN lab ON lab.id = r.rep
+      |ORDER BY r.doc_id""".stripMargin
 
   /** The end-to-end corpus-curation pipeline a training-data run actually
     * executes: near-dup removal (keep each cluster's representative) →
@@ -1015,7 +1109,8 @@ object TextOps {
       Some(curationOracle), "curation/end-to-end"),
     QuerySpec("q_text_chunks", textChunks,
       Some(textChunksOracle), "text/token-window-chunking"),
-    QuerySpec("q_dedup_groups", dedupGroups, None, "dedup/groups"),
+    QuerySpec("q_dedup_groups", dedupGroups, Some(groupsExactOracle),
+      "dedup/groups-exact-regime"),
     QuerySpec("q_text_tokens", textTokens, Some(
       """SELECT lang, CAST(sum(n) AS BIGINT) AS total_tokens, min(n) AS min_tokens,
         |max(n) AS max_tokens, count(*) AS n_docs
@@ -1057,8 +1152,10 @@ object TextOps {
         |WHERE len(list_intersect(a.sh, b.sh)) /
         |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin), "dedup/ngram-jaccard"),
-    QuerySpec("q_dedup_minhash_lsh", dedupMinhashLsh, None, "dedup/minhash-lsh"),
-    QuerySpec("q_dedup_simhash", dedupSimhash, None, "dedup/simhash"),
+    QuerySpec("q_dedup_minhash_lsh", dedupMinhashLsh,
+      Some(minhashExactOracle), "dedup/minhash-lsh-exact-regime"),
+    QuerySpec("q_dedup_simhash", dedupSimhash,
+      Some(simhashExactOracle), "dedup/simhash-exact-regime"),
     QuerySpec("q_dedup_simhash_portable", dedupSimhashPortable,
       Some(simhashPortableOracle), "dedup/simhash-differential"),
     QuerySpec("q_dedup_minhash_portable", dedupMinhashPortable,
