@@ -88,8 +88,12 @@ object JaroWinklerImpl {
       }
       i += 1
     }
+    // integer floor-halving, NOT t/2.0: the classic definition (and
+    // DuckDB's implementation) counts transpositions as floor(raw/2) —
+    // a fractional half diverges whenever the raw mismatch count is odd
+    // (caught by the q_join_jw differential on 27/29-char titles)
     val md = m.toDouble
-    val jaro = (md / la + md / lb + (md - t / 2.0) / md) / 3.0
+    val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
     if (jaro > 0.7) {
       var l = 0
       val maxL = math.min(4, math.min(la, lb))

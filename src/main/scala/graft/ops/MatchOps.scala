@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.load
 import graft.functions.Text
-import graft.similarity.EditJoin
+import graft.similarity.{EditJoin, JaroWinklerJoin}
 
 /** Fuzzy record-matching operators over the document corpus. */
 object MatchOps {
@@ -290,7 +290,72 @@ object MatchOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Jaro-Winkler threshold self-join on document titles — the
+    * name-linkage join ([[graft.similarity.JaroWinklerJoin]]); the
+    * oracle is DuckDB's all-pairs `jaro_winkler_similarity`, so the
+    * differential proves the character-prefix pruning loses nothing. */
+  def joinJw(spark: SparkSession, dir: String): DataFrame = {
+    val titles = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(Text.tokens(col("text")), 1, 5), " ").as("title"))
+    JaroWinklerJoin.selfJoin(titles, "doc_id", "title", threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val joinJwOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    array_to_string(list_filter(regexp_split_to_array(text, ' +'),
+      |      w -> w != '')[1:5], ' ') AS title
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(jaro_winkler_similarity(a.title, b.title), 6) AS jw
+      |FROM t a, t b
+      |WHERE a.doc_id < b.doc_id
+      |  AND round(jaro_winkler_similarity(a.title, b.title), 6) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** The reference's closest-match selection as a gate: truncated titles
+    * (every 7th doc, last two characters lost — the trailing-corruption
+    * regime Jaro-Winkler's prefix boost is FOR) probe the full title
+    * set; each probe links to its single best match at round-6 jw >=
+    * 0.9, ties to the smallest corpus id. */
+  def jwBestMatch(spark: SparkSession, dir: String): DataFrame = {
+    val titles = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(Text.tokens(col("text")), 1, 5), " ").as("title"))
+    val probes = titles.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        expr("substring(title, 1, length(title) - 2)").as("title"))
+    JaroWinklerJoin.bestMatch(probes, titles, "doc_id", "title",
+        threshold = 0.9)
+      .withColumnRenamed("id_l", "probe_doc")
+      .withColumnRenamed("id_r", "matched_doc")
+      .orderBy("probe_doc")
+  }
+
+  private val jwBestMatchOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    array_to_string(list_filter(regexp_split_to_array(text, ' +'),
+      |      w -> w != '')[1:5], ' ') AS title
+      |  FROM documents),
+      |p AS (SELECT doc_id,
+      |    substr(title, 1, greatest(length(title) - 2, 0)) AS title
+      |  FROM t WHERE doc_id % 7 = 0),
+      |s AS (SELECT p.doc_id AS probe_doc, t.doc_id AS matched_doc,
+      |    round(jaro_winkler_similarity(p.title, t.title), 6) AS jw
+      |  FROM p JOIN t ON length(p.title) > 0
+      |  WHERE round(jaro_winkler_similarity(p.title, t.title), 6) >= 0.9)
+      |SELECT probe_doc, matched_doc, jw FROM (
+      |  SELECT probe_doc, matched_doc, jw, row_number() OVER (
+      |    PARTITION BY probe_doc ORDER BY jw DESC, matched_doc) AS rn
+      |  FROM s) r
+      |WHERE rn = 1 ORDER BY probe_doc""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_join_jw", joinJw, Some(joinJwOracle),
+      "match/jaro-winkler-threshold-join"),
+    QuerySpec("q_jw_best_match", jwBestMatch, Some(jwBestMatchOracle),
+      "match/jaro-winkler-closest-match"),
     QuerySpec("q_stream_fuzzy", streamFuzzy, Some(streamFuzzyOracle),
       "stream/fuzzy-ingest (persisted-index append lifecycle)"),
     QuerySpec("q_join_fuzzy", joinFuzzy, Some(joinFuzzyOracle),

@@ -23,6 +23,12 @@ class JaroWinklerSpec extends AnyFunSuite {
     // below the 0.7 boost threshold the shared 4-char prefix must NOT boost
     assert(math.abs(JaroWinklerImpl.score(s("abcdefgh"), s("abcdzzzzzzzz"))
       - 0.611111111111111) < 1e-12)
+    // ODD raw mismatch count: transpositions floor-halve (t = 5, not
+    // 5.5) — the q_join_jw differential caught a fractional-half
+    // divergence on exactly this pair (DuckDB value pinned)
+    assert(math.abs(JaroWinklerImpl.score(
+      s("column line sort key window"), s("column key sort window stream"))
+      - 0.9016283524904214) < 1e-12)
   }
 
   test("edges: empties score 0 (DuckDB contract), identity scores 1") {

@@ -408,6 +408,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("row_number"), s)
   }
 
+  test("jaro-winkler join: candidate verify is a spread equi-join, no cartesian") {
+    val df = MatchOps.joinJw(spark, dir)
+    val s = plan(df)
+    // the character-prefix candidate join must be an equi-join on
+    // (ch, occ) — an all-pairs fallback would show as a cartesian (or a
+    // nested loop carrying the jw verify over every string pair)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    // the explicit-width repartition must survive AQE (the EditJoin
+    // lesson: a coalesced one-partition exchange serializes the verify)
+    assert(s.contains("REPARTITION_BY_NUM") || s.contains("REPARTITION_BY_COL"),
+      s"explicit repartition lost from the jw-join plan:\n$s")
+  }
+
   test("fuzzy join: candidate verify is a spread equi-join, never one task") {
     val df = MatchOps.joinFuzzy(spark, dir)
     val s = plan(df)

@@ -1,0 +1,80 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.expressions.JaroWinklerImpl
+
+/** Exactness of the pruned Jaro-Winkler join vs in-memory brute force:
+  * the prefix filter and length band must PRUNE, never DROP — for every
+  * threshold, the join equals the all-pairs answer. */
+class JaroWinklerJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    BigDecimal(JaroWinklerImpl.score(a.getBytes("UTF-8"), b.getBytes("UTF-8")))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // adversarial mix: identicals, shared prefixes (boost regime), odd
+  // transposition counts, repeats (multiset occ indexing), length skew,
+  // short strings, a duplicate id pair
+  private val names = Seq(
+    1L -> "katrina", 2L -> "katrinna", 3L -> "catrina", 4L -> "karina",
+    5L -> "wilma", 6L -> "wilhelmina", 7L -> "sandy", 8L -> "sandi",
+    9L -> "maria", 10L -> "mariah", 11L -> "maria", 12L -> "ida",
+    13L -> "idalia", 14L -> "aaaaab", 15L -> "aaaaba", 16L -> "x",
+    17L -> "xy", 18L -> "column line sort key window",
+    19L -> "column key sort window stream", 20L -> "harvey")
+
+  private def brute(threshold: Double): Set[(Long, Long, Double)] =
+    (for {
+      (ia, sa) <- names; (ib, sb) <- names
+      if ia < ib
+      s = jw(sa, sb) if s >= threshold
+    } yield (ia, ib, s)).toSet
+
+  test("selfJoin equals all-pairs brute force at several thresholds") {
+    val df = names.toDF("id", "name")
+    for (t <- Seq(0.75, 0.85, 0.9, 0.95)) {
+      val got = JaroWinklerJoin.selfJoin(df, "id", "name", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == brute(t), s"threshold $t")
+    }
+  }
+
+  test("cross join equals brute force, including identical cross-side strings") {
+    val left = names.filter(_._1 % 2 == 1).toDF("id", "name")
+    val right = names.filter(_._1 % 2 == 0).toDF("id", "name")
+    val t = 0.85
+    val want = (for {
+      (il, sl) <- names if il % 2 == 1
+      (ir, sr) <- names if ir % 2 == 0
+      s = jw(sl, sr) if s >= t
+    } yield (il, ir, s)).toSet
+    val got = JaroWinklerJoin.join(left, right, "id", "name", t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("bestMatch picks highest rounded score, ties to smallest id") {
+    val probes = Seq(100L -> "maria").toDF("id", "name")
+    val corpus = names.toDF("id", "name")
+    val got = JaroWinklerJoin.bestMatch(probes, corpus, "id", "name", 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    // ids 9 and 11 are both exactly "maria" (jw 1.0): tie goes to 9
+    assert(got == Seq((100L, 9L, 1.0)))
+  }
+
+  test("null and empty strings never match; threshold domain enforced") {
+    val df = Seq((1L, "abc"), (2L, null), (3L, ""), (4L, "abc"))
+      .toDF("id", "name")
+    val got = JaroWinklerJoin.selfJoin(df, "id", "name", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 4L, 1.0)))
+    intercept[IllegalArgumentException] {
+      JaroWinklerJoin.selfJoin(df, "id", "name", 0.7)
+    }
+  }
+}
