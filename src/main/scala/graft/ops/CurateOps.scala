@@ -686,9 +686,17 @@ object CurateOps {
     * dangling-mass pattern), NOT an unpartitioned window — same
     * sources-sized frame, but no single-partition WindowExec. */
   def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint the sources-sized rollup: it feeds BOTH the totals
+    // aggregate and the final projection, and plan-canonicalization
+    // exchange reuse is not guaranteed to dedupe the repeated subtree
+    // (measured: mixtureTemperature ran 5 corpus scans un-materialized)
+    // — at 100 TB each missed reuse is a full corpus scan. The
+    // checkpointed frame is ~|sources| rows; the cost is one scan, the
+    // guarantee is exactly one.
     val perSource = load(spark, dir, "documents")
       .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
       .groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+      .localCheckpoint()
     val totals = perSource.agg(sum("src_tokens").as("total"),
       count(lit(1)).as("n_src"))
     perSource.crossJoin(broadcast(totals))
@@ -723,9 +731,13 @@ object CurateOps {
     * [[LmOps]]), and outputs round to 6. The whole computation after
     * the per-source aggregate runs on a sources-sized frame. */
   def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once (see mixtureWeights): four downstream references
+    // would otherwise re-derive the corpus scan wherever exchange reuse
+    // misses — measured 5 scans / 22 aggregates before the checkpoint
     val perSource = load(spark, dir, "documents")
       .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
       .groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+      .localCheckpoint()
     // corpus-wide normalizers as broadcast one-row aggregates (the
     // PageRank dangling-mass pattern) rather than unpartitioned windows
     val shared = perSource

@@ -83,9 +83,12 @@ object WebOps {
        |  regexp_replace(regexp_extract(pq, '(\\?[^#]*)$$', 1),
        |    '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g') AS q1
        |  FROM c),
-       |canon AS (SELECT doc_id, sch || '://' || host || path ||
-       |  CASE WHEN q1 = '' THEN ''
-       |       ELSE '?' || regexp_replace(q1, '^[?&]', '') END AS canonical_url
+       |canon AS (SELECT doc_id,
+       |  CASE WHEN sch = '' THEN NULL
+       |       ELSE sch || '://' || host || path ||
+       |    CASE WHEN q1 = '' THEN ''
+       |         ELSE '?' || regexp_replace(q1, '^[?&]', '') END
+       |  END AS canonical_url
        |  FROM c2)
        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
        |  min(doc_id) AS first_doc

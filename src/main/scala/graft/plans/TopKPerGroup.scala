@@ -245,12 +245,20 @@ object TopK {
       (args: Seq[Expression]) => {
         require(args.length == 2,
           s"unicode_normalize expects (s, form), got ${args.length} args")
+        // any FOLDABLE string form is accepted (constants, concat of
+        // literals, ...); everything else — non-foldable, null, wrong
+        // type — flows through as a sentinel form so the expression's
+        // own checkInputDataTypes rejects it: a positioned
+        // AnalysisException at analysis time, not a raw internal error
         val form = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(
-              v: org.apache.spark.unsafe.types.UTF8String, _) =>
-            v.toString.toUpperCase(java.util.Locale.ROOT)
-          case other => throw new IllegalArgumentException(
-            s"unicode_normalize form must be a string literal, got $other")
+          case e if e.foldable &&
+              e.dataType == org.apache.spark.sql.types.StringType =>
+            e.eval(null) match {
+              case v: org.apache.spark.unsafe.types.UTF8String =>
+                v.toString.toUpperCase(java.util.Locale.ROOT)
+              case _ => "<null form>"
+            }
+          case other => s"<non-constant form: ${other.sql}>"
         }
         graft.functions.expressions.UnicodeNormalize(args(0), form,
           strip = false)

@@ -76,6 +76,19 @@ class UnicodeNormalizeSpec extends AnyFunSuite {
     assert(r.getString(1) == "cafe")
   }
 
+  test("SQL builder: foldable forms accepted, non-constant forms fail analysis") {
+    // foldable non-literal (concat of constants) resolves
+    val ok = spark.sql("SELECT unicode_normalize('x', 'NF' || 'C') AS n")
+      .collect().head.getString(0)
+    assert(ok == "x")
+    // a column reference is not foldable: positioned AnalysisException
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT unicode_normalize('x', s) FROM (SELECT 'NFC' AS s)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("form"), e.getMessage)
+  }
+
   test("invalid form fails analysis, not execution") {
     val e = intercept[Exception] {
       Seq("x").toDF("s").select(normalize(col("s"), "NFX")).collect()

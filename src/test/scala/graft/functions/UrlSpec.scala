@@ -42,6 +42,12 @@ class UrlSpec extends AnyFunSuite {
       Seq("https://e.com"))
   }
 
+  test("schemeless / malformed input canonicalizes to null, never '://…'") {
+    val got = Seq("no-scheme", "example.com/path", "://broken", "")
+      .toDF("u").select(Url.canonicalize(col("u")).as("c")).collect()
+    assert(got.forall(_.isNullAt(0)), got.mkString(","))
+  }
+
   test("registered domain takes the last two labels of the canonical host") {
     val d = Seq("https://www.cdn.deep.sub.example.com/x")
       .toDF("u").select(Url.registeredDomain(col("u"))).as[String].collect()
