@@ -44,7 +44,22 @@ object PageRank {
     * ranks in pico-units (sum ≈ 1e12 × node count, minus floor leak).
     * Self-loops count as ordinary edges; dedupe edges first if the
     * input carries multiplicity you don't want weighted. */
-  def run(edges: DataFrame, iterations: Int = 5): DataFrame = {
+  def run(edges: DataFrame, iterations: Int = 5): DataFrame =
+    resume(edges, None, iterations)
+
+  /** Power iteration from a WARM START: `startRanks` (id, rank) seeds
+    * every node it covers, nodes it doesn't cover (new arrivals in a
+    * delta-merged graph) start at [[StartMass]]. With `startRanks =
+    * None` this is a cold [[run]]. The incremental contract
+    * ([[graft.ops.ExtraOps.graphPagerankIncremental]]): a converged
+    * rank vector is a far better starting point than uniform mass, so
+    * a handful of warm sweeps absorbs an edge delta that a cold start
+    * would spend the full budget re-deriving — and because the
+    * recurrence is exact integer fixed-point, "warm start + k sweeps"
+    * is itself a bit-exact, engine-portable definition that a DuckDB
+    * oracle replays verbatim (not an approximation heuristic). */
+  def resume(edges: DataFrame, startRanks: Option[DataFrame],
+      iterations: Int = 5): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.toDF("src", "dst").distinct().localCheckpoint()
     val nodes = e.select(col("src").as("id"))
@@ -58,7 +73,14 @@ object PageRank {
       return nodes.select(col("id"), col("id").cast("long").as("rank"))
     val outd = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
 
-    var ranks = nodes.select(col("id"), lit(StartMass).as("rank"))
+    var ranks = startRanks match {
+      case None => nodes.select(col("id"), lit(StartMass).as("rank"))
+      case Some(sr) => nodes
+        .join(sr.toDF("id", "rank"), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("rank"), lit(StartMass)).as("rank"))
+        .localCheckpoint()
+    }
     var i = 0
     while (i < iterations) {
       val damped = ranks.select(col("id"),
@@ -85,5 +107,62 @@ object PageRank {
       i += 1
     }
     ranks
+  }
+
+  // ---- persisted serving: rank once, absorb deltas with warm sweeps —
+  // the web-corpus quality signal must not recompute from scratch per
+  // crawl increment (the CorpusIndex / Ivf.buildPersisted lifecycle).
+  import org.apache.spark.sql.types._
+
+  private val edgesSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType)))
+  private val ranksSchema = StructType(Seq(
+    StructField("id", LongType), StructField("rank", LongType)))
+
+  /** Rank the base graph once and persist (edges + converged ranks)
+    * under `name`; crash-safe via the shared commit-marker contract. */
+  def buildIndex(store: graft.pipeline.Store, name: String,
+      edges: DataFrame, iterations: Int = 5): Unit = {
+    val e = edges.toDF("src", "dst")
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+    store.write(s"${name}_edges", e)
+    store.write(s"${name}_ranks", run(e, iterations))
+    graft.dedup.IndexCommits.mark(store, name, "base")
+  }
+
+  /** Absorb an edge delta against the index: warm-start `sweeps` power
+    * iterations over stored ∪ delta edges, stored ranks seeding every
+    * known node and new nodes starting at [[StartMass]]. Returns the
+    * full updated (id, rank); callers that accept the update persist it
+    * back via [[appendDelta]]. The stored graph participates only
+    * through its edge relation and rank vector — nothing recomputes the
+    * base ranking. */
+  def updateWithDelta(store: graft.pipeline.Store, name: String,
+      delta: DataFrame, sweeps: Int = 2): DataFrame = {
+    graft.dedup.IndexCommits.validate(store, name, Seq("_edges", "_ranks"))
+    val e0 = store.read(s"${name}_edges", edgesSchema)
+    val r0 = store.read(s"${name}_ranks", ranksSchema)
+    val d = delta.toDF("src", "dst")
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    resume(e0.unionByName(d), Some(r0), sweeps)
+  }
+
+  /** Accept a delta: persist the merged edge set and updated ranks under
+    * the batch tag (the append half of the index lifecycle). */
+  def appendDelta(store: graft.pipeline.Store, name: String,
+      delta: DataFrame, batchTag: String, sweeps: Int = 2): Unit = {
+    val updated = updateWithDelta(store, name, delta, sweeps)
+      .localCheckpoint()
+    val d = delta.toDF("src", "dst")
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    val e0 = store.read(s"${name}_edges", edgesSchema)
+    store.write(s"${name}_edges", e0.unionByName(d).distinct()
+      .localCheckpoint())
+    store.write(s"${name}_ranks", updated)
+    graft.dedup.IndexCommits.mark(store, name, batchTag)
   }
 }

@@ -137,33 +137,110 @@ object ExtraOps {
         iterations = 5)
       .orderBy("id")
 
+  /** One integer power-iteration sweep as SQL: ranks `to` from ranks
+    * `from` over edge relation `e` (with out-degrees `outd`, node list
+    * `nodes`, node count `nn`) — the exact [[graft.graph.PageRank]]
+    * recurrence, shared by the cold and warm-start oracles. */
+  private def prSweepSql(to: String, from: String, e: String,
+      nodes: String, outd: String, nn: String): String =
+    s"""$to AS (SELECT n.id,
+       |    CAST(150000000000 + dang.share + COALESCE(s.c, 0) AS BIGINT) AS rank
+       |  FROM $nodes n
+       |  LEFT JOIN (SELECT $e.dst AS id, SUM(((r.rank * 85) // 100) // o.d) AS c
+       |      FROM $e JOIN $from r ON r.id = $e.src
+       |      JOIN $outd o ON o.src = $e.src
+       |      GROUP BY $e.dst) s ON s.id = n.id
+       |  CROSS JOIN (SELECT COALESCE(SUM((r.rank * 85) // 100), 0)
+       |        // (SELECT n FROM $nn) AS share
+       |      FROM $from r LEFT JOIN $outd o ON o.src = r.id
+       |      WHERE o.src IS NULL) dang)""".stripMargin
+
+  /** Edge relation + derived nodes/outd/nn CTEs under a prefix. */
+  private def prGraphSql(pfx: String, edgeSelect: String): String =
+    s"""${pfx}e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    $edgeSelect)
+       |  WHERE src <> dst),
+       |${pfx}nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM ${pfx}e UNION ALL SELECT dst AS id FROM ${pfx}e)),
+       |${pfx}outd AS MATERIALIZED (SELECT src, count(*) AS d FROM ${pfx}e GROUP BY src),
+       |${pfx}nn AS MATERIALIZED (SELECT count(*) AS n FROM ${pfx}nodes)"""
+      .stripMargin
+
+  private val prBaseEdgeSelect: String =
+    """SELECT o_orderkey % 1024 AS src,
+      |      (o_orderkey * 131 + o_custkey) % 1024 AS dst FROM orders"""
+      .stripMargin
+
   private val pagerankOracle: String = {
-    val base =
-      """WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-        |    SELECT o_orderkey % 1024 AS src,
-        |      (o_orderkey * 131 + o_custkey) % 1024 AS dst FROM orders)
-        |  WHERE src <> dst),
-        |nodes AS MATERIALIZED (SELECT DISTINCT id FROM
-        |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
-        |outd AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
-        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
-        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM nodes)"""
-        .stripMargin
-    val iters = (1 to 5).map { k =>
-      s"""r$k AS (SELECT n.id,
-         |    CAST(150000000000 + dang.share + COALESCE(s.c, 0) AS BIGINT) AS rank
-         |  FROM nodes n
-         |  LEFT JOIN (SELECT e.dst AS id, SUM(((r.rank * 85) // 100) // o.d) AS c
-         |      FROM e JOIN r${k - 1} r ON r.id = e.src
-         |      JOIN outd o ON o.src = e.src
-         |      GROUP BY e.dst) s ON s.id = n.id
-         |  CROSS JOIN (SELECT COALESCE(SUM((r.rank * 85) // 100), 0)
-         |        // (SELECT n FROM nn) AS share
-         |      FROM r${k - 1} r LEFT JOIN outd o ON o.src = r.id
-         |      WHERE o.src IS NULL) dang)""".stripMargin
-    }
-    (base +: iters).mkString(",\n") +
+    val base = prGraphSql("", prBaseEdgeSelect) +
+      ",\nr0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM nodes)"
+    val iters = (1 to 5).map(k =>
+      prSweepSql(s"r$k", s"r${k - 1}", "e", "nodes", "outd", "nn"))
+    (("WITH " + base) +: iters).mkString(",\n") +
       "\nSELECT id, rank FROM r5 ORDER BY id"
+  }
+
+  /** Incremental PageRank — the persisted-serving lifecycle
+    * ([[graft.graph.PageRank.buildIndex]]/`updateWithDelta`): the base
+    * link graph ranks ONCE into a store (memoized fixture prep, the
+    * IVF/PQ/DSIR/fuzzy-index convention — every bench repeat times what
+    * production serving pays), then an edge delta (a second affine fold
+    * over every 8th order) is absorbed with 2 WARM-START sweeps from
+    * the stored rank vector, new nodes seeded at StartMass. The exact
+    * integer recurrence makes "warm start + 2 sweeps" a bit-exact
+    * engine-portable definition: the oracle replays the base 5 sweeps
+    * AND the 2 warm sweeps verbatim — a full differential of the whole
+    * incremental path, not a drift-tolerance check. */
+  private val prStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Store]
+
+  def graphPagerankIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val baseEdges = load(spark, dir, "orders")
+      .select((col("o_orderkey") % 1024).as("src"),
+        ((col("o_orderkey") * 131 + col("o_custkey")) % 1024).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val store = prStoreCache.synchronized {
+      prStoreCache.getOrElseUpdate((spark, dir), {
+        val base = SourceSinkOps.tmp("pridx", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        val st = new graft.pipeline.Store(spark, base)
+        graft.graph.PageRank.buildIndex(st, "pr", baseEdges, iterations = 5)
+        st
+      })
+    }
+    val delta = load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 8 === 0)
+      .select((col("o_orderkey") % 1024).as("src"),
+        ((col("o_orderkey") * 257 + col("o_custkey") * 7) % 1024).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.graph.PageRank.updateWithDelta(store, "pr", delta, sweeps = 2)
+      .orderBy("id")
+  }
+
+  private val pagerankIncrementalOracle: String = {
+    val deltaEdgeSelect =
+      """SELECT o_orderkey % 1024 AS src,
+        |      (o_orderkey * 257 + o_custkey * 7) % 1024 AS dst
+        |      FROM orders WHERE o_orderkey % 8 = 0""".stripMargin
+    val mergedEdgeSelect =
+      s"""SELECT src, dst FROM e UNION ALL
+         |    SELECT src, dst FROM de""".stripMargin
+    val parts = Seq(
+      prGraphSql("", prBaseEdgeSelect),
+      "r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank FROM nodes)") ++
+      (1 to 5).map(k =>
+        prSweepSql(s"r$k", s"r${k - 1}", "e", "nodes", "outd", "nn")) ++
+      Seq(
+        prGraphSql("d", deltaEdgeSelect),
+        prGraphSql("m", mergedEdgeSelect),
+        // warm start: stored ranks seed known nodes, new nodes 1e12
+        """w0 AS (SELECT n.id,
+          |    COALESCE(r.rank, CAST(1000000000000 AS BIGINT)) AS rank
+          |  FROM mnodes n LEFT JOIN r5 r ON r.id = n.id)""".stripMargin) ++
+      (1 to 2).map(k =>
+        prSweepSql(s"w$k", s"w${k - 1}", "me", "mnodes", "moutd", "mnn"))
+    "WITH " + parts.mkString(",\n") +
+      "\nSELECT id, rank FROM w2 ORDER BY id"
   }
 
   /** Nested-type packing — the conversation-assembly shape every
@@ -281,6 +358,9 @@ object ExtraOps {
       "graph/connected-components"),
     QuerySpec("q_graph_pagerank", graphPagerank, Some(pagerankOracle),
       "graph/pagerank (integer fixed-point power iteration)"),
+    QuerySpec("q_graph_pagerank_incremental", graphPagerankIncremental,
+      Some(pagerankIncrementalOracle),
+      "graph/pagerank-incremental (persisted ranks + warm-start delta)"),
     QuerySpec("q_approx_distinct", approxDistinct, Some(
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |count(*) AS n, true AS within_bound

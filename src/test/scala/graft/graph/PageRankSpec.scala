@@ -45,6 +45,33 @@ class PageRankSpec extends AnyFunSuite {
     assert(once == dup)
   }
 
+  test("warm-start algebra: resume(run(E, k), j) == run(E, k + j)") {
+    // the incremental contract reduces to this identity when the delta
+    // is empty: k cold sweeps then j warm sweeps must equal k+j cold
+    // sweeps bit-for-bit (integer recurrence, no drift)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+    val e = edges.toDF("src", "dst")
+    val warm = PageRank.resume(e, Some(PageRank.run(e, 2)), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(warm == ranks(edges, 5))
+  }
+
+  test("warm-start with a delta: new nodes seed at StartMass") {
+    // base 1->2; delta adds 3->1. After 1 warm sweep over the merged
+    // graph from base ranks r(1)=575e9, r(2)=1425e9, r(3)=1e12 (new):
+    //   damped: 488.75e9, 1211.25e9, 850e9; outdeg 1->2:1, 3->1:1
+    //   dangling = node 2's 1211.25e9 div N=3 = 403.75e9
+    //   rank'(1) = 150e9 + 403.75e9 + 850e9   = 1403.75e9
+    //   rank'(2) = 150e9 + 403.75e9 + 488.75e9 = 1042.5e9
+    //   rank'(3) = 150e9 + 403.75e9            = 553.75e9
+    val base = PageRank.run(Seq((1L, 2L)).toDF("src", "dst"), 1)
+    val merged = Seq((1L, 2L), (3L, 1L)).toDF("src", "dst")
+    val got = PageRank.resume(merged, Some(base), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1403750000000L, 2L -> 1042500000000L,
+      3L -> 553750000000L))
+  }
+
   test("empty graph returns empty") {
     assert(ranks(Seq.empty, 3).isEmpty)
   }
