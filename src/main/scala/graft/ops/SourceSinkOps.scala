@@ -459,7 +459,55 @@ object SourceSinkOps {
       |    AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** S8 JDBC-source parity — the reference's store of record is a MySQL
+    * star schema, so the intake path a migrating tcdb user needs is
+    * `spark.read.jdbc` ([[graft.pipeline.JdbcIntake]]). The gate runs it
+    * against Spark's bundled EMBEDDED Derby (the same driver-agnostic
+    * JDBC surface; production swaps the URL for MySQL): fixture prep
+    * writes the nation/region parquet into Derby once (memoized, like
+    * every persisted-fixture gate), then the query reads nation back as
+    * a 4-way PARTITIONED range scan on its primary key, broadcast-joins
+    * the 5-row region dim, and aggregates — the oracle replays from the
+    * same parquet, so the differential pins the full JDBC write/read
+    * round trip including type mapping. */
+  private val derbyPrepared = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  def jdbcScan(spark: SparkSession, dir: String): DataFrame = {
+    val url = derbyPrepared.synchronized {
+      derbyPrepared.getOrElseUpdate((spark, dir), {
+        val base = tmp("derby", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        val u = s"jdbc:derby:$base/db;create=true"
+        load(spark, dir, "nation").write.mode("overwrite").jdbc(u, "nation",
+          new java.util.Properties)
+        load(spark, dir, "region").write.mode("overwrite").jdbc(u, "region",
+          new java.util.Properties)
+        u
+      })
+    }
+    val nation = graft.pipeline.JdbcIntake.readPartitioned(spark, url,
+      "nation", "n_nationkey", numPartitions = 4)
+    val region = spark.read.jdbc(url, "region", new java.util.Properties)
+    nation.join(broadcast(region),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        min("n_name").as("first_nation"),
+        max("n_nationkey").cast("long").as("max_key"))
+      .orderBy("r_name")
+  }
+
+  private val jdbcScanOracle: String =
+    """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+      |  min(n_name) AS first_nation,
+      |  CAST(max(n_nationkey) AS BIGINT) AS max_key
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_jdbc_scan", jdbcScan, Some(jdbcScanOracle),
+      "S8-source: JDBC star-schema intake (embedded Derby)"),
     QuerySpec("q_jsonl_scan", jsonlScan, Some(jsonlScanOracle),
       "S-source: JSONL gzip shard round trip, declared schema"),
     QuerySpec("q_orc_roundtrip", orcRoundtrip, Some(csvRoundtripOracle),
