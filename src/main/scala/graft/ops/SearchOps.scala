@@ -209,11 +209,21 @@ object SearchOps {
           (log((col("n_docs").cast("double") + lit(1.0)) /
             (col("df").cast("double") + lit(1.0))) + lit(1.0)) * lit(1e3), 0)
           .cast("long").as("c"))
-    val norm = w.groupBy("doc_id").agg(sum(col("c") * col("c")).as("n2"))
-    val hits = w.filter(col("token").isin(terms: _*))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms_hit"), sum("c").as("dot"))
-    hits.join(norm, "doc_id")
+    // ONE aggregation pass computes the norm AND the query dot: norm
+    // and hits as separate branches each re-derived the corpus-sized
+    // explode -> tf -> df-join subtree (their post-join exchanges
+    // differ, so nothing above the join reuses — JobTrace showed two
+    // ~10 s twin jobs at 32x, the whole super-linear residue of the
+    // scale probe). Conditional sums over the same rows cost nothing
+    // extra; docs with no query term drop exactly as the old semi
+    // shape dropped them.
+    val isHit = col("token").isin(terms: _*)
+    val hits = w.groupBy("doc_id").agg(
+        sum(col("c") * col("c")).as("n2"),
+        count(when(isHit, lit(1))).as("n_terms_hit"),
+        sum(when(isHit, col("c"))).as("dot"))
+      .filter(col("n_terms_hit") > 0)
+    hits
       .select(col("doc_id"), col("n_terms_hit"),
         round(col("dot").cast("double") / sqrt(col("n2").cast("double")), 6)
           .as("score"))
