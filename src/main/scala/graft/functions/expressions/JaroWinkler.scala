@@ -38,13 +38,13 @@ case class JaroWinkler(left: Expression, right: Expression)
   override def nullable: Boolean = left.nullable || right.nullable
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    JaroWinklerImpl.score(l.asInstanceOf[UTF8String].getBytes,
-      r.asInstanceOf[UTF8String].getBytes)
+    JaroWinklerImpl.score(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.expressions.JaroWinklerImpl" +
-        s".score($a.getBytes(), $b.getBytes());")
+        s".score($a, $b);")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
@@ -59,20 +59,47 @@ object JaroWinkler {
   * the generated Java can call directly (one method call per row; the
   * loops JIT as tight byte-array scans). */
 object JaroWinklerImpl {
-  def score(a: Array[Byte], b: Array[Byte]): Double = {
-    val la = a.length; val lb = b.length
+
+  /** Per-thread match-flag scratch, reused across calls: a similarity
+    * JOIN evaluates this kernel millions of times per task, and two
+    * fresh boolean arrays per call were measurable GC churn. The arrays
+    * only grow; flags are reset per call over the used prefix. */
+  private val scratch = new ThreadLocal[(Array[Boolean], Array[Boolean])] {
+    override def initialValue(): (Array[Boolean], Array[Boolean]) =
+      (new Array[Boolean](64), new Array[Boolean](64))
+  }
+
+  /** Test/utility overload on raw bytes. */
+  def score(a: Array[Byte], b: Array[Byte]): Double =
+    score(UTF8String.fromBytes(a), UTF8String.fromBytes(b))
+
+  /** Zero-copy scoring path: reads bytes straight out of the
+    * UnsafeRow-backed UTF8Strings (no getBytes materialization). */
+  def score(a: UTF8String, b: UTF8String): Double = {
+    val la = a.numBytes(); val lb = b.numBytes()
     if (la == 0 || lb == 0) return 0.0
     val window = math.max(0, math.max(la, lb) / 2 - 1)
-    val aM = new Array[Boolean](la); val bM = new Array[Boolean](lb)
+    var s = scratch.get()
+    if (s._1.length < la || s._2.length < lb) {
+      val n = math.max(math.max(la, lb), s._1.length * 2)
+      s = (new Array[Boolean](n), new Array[Boolean](n))
+      scratch.set(s)
+    }
+    val aM = s._1; val bM = s._2
+    java.util.Arrays.fill(aM, 0, la, false)
+    java.util.Arrays.fill(bM, 0, lb, false)
     var m = 0
     var i = 0
     while (i < la) {
+      val ai = a.getByte(i)
       val lo = math.max(0, i - window)
       val hi = math.min(lb - 1, i + window)
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!bM(j) && a(i) == b(j)) { aM(i) = true; bM(j) = true; m += 1; found = true }
+        if (!bM(j) && ai == b.getByte(j)) {
+          aM(i) = true; bM(j) = true; m += 1; found = true
+        }
         j += 1
       }
       i += 1
@@ -83,7 +110,7 @@ object JaroWinklerImpl {
     while (i < la) {
       if (aM(i)) {
         while (!bM(k)) k += 1
-        if (a(i) != b(k)) t += 1
+        if (a.getByte(i) != b.getByte(k)) t += 1
         k += 1
       }
       i += 1
@@ -97,7 +124,7 @@ object JaroWinklerImpl {
     if (jaro > 0.7) {
       var l = 0
       val maxL = math.min(4, math.min(la, lb))
-      while (l < maxL && a(l) == b(l)) l += 1
+      while (l < maxL && a.getByte(l) == b.getByte(l)) l += 1
       jaro + l * 0.1 * (1.0 - jaro)
     } else jaro
   }

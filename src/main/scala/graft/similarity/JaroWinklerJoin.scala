@@ -16,50 +16,55 @@ import graft.functions.expressions.JaroWinkler.jaroWinklerNative
   * the "same name, trailing corruption" regime.
   *
   * Exact threshold semantics: every pair with
-  * `round(jaro_winkler(a, b), 6) >= threshold` is returned — candidate
-  * generation prunes, never drops. The pruning chain, each step a
-  * proven implication (θ = threshold, jw the classic Winkler form with
-  * boost scale p = 0.1 over at most l = 4 prefix chars, boost applied
-  * only when jaro > 0.7):
+  * `round(jaro_winkler(a, b), 6) >= threshold` is returned — pruning
+  * never drops a qualifying pair. The sound pruning chain (θ =
+  * threshold, jw the classic Winkler form with boost scale p = 0.1 over
+  * at most l = 4 prefix chars, boost applied only when jaro > 0.7):
   *
   *  1. jw ≤ 0.6·jaro + 0.4 when the boost applies (l ≤ 4, p = 0.1),
   *     and jw = jaro ≤ 0.7 < θ otherwise — so jw ≥ θ implies
   *     jaro ≥ j0 = (θ − 0.4) / 0.6.
-  *  2. 3·jaro = m/|a| + m/|b| + (m − t/2)/m with the last term ≤ 1, so
-  *     m ≥ (3·j0 − 1) · |a|·|b| / (|a| + |b|) matched characters.
-  *  3. m ≤ min(|a|, |b|) then forces the LENGTH BAND
-  *     min/max ≥ r = 3·j0 − 2 (vacuous below θ ≈ 0.8, clamped to 0).
-  *  4. The m matched characters occupy distinct positions on both
-  *     sides, so the character MULTISETS intersect in ≥ m elements;
-  *     with elements (char, occurrence-index) under one global
-  *     rarest-first total order, the prefix-filter theorem says a
-  *     qualifying pair must collide within each side's first
-  *     L − c(L) + 1 elements, where c(L) = ceil((3·j0 − 1) · r/(1+r)
-  *     · L) lower-bounds m against the shortest admissible partner.
-  *     At θ = 0.93 the prefix is ~32% of each string's characters —
-  *     only collisions on RARE characters fan out.
+  *  2. jaro ≤ (2 + min/max) / 3 for any pair (m ≤ min(|a|, |b|)), so
+  *     the LENGTH BAND min/max ≥ r = 3·j0 − 2 holds (vacuous below
+  *     θ ≈ 0.8).
   *
-  * Candidates then verify IN the join condition with the native codegen
-  * [[graft.functions.expressions.JaroWinkler]] (the condition form — the
-  * measured winner of the round-13 EditJoin A/B); only survivors dedup
-  * and re-expand to id pairs. Thresholding and output use the round-6
-  * score so a last-ulp divergence cannot flip a boundary (the
-  * q_fn_jaro_winkler convention).
+  * WHY no character-level candidate filter: the ED-Join-style
+  * rarest-first prefix filter (which makes [[EditJoin]] sub-quadratic)
+  * is provably near-vacuous here. jaro ≥ j0 only bounds the COMMON
+  * CHARACTER MULTISET (≥ ~75% overlap at θ = 0.9), and on a ~30-symbol
+  * alphabet with strings of a few dozen characters, nearly every string
+  * pair shares several "rare" (char, occurrence) elements — measured at
+  * sf0.1 (4756 distinct 28-char titles, θ = 0.9): the prefix filter
+  * passed 11.21M of the 11.30M length-banded pairs (99.2%) while
+  * inflating the verify to 53.6M collision rows (4.8× per pair). An
+  * exact JW join at practical thresholds is inherently quadratic in
+  * DISTINCT strings within the length band — the SemDedup bargain, made
+  * affordable by the same two levers: exact-collapse first (name data
+  * is duplicate-heavy; the quadratic runs on distinct strings only) and
+  * in-task verification with nothing corpus-sized ever broadcast or
+  * replicated per row.
+  *
+  * The candidate stage is therefore a SALTED LENGTH-BLOCKED self/cross
+  * join: residents key by (log2 length bucket, salt); probers replicate
+  * to each admissible partner bucket (±1 at θ ≥ 0.88) × every salt, so
+  * the quadratic verify spreads evenly over `numShufflePartitions`
+  * tasks as a plain equi-join — no cartesian, no single hot task, and
+  * the shuffle is S·|distinct strings| rows of (id, len, str): LINEAR
+  * in the corpus with a fixed fan-out. Each unordered pair meets in
+  * EXACTLY ONE task (the resident's unique (bucket, salt)), so the
+  * native codegen jw verify runs once per pair, in the join condition
+  * (the round-13 A/B winner form). Thresholding and output use the
+  * round-6 score (the q_fn_jaro_winkler convention).
   *
   * Byte vs character units: the verify (like DuckDB's) walks UTF-8
-  * bytes; the pruning counts characters. For single-byte text (the
-  * reference's uppercase-ASCII storm names, and any Latin-1 corpus) the
-  * two coincide and the chain above is exact. Multi-byte text can in
-  * principle score byte-level matches across distinct characters that
-  * the character-multiset bound does not see; callers joining such
-  * corpora should normalize first ([[graft.ops.TextOps.textNormalize]]).
-  *
-  * 100 TB shape: the same contract as [[EditJoin]] — every stage is a
-  * keyed shuffle over character-element rows, the per-string prefix
-  * frame is O(L) rows, nothing corpus-sized broadcasts, and the
-  * candidate join is an equi-join on (char, occ) spread by an explicit
-  * repartition (AQE would coalesce the small exchange and serialize the
-  * verify).
+  * bytes; `length()` counts characters. For single-byte text (the
+  * reference's uppercase-ASCII storm names, and any Latin-1 corpus)
+  * the two coincide; multi-byte text only WIDENS the byte-level length
+  * band relative to the character count on both sides of the same
+  * ratio, so the band stays sound whenever byte and char length are
+  * within the usual UTF-8 factor — callers joining heavily multi-byte
+  * corpora should normalize first
+  * ([[graft.ops.TextOps.textNormalize]]).
   */
 object JaroWinklerJoin {
 
@@ -73,14 +78,21 @@ object JaroWinklerJoin {
     require(threshold > 0.7 && threshold < 1.0,
       "threshold must be in (0.7, 1); at or below 0.7 the boost bound " +
         "collapses and the join degenerates toward all-pairs")
-    val members = memberRows(df, idCol, strCol)
+    // materialized once: members feeds four plan branches (the collapse,
+    // both expansion joins, the same-string pairing) that would each
+    // re-derive the source scan + tokenization
+    val members = memberRows(df, idCol, strCol).localCheckpoint()
     val s = members.groupBy("str").agg(min("id").as("id"))
       .withColumn("len", length(col("str")))
 
-    val pfx = prefixElements(s, threshold)
-    val verified = candidateVerify(pfx, pfx, threshold,
+    // lineage barrier: the two expansion joins below each embed their
+    // build side as a broadcast exchange, and without a barrier BOTH
+    // re-execute the whole candidate-verify subtree (measured: 2
+    // jaro_winkler instances, 6 scans, two ~4 s twin jobs at sf0.1).
+    // The verified frame is output-bound — the checkpoint is cheap.
+    val verified = candidateVerify(s, s, threshold,
         extra = col("a.id") < col("b.id"), "str_a", "str_b")
-      .distinct()
+      .localCheckpoint()
 
     val diff = verified
       .join(members.select(col("str").as("str_a"), col("id").as("ia")),
@@ -99,36 +111,29 @@ object JaroWinklerJoin {
 
   /** Cross-corpus form: all (id_l, id_r, jw) with round(jw, 6) >=
     * threshold between two corpora — the probe-vs-stored-names linkage
-    * shape. One shared rarest-first element order is built from the
-    * union of both sides (the prefix-filter theorem needs a single
-    * total order). */
+    * shape. */
   def join(left: DataFrame, right: DataFrame, idCol: String,
       strCol: String, threshold: Double): DataFrame = {
     require(threshold > 0.7 && threshold < 1.0,
       "threshold must be in (0.7, 1)")
-    val lm = memberRows(left, idCol, strCol)
-    val rm = memberRows(right, idCol, strCol)
+    // materialized once each (see selfJoin)
+    val lm = memberRows(left, idCol, strCol).localCheckpoint()
+    val rm = memberRows(right, idCol, strCol).localCheckpoint()
     val ls = lm.groupBy("str").agg(min("id").as("id"))
       .withColumn("len", length(col("str")))
     val rs = rm.groupBy("str").agg(min("id").as("id"))
       .withColumn("len", length(col("str")))
 
-    val freq = charElements(ls).unionByName(charElements(rs))
-      .groupBy("ch", "occ").agg(count(lit(1)).as("freq"))
-    val lp = prefixFromElements(charElements(ls), freq, threshold)
-    val rp = prefixFromElements(charElements(rs), freq, threshold)
-
     // equal strings are excluded here and paired exactly by the `same`
     // branch below — without the exclusion every identical cross-side
     // string would be emitted by BOTH branches
-    val verified = candidateVerify(lp, rp, threshold,
+    val verified = candidateVerify(ls, rs, threshold,
         extra = col("a.str") =!= col("b.str"), "str_l", "str_r")
-      .distinct()
-    // cross-corpus identical strings (jw = 1) pair directly: the
-    // collapsed reps carry per-side min ids, so expand via members
+      .localCheckpoint() // see selfJoin: barrier against re-execution
+    // cross-corpus identical strings (jw = 1) pair directly
     val same = ls.select(col("str")).intersect(rs.select(col("str")))
-      .withColumn("jw", lit(1.0))
-      .select(col("str").as("str_l"), col("str").as("str_r"), col("jw"))
+      .select(col("str").as("str_l"), col("str").as("str_r"),
+        lit(1.0).as("jw"))
 
     verified.unionByName(same)
       .join(lm.select(col("str").as("str_l"), col("id").as("id_l")),
@@ -157,58 +162,43 @@ object JaroWinklerJoin {
     df.filter(col(strCol).isNotNull && length(col(strCol)) > 0)
       .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
 
-  /** (id, len, str, ch, occ): each character of each distinct string as
-    * a multiset element — occurrence-indexed so repeats are distinct
-    * elements (the same shape as [[EditJoin]]'s (gram, occ) rows). */
-  private def charElements(s: DataFrame): DataFrame =
-    s.select(col("id"), col("len"), col("str"),
-        posexplode(transform(sequence(lit(1), col("len")),
-          i => col("str").substr(i, lit(1)))).as(Seq("pos", "ch")))
-      .withColumn("occ", row_number().over(
-        Window.partitionBy("id", "ch").orderBy("pos")))
-      .select("id", "len", "str", "ch", "occ")
-
-  /** Per-string prefix frame under the global rarest-first order: the
-    * first len − c(len) + 1 elements, c(L) = ceil((3·j0 − 1) · r/(1+r)
-    * · L) the common-character lower bound against the shortest
-    * admissible partner (see class doc, steps 2-4). */
-  private def prefixFromElements(elems: DataFrame, freq: DataFrame,
-      threshold: Double): DataFrame = {
-    val j0 = (threshold - 0.4) / 0.6
-    val r = math.max(3 * j0 - 2, 0.0)
-    val coef = (3 * j0 - 1) * r / (1 + r)
-    elems.join(freq, Seq("ch", "occ"), "left")
-      .na.fill(0L, Seq("freq"))
-      .withColumn("rn", row_number().over(Window.partitionBy("id")
-        .orderBy(col("freq"), col("ch"), col("occ"))))
-      .filter(col("rn") <=
-        greatest(lit(1), col("len") - ceil(col("len") * coef) + 1))
-      .select("id", "len", "str", "ch", "occ")
-  }
-
-  private def prefixElements(s: DataFrame, threshold: Double): DataFrame = {
-    val elems = charElements(s)
-    val freq = elems.groupBy("ch", "occ").agg(count(lit(1)).as("freq"))
-    prefixFromElements(elems, freq, threshold)
-  }
-
-  /** Equi-join candidates on a shared prefix element, length band, and
-    * the native jw verify IN the join condition (round-13 A/B winner);
-    * emits (outL, outR, jw) for survivors. The explicit-width
-    * repartition pins the candidate exchange against AQE coalescing
-    * (the EditJoin lesson: a one-partition exchange serializes the
-    * whole verify). */
-  private def candidateVerify(lp: DataFrame, rp: DataFrame,
+  /** Salted length-blocked candidate join with the jw verify in the
+    * join condition. `a` probes (replicated to each admissible partner
+    * log2-length bucket × every salt), `b` resides (one (bucket, salt)
+    * per string) — each qualifying pair meets exactly once. `extra`
+    * carries the direction/identity restriction. */
+  private[graft] def candidateVerify(a: DataFrame, b: DataFrame,
       threshold: Double, extra: Column, outL: String,
       outR: String): DataFrame = {
     val j0 = (threshold - 0.4) / 0.6
     val r = math.max(3 * j0 - 2, 0.0)
-    val nParts = lp.sparkSession.sessionState.conf.numShufflePartitions
-    val a = lp.repartition(nParts, col("ch"), col("occ"))
-    val b = rp.repartition(nParts, col("ch"), col("occ"))
+    // bucket fan-out floor: at r = 0 (θ ≤ 0.8) any length ratio is
+    // admissible; 2^-16 bounds the replication at +16 buckets while
+    // excluding only ratios < 2^-16, whose jaro ≤ (2 + 2^-16)/3 can
+    // never reach a θ > 0.7
+    val rB = math.max(r, 1.0 / 65536)
+    val nParts = a.sparkSession.sessionState.conf.numShufflePartitions
+
+    val resident = b.select(col("id"), col("len"), col("str"),
+      floor(log2(col("len"))).cast("int").as("bkt"),
+      pmod(xxhash64(col("id")), lit(nParts)).cast("int").as("salt"))
+    val prober = a.select(col("id"), col("len"), col("str"),
+        explode(sequence(
+          floor(log2(greatest(lit(1.0), col("len") * rB))).cast("int"),
+          floor(log2(col("len") / rB)).cast("int"))).as("bkt"))
+      .select(col("id"), col("len"), col("str"), col("bkt"),
+        explode(sequence(lit(0), lit(nParts - 1))).as("salt"))
+
+    // explicit-width repartition on the join key, pinned against AQE:
+    // there are only ~(buckets × salts) distinct keys and the exchanges
+    // are tiny, so AQE would coalesce them and serialize the in-join
+    // verify (the EditJoin lesson, measured 52 s -> 3 s there)
+    val prober2 = prober.repartition(nParts, col("bkt"), col("salt"))
+    val resident2 = resident.repartition(nParts, col("bkt"), col("salt"))
+
     val jw = jwRounded(col("a.str"), col("b.str"))
-    a.as("a").join(b.as("b"),
-        col("a.ch") === col("b.ch") && col("a.occ") === col("b.occ") &&
+    prober2.as("a").join(resident2.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.salt") === col("b.salt") &&
           extra &&
           col("a.len") >= col("b.len") * r &&
           col("b.len") >= col("a.len") * r &&

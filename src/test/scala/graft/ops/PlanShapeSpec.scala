@@ -411,15 +411,34 @@ class PlanShapeSpec extends AnyFunSuite {
   test("jaro-winkler join: candidate verify is a spread equi-join, no cartesian") {
     val df = MatchOps.joinJw(spark, dir)
     val s = plan(df)
-    // the character-prefix candidate join must be an equi-join on
-    // (ch, occ) — an all-pairs fallback would show as a cartesian (or a
-    // nested loop carrying the jw verify over every string pair)
+    // the salted length-blocked candidate join must stay an equi-join
+    // on (bucket, salt) — an all-pairs fallback would show as a
+    // cartesian or a nested loop carrying the jw verify per string pair
     assert(!s.contains("CartesianProduct"), s)
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
-    // the explicit-width repartition must survive AQE (the EditJoin
-    // lesson: a coalesced one-partition exchange serializes the verify)
-    assert(s.contains("REPARTITION_BY_NUM") || s.contains("REPARTITION_BY_COL"),
-      s"explicit repartition lost from the jw-join plan:\n$s")
+    // the verify stage runs inside a localCheckpoint barrier (its twin
+    // re-execution under the broadcast expansion joins was measured at
+    // 2x), so its plan is pinned directly: the explicit-width
+    // repartition on (bkt, salt) must survive AQE — only ~(buckets ×
+    // salts) distinct keys exist, and a coalesced exchange would
+    // serialize the whole quadratic verify on a few tasks
+    import org.apache.spark.sql.functions._
+    val titles = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(graft.functions.Text.tokens(col("text")), 1, 5), " ")
+          .as("title"))
+      .filter(length(col("title")) > 0)
+      .select(col("doc_id").cast("long").as("id"), col("title").as("str"))
+      .groupBy("str").agg(min("id").as("id"))
+      .withColumn("len", length(col("str")))
+    val verify = graft.similarity.JaroWinklerJoin.candidateVerify(
+      titles, titles, 0.9, col("a.id") < col("b.id"), "str_a", "str_b")
+    val vs = plan(verify)
+    assert(!vs.contains("CartesianProduct") &&
+      !vs.contains("BroadcastNestedLoopJoin"), vs)
+    assert(vs.contains("REPARTITION_BY_NUM") || vs.contains("REPARTITION_BY_COL"),
+      s"explicit repartition lost from the jw verify plan:\n$vs")
+    assert(vs.contains("jaro_winkler"), vs)
   }
 
   test("fuzzy join: candidate verify is a spread equi-join, never one task") {
