@@ -56,15 +56,15 @@ import graft.functions.expressions.JaroWinkler.jaroWinklerNative
   * (the round-13 A/B winner form). Thresholding and output use the
   * round-6 score (the q_fn_jaro_winkler convention).
   *
-  * Byte vs character units: the verify (like DuckDB's) walks UTF-8
-  * bytes; `length()` counts characters. For single-byte text (the
-  * reference's uppercase-ASCII storm names, and any Latin-1 corpus)
-  * the two coincide; multi-byte text only WIDENS the byte-level length
-  * band relative to the character count on both sides of the same
-  * ratio, so the band stays sound whenever byte and char length are
-  * within the usual UTF-8 factor — callers joining heavily multi-byte
-  * corpora should normalize first
-  * ([[graft.ops.TextOps.textNormalize]]).
+  * Two sound pre-verify filters run inside the join condition before
+  * the kernel: the length band above, and the
+  * [[graft.functions.expressions.CharSig]] byte-multiset overlap bound
+  * (m matched chars ≤ the byte-multiset intersection; the capped
+  * 64-bucket histogram bound kills 93.5% of length-banded pairs on the
+  * sf0.1 fixture at ~1/20 the kernel's cost). Everything — lengths,
+  * bands, buckets, histograms, the verify — is denominated in UTF-8
+  * BYTES, matching the byte-level jw definition (DuckDB parity), so
+  * the chain is exact for any input including multi-byte text.
   */
 object JaroWinklerJoin {
 
@@ -83,7 +83,7 @@ object JaroWinklerJoin {
     // re-derive the source scan + tokenization
     val members = memberRows(df, idCol, strCol).localCheckpoint()
     val s = members.groupBy("str").agg(min("id").as("id"))
-      .withColumn("len", length(col("str")))
+      .withColumn("len", octet_length(col("str")).cast("int"))
 
     // lineage barrier: the two expansion joins below each embed their
     // build side as a broadcast exchange, and without a barrier BOTH
@@ -120,9 +120,9 @@ object JaroWinklerJoin {
     val lm = memberRows(left, idCol, strCol).localCheckpoint()
     val rm = memberRows(right, idCol, strCol).localCheckpoint()
     val ls = lm.groupBy("str").agg(min("id").as("id"))
-      .withColumn("len", length(col("str")))
+      .withColumn("len", octet_length(col("str")).cast("int"))
     val rs = rm.groupBy("str").agg(min("id").as("id"))
-      .withColumn("len", length(col("str")))
+      .withColumn("len", octet_length(col("str")).cast("int"))
 
     // equal strings are excluded here and paired exactly by the `same`
     // branch below — without the exclusion every identical cross-side
@@ -179,14 +179,17 @@ object JaroWinklerJoin {
     val rB = math.max(r, 1.0 / 65536)
     val nParts = a.sparkSession.sessionState.conf.numShufflePartitions
 
+    import graft.functions.expressions.CharSig.{charSig, overlapBound}
     val resident = b.select(col("id"), col("len"), col("str"),
+      charSig(col("str")).as("sig"),
       floor(log2(col("len"))).cast("int").as("bkt"),
       pmod(xxhash64(col("id")), lit(nParts)).cast("int").as("salt"))
     val prober = a.select(col("id"), col("len"), col("str"),
+        charSig(col("str")).as("sig"),
         explode(sequence(
           floor(log2(greatest(lit(1.0), col("len") * rB))).cast("int"),
           floor(log2(col("len") / rB)).cast("int"))).as("bkt"))
-      .select(col("id"), col("len"), col("str"), col("bkt"),
+      .select(col("id"), col("len"), col("str"), col("sig"), col("bkt"),
         explode(sequence(lit(0), lit(nParts - 1))).as("salt"))
 
     // explicit-width repartition on the join key, pinned against AQE:
@@ -196,12 +199,19 @@ object JaroWinklerJoin {
     val prober2 = prober.repartition(nParts, col("bkt"), col("salt"))
     val resident2 = resident.repartition(nParts, col("bkt"), col("salt"))
 
+    // condition order is the cost ladder: equi-keys, band arithmetic,
+    // the ~50 ns count-bound (kills 93.5% of banded pairs on the sf0.1
+    // fixture — see CharSig), and only then the ~20× costlier jw kernel
+    val mReq = ceil(lit(3 * j0 - 1) * col("a.len") * col("b.len") /
+      (col("a.len") + col("b.len"))).cast("int")
     val jw = jwRounded(col("a.str"), col("b.str"))
     prober2.as("a").join(resident2.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.salt") === col("b.salt") &&
           extra &&
           col("a.len") >= col("b.len") * r &&
           col("b.len") >= col("a.len") * r &&
+          overlapBound(col("a.sig"), col("b.sig"),
+            col("a.len"), col("b.len")) >= mReq &&
           jw >= threshold)
       .select(col("a.str").as(outL), col("b.str").as(outR), jw.as("jw"))
   }
