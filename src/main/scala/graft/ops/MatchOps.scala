@@ -351,11 +351,49 @@ object MatchOps {
       |  FROM s) r
       |WHERE rn = 1 ORDER BY probe_doc""".stripMargin
 
+  /** Closest-match served from the PERSISTED name index
+    * ([[graft.similarity.JaroWinklerJoin.buildIndex]]): the stored-names
+    * side (every title) is frozen once — members + signature/bucket
+    * resident rows — and each probe batch matches against the frozen
+    * tables with no stored-side recompute. The reference's nightly
+    * shape: incoming records resolve against the STORED set. Same
+    * oracle as the direct q_jw_best_match; JaroWinklerJoinSpec
+    * additionally pins served == direct. */
+  private val jwStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Store]
+
+  def jwBestMatchIndexed(spark: SparkSession, dir: String): DataFrame = {
+    def titles = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(Text.tokens(col("text")), 1, 5), " ").as("title"))
+    val store = jwStoreCache.synchronized {
+      jwStoreCache.getOrElseUpdate((spark, dir), {
+        val base = SourceSinkOps.tmp("jwidx", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        val st = new graft.pipeline.Store(spark, base)
+        JaroWinklerJoin.buildIndex(st, "jw", titles, "doc_id", "title",
+          threshold = 0.9)
+        st
+      })
+    }
+    val probes = titles.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        expr("substring(title, 1, length(title) - 2)").as("title"))
+    JaroWinklerJoin.bestMatchIndexed(store, "jw", probes, "doc_id",
+        "title", threshold = 0.9)
+      .withColumnRenamed("id_l", "probe_doc")
+      .withColumnRenamed("id_r", "matched_doc")
+      .orderBy("probe_doc")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_join_jw", joinJw, Some(joinJwOracle),
       "match/jaro-winkler-threshold-join"),
     QuerySpec("q_jw_best_match", jwBestMatch, Some(jwBestMatchOracle),
       "match/jaro-winkler-closest-match"),
+    QuerySpec("q_jw_best_match_indexed", jwBestMatchIndexed,
+      Some(jwBestMatchOracle),
+      "match/jaro-winkler-closest-match-persisted-index-serving"),
     QuerySpec("q_stream_fuzzy", streamFuzzy, Some(streamFuzzyOracle),
       "stream/fuzzy-ingest (persisted-index append lifecycle)"),
     QuerySpec("q_join_fuzzy", joinFuzzy, Some(joinFuzzyOracle),

@@ -167,7 +167,24 @@ object JaroWinklerJoin {
     * log2-length bucket × every salt), `b` resides (one (bucket, salt)
     * per string) — each qualifying pair meets exactly once. `extra`
     * carries the direction/identity restriction. */
+  /** Resident half of the candidate machinery: one (bucket) row per
+    * distinct string with its signature — the PERSISTED form of the
+    * index ([[buildIndex]]); salt is derived from the id at join time. */
+  private def residentRows(s: DataFrame): DataFrame = {
+    import graft.functions.expressions.CharSig.charSig
+    s.select(col("id"), col("len"), col("str"),
+      charSig(col("str")).as("sig"),
+      floor(log2(col("len"))).cast("int").as("bkt"))
+  }
+
   private[graft] def candidateVerify(a: DataFrame, b: DataFrame,
+      threshold: Double, extra: Column, outL: String,
+      outR: String): DataFrame =
+    verifyAgainstResidents(a, residentRows(b), threshold, extra, outL, outR)
+
+  /** The candidate join proper, with the resident side already in index
+    * form (freshly derived or read back from a Store). */
+  private def verifyAgainstResidents(a: DataFrame, residentIdx: DataFrame,
       threshold: Double, extra: Column, outL: String,
       outR: String): DataFrame = {
     val j0 = (threshold - 0.4) / 0.6
@@ -180,10 +197,8 @@ object JaroWinklerJoin {
     val nParts = a.sparkSession.sessionState.conf.numShufflePartitions
 
     import graft.functions.expressions.CharSig.{charSig, overlapBound}
-    val resident = b.select(col("id"), col("len"), col("str"),
-      charSig(col("str")).as("sig"),
-      floor(log2(col("len"))).cast("int").as("bkt"),
-      pmod(xxhash64(col("id")), lit(nParts)).cast("int").as("salt"))
+    val resident = residentIdx.withColumn("salt",
+      pmod(xxhash64(col("id")), lit(nParts)).cast("int"))
     val prober = a.select(col("id"), col("len"), col("str"),
         charSig(col("str")).as("sig"),
         explode(sequence(
@@ -215,4 +230,86 @@ object JaroWinklerJoin {
           jw >= threshold)
       .select(col("a.str").as(outL), col("b.str").as(outR), jw.as("jw"))
   }
+
+  // ---- persisted name index: freeze the stored-names side once, match
+  // incoming probe batches against the frozen tables — the nightly
+  // incremental lifecycle of the reference's closest-match resolution
+  // (new records match against the STORED set, which is not recomputed
+  // per batch). Same Store + commit-marker contract as EditJoin/Ivf.
+  import org.apache.spark.sql.types._
+
+  private val membersSchema = StructType(Seq(
+    StructField("str", StringType), StructField("id", LongType)))
+  private val stringsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("len", IntegerType),
+    StructField("str", StringType), StructField("sig", BinaryType),
+    StructField("bkt", IntegerType)))
+  private val metaSchema = StructType(Seq(
+    StructField("threshold", DoubleType)))
+
+  /** Persist the stored-names side under `name`: member list and the
+    * resident index rows (signature + length bucket per distinct
+    * string). `threshold` is recorded and enforced at serve time —
+    * the bucket layout is threshold-independent, but pinning it keeps
+    * build and serve reasoning about the same match contract. */
+  def buildIndex(store: graft.pipeline.Store, name: String,
+      names: DataFrame, idCol: String, strCol: String,
+      threshold: Double): Unit = {
+    require(threshold > 0.7 && threshold < 1.0, "threshold in (0.7, 1)")
+    val spark = names.sparkSession
+    import spark.implicits._
+    val members = memberRows(names, idCol, strCol)
+    val s = members.groupBy("str").agg(min("id").as("id"))
+      .withColumn("len", octet_length(col("str")).cast("int"))
+    store.write(s"${name}_members",
+      members.select("str", "id"))
+    store.write(s"${name}_strings",
+      residentRows(s).select("id", "len", "str", "sig", "bkt"))
+    store.write(s"${name}_meta", Seq(threshold).toDF("threshold"))
+    graft.dedup.IndexCommits.mark(store, name, "base")
+  }
+
+  /** All (id_l, id_r, jw) pairs between a probe batch and the INDEXED
+    * names — no stored-side signature or bucket recompute, no scan of
+    * the stored corpus beyond the frozen relations. */
+  def assignAgainstIndex(store: graft.pipeline.Store, name: String,
+      probes: DataFrame, idCol: String, strCol: String,
+      threshold: Double): DataFrame = {
+    graft.dedup.IndexCommits.validate(store, name,
+      Seq("_members", "_strings"))
+    val meta = store.read(s"${name}_meta", metaSchema).collect()
+    require(meta.length == 1 && meta(0).getDouble(0) == threshold,
+      s"index '$name' was built for threshold " +
+        s"${meta.toSeq.map(_.getDouble(0))}, serve asked $threshold")
+    val pm = memberRows(probes, idCol, strCol).localCheckpoint()
+    val ps = pm.groupBy("str").agg(min("id").as("id"))
+      .withColumn("len", octet_length(col("str")).cast("int"))
+    val residentIdx = store.read(s"${name}_strings", stringsSchema)
+
+    val verified = verifyAgainstResidents(ps, residentIdx, threshold,
+        extra = col("a.str") =!= col("b.str"), "str_l", "str_r")
+      .localCheckpoint() // barrier, see selfJoin
+    val same = ps.select(col("str"))
+      .join(residentIdx.select(col("str")), "str")
+      .select(col("str").as("str_l"), col("str").as("str_r"),
+        lit(1.0).as("jw"))
+
+    verified.unionByName(same)
+      .join(pm.select(col("str").as("str_l"), col("id").as("id_l")),
+        "str_l")
+      .join(store.read(s"${name}_members", membersSchema)
+        .select(col("str").as("str_r"), col("id").as("id_r")), "str_r")
+      .select("id_l", "id_r", "jw")
+  }
+
+  /** Closest stored match per probe, served from the frozen index —
+    * [[bestMatch]] semantics without rebuilding the stored side. */
+  def bestMatchIndexed(store: graft.pipeline.Store, name: String,
+      probes: DataFrame, idCol: String, strCol: String,
+      threshold: Double): DataFrame =
+    assignAgainstIndex(store, name, probes, idCol, strCol, threshold)
+      .withColumn("rn", row_number().over(Window.partitionBy("id_l")
+        .orderBy(col("jw").desc, col("id_r"))))
+      .filter(col("rn") === 1)
+      .select("id_l", "id_r", "jw")
 }

@@ -67,6 +67,33 @@ class JaroWinklerJoinSpec extends AnyFunSuite {
     assert(got == Seq((100L, 9L, 1.0)))
   }
 
+  test("persisted-index serving equals the direct cross join, bit for bit") {
+    val base = s"/tmp/graft_ss/p${ProcessHandle.current().pid}/jwidx_spec"
+    graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+    val store = new graft.pipeline.Store(spark, base)
+    val corpus = names.filter(_._1 % 2 == 0).toDF("id", "name")
+    val probes = names.filter(_._1 % 2 == 1).toDF("id", "name")
+    JaroWinklerJoin.buildIndex(store, "n", corpus, "id", "name", 0.85)
+    val served = JaroWinklerJoin.assignAgainstIndex(store, "n", probes,
+        "id", "name", 0.85)
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = JaroWinklerJoin.join(probes, corpus, "id", "name", 0.85)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served == direct)
+    val best = JaroWinklerJoin.bestMatchIndexed(store, "n", probes,
+        "id", "name", 0.85)
+      .as[(Long, Long, Double)].collect().toSet
+    val bestDirect = JaroWinklerJoin.bestMatch(probes, corpus, "id",
+        "name", 0.85)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(best == bestDirect)
+    // threshold contract enforced at serve time
+    intercept[IllegalArgumentException] {
+      JaroWinklerJoin.assignAgainstIndex(store, "n", probes, "id",
+        "name", 0.9)
+    }
+  }
+
   test("null and empty strings never match; threshold domain enforced") {
     val df = Seq((1L, "abc"), (2L, null), (3L, ""), (4L, "abc"))
       .toDF("id", "name")
