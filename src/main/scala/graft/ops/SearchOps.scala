@@ -269,7 +269,105 @@ object SearchOps {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Hybrid retrieval — reciprocal rank fusion (Cormack et al., SIGIR
+    * 2009) of the lexical and semantic channels, the standard RAG
+    * retriever shape: BM25 top-50 for the query terms fused with the
+    * embedding-cosine top-50 for the query vector (vec 0, the
+    * q_ann_brute_force probe convention) by
+    * `rrf = Σ 1/(60 + rank_channel)`, missing channels contributing 0.
+    * Every input rank is deterministic (integer/round-6 scores with
+    * doc_id tie-breaks) and rrf is two exactly-rounded IEEE ops on
+    * small-integer reciprocals, so the fusion replays bit-exactly in
+    * the oracle — no tolerance anywhere.
+    *
+    * 100 TB shape: the two channels are the already-scaled operators
+    * (BM25's literal-term single corpus pass; brute cosine standing in
+    * for the IVF/PQ serving path, all gated elsewhere); fusion itself
+    * touches only the 2×50 channel survivors — driver-scale work. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.CosineSimilarity.cosineNative
+    val lex = bm25TopK(load(spark, dir, "documents"), gateTerms, k = 50)
+      .select(col("doc_id"), col("rank").as("rank_lex"))
+    val emb = load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val sem = emb.crossJoin(broadcast(q))
+      .select(col("vec_id").cast("long").as("doc_id"),
+        round(cosineNative(col("embedding"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(50)
+      .withColumn("rank_sem", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("doc_id"))))
+      .select("doc_id", "rank_sem")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_sem")), lit(0.0)))
+          .as("rrf"),
+        col("rank_lex"), col("rank_sem"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf").desc, col("doc_id"))))
+  }
+
+  private val hybridSearchOracle: String = {
+    val tfs = gateTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n      |    ")
+    val dfs = gateTerms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val contribs = gateTerms.indices.map { i =>
+      s"""CASE WHEN tf_$i > 0 THEN CAST(round(
+         |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) /
+         |        (CAST(df_$i AS DOUBLE) + 0.5)) *
+         |      CAST(tf_$i AS DOUBLE) * 2.2 /
+         |      (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+         |        0.75 * CAST(dl AS DOUBLE) /
+         |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) *
+         |      1000000.0) AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" +\n      |    ")
+    val hits = gateTerms.indices.map(i =>
+      s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
+       |  FROM documents),
+       |t AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM d),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM t),
+       |sc AS (SELECT doc_id, CAST($hits AS BIGINT) AS n_terms_hit,
+       |    $contribs AS score_micro
+       |  FROM t, s),
+       |lex AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT)
+       |      AS rank_lex
+       |  FROM sc WHERE n_terms_hit > 0
+       |  ORDER BY score_micro DESC, doc_id LIMIT 50),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qv AS (SELECT v FROM e WHERE vec_id = 0),
+       |sem AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+       |      AS rank_sem
+       |  FROM (SELECT e.vec_id AS doc_id,
+       |      round(list_cosine_similarity(e.v, qv.v), 6) AS cos
+       |    FROM e, qv)
+       |  ORDER BY cos DESC, doc_id LIMIT 50),
+       |fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    coalesce(1.0 / (60 + rank_lex), 0.0) +
+       |      coalesce(1.0 / (60 + rank_sem), 0.0) AS rrf,
+       |    rank_lex, rank_sem
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, rrf, rank_lex, rank_sem,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_search_hybrid_rrf", hybridSearch,
+      Some(hybridSearchOracle), "search/hybrid-rrf-fusion"),
     QuerySpec("q_search_bm25", searchBm25,
       Some(searchBm25Oracle), "search/bm25-topk"),
     QuerySpec("q_search_tfidf", searchTfidf,
