@@ -180,6 +180,124 @@ object MatchOps {
     * build, landing files, stream run) is memoized; the gate reads the
     * decisions table — the [[graft.ops.TextOps.dedupStreamIngest]]
     * convention. */
+  /** Streaming Jaro-Winkler name resolution end-to-end
+    * ([[graft.streaming.StreamingDedup.jwIngest]]): the stored names
+    * (even doc_ids) index once; two micro-batches of titles land as
+    * parquet files (mtimes pin the order) and each is DECIDED against
+    * the frozen index ('exact'/'near'/'novel' at round-6 jw >= 0.9,
+    * batch-local closure for leftovers), accepted novel representatives
+    * appended so batch 2 resolves against batch 1's novels — batch 2
+    * carries re-keyed COPIES of batch 1's titles, so cross-batch
+    * resolution is load-bearing. The oracle replays both decisions
+    * all-pairs in DuckDB, including the index growth between batches. */
+  private val streamJwCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Store]
+
+  def streamJw(spark: SparkSession, dir: String): DataFrame = {
+    val store = streamJwCache.synchronized {
+      streamJwCache.getOrElseUpdate((spark, dir), {
+        val base = SourceSinkOps.tmp("sjw", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        def titles = load(spark, dir, "documents")
+          .select(col("doc_id"),
+            array_join(slice(Text.tokens(col("text")), 1, 5), " ")
+              .as("title"))
+        val st = new graft.pipeline.Store(spark, s"$base/store")
+        JaroWinklerJoin.buildIndex(st, "jw",
+          titles.filter(col("doc_id") % 2 === 0), "doc_id", "title",
+          threshold = 0.9)
+        val landing = s"$base/landing"
+        new java.io.File(landing).mkdirs()
+        def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmpd = s"$base/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+          val part = new java.io.File(tmpd).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$landing/$name")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          require(dst.setLastModified(mtime),
+            s"could not pin mtime on $dst — batch order would be undefined")
+        }
+        val t0 = 1700000000000L
+        writeBatchFile(titles.filter(col("doc_id") % 4 === 1),
+          "b0.parquet", t0)
+        writeBatchFile(titles.filter(col("doc_id") % 4 === 3)
+            .unionAll(titles.filter(col("doc_id") % 4 === 1)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                col("title"))),
+          "b1.parquet", t0 + 3600000L)
+        graft.streaming.StreamingDedup.jwIngest(spark, landing,
+          titles.schema, st, "jw", s"$base/ck", "title", "doc_id",
+          threshold = 0.9).awaitTermination()
+        st
+      })
+    }
+    spark.read.parquet(store.path("decisions")).orderBy("doc_id")
+  }
+
+  /** DuckDB replica of ONE jw decision as a parameterized derived table
+    * `(corpusSel, batchSel) -> (doc_id, assigned, matched)`: batch
+    * exact collapse, all-pairs round-6 jaro_winkler vs the stored set
+    * with (max jw, min stored id) assignment, recursive min-label
+    * closure over the novel leftovers — the
+    * [[graft.similarity.JaroWinklerJoin.assignDecisions]] contract. */
+  private def jwDecisionSql(corpusSel: String, batchSel: String,
+      t: Double): String =
+    s"""(WITH RECURSIVE
+       |corpus AS MATERIALIZED ($corpusSel),
+       |batch AS MATERIALIZED ($batchSel),
+       |brm AS MATERIALIZED (SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY title) AS rep FROM batch),
+       |reps AS MATERIALIZED (SELECT b.doc_id, b.title FROM batch b
+       |  JOIN brm r ON b.doc_id = r.doc_id AND r.doc_id = r.rep),
+       |cand AS MATERIALIZED (SELECT r.doc_id, c.doc_id AS cid,
+       |    round(jaro_winkler_similarity(r.title, c.title), 6) AS jw
+       |  FROM reps r JOIN corpus c
+       |    ON round(jaro_winkler_similarity(r.title, c.title), 6) >= $t),
+       |bmax AS (SELECT doc_id, max(jw) AS jw FROM cand GROUP BY doc_id),
+       |best AS MATERIALIZED (SELECT c.doc_id, min(c.cid) AS assigned,
+       |    CASE WHEN m.jw = 1.0 THEN 'exact' ELSE 'near' END AS matched
+       |  FROM cand c JOIN bmax m ON m.doc_id = c.doc_id AND c.jw = m.jw
+       |  GROUP BY c.doc_id, m.jw),
+       |novel AS MATERIALIZED (SELECT doc_id, title FROM reps
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM best)),
+       |e AS MATERIALIZED (SELECT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM novel a JOIN novel b ON a.doc_id < b.doc_id
+       |    AND round(jaro_winkler_similarity(a.title, b.title), 6) >= $t),
+       |edges AS MATERIALIZED (SELECT ia AS id, ib AS nbr FROM e
+       |  UNION ALL SELECT ib, ia FROM e),
+       |reach AS (SELECT doc_id AS id, doc_id AS label FROM novel
+       |  UNION
+       |  SELECT g.id, r.label FROM edges g JOIN reach r ON r.id = g.nbr),
+       |nlab AS (SELECT id, min(label) AS lbl FROM reach GROUP BY id),
+       |ra AS (SELECT doc_id, assigned, matched FROM best
+       |  UNION ALL SELECT novel.doc_id, lbl, 'novel' FROM novel
+       |    JOIN nlab ON nlab.id = novel.doc_id)
+       |SELECT brm.doc_id, ra.assigned, ra.matched
+       |FROM brm JOIN ra ON ra.doc_id = brm.rep)""".stripMargin
+
+  private val streamJwOracle: String = {
+    val title = "array_to_string(list_filter(regexp_split_to_array(" +
+      "text, ' +'), w -> w != '')[1:5], ' ')"
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id, $title AS title
+       |  FROM documents),
+       |d0 AS MATERIALIZED (SELECT * FROM ${jwDecisionSql(
+          "SELECT doc_id, title FROM docs WHERE doc_id % 2 = 0",
+          "SELECT doc_id, title FROM docs WHERE doc_id % 4 = 1", 0.9)} t0),
+       |acc0 AS MATERIALIZED (SELECT d.doc_id, d.title FROM docs d
+       |  JOIN d0 ON d0.doc_id = d.doc_id
+       |  WHERE d0.matched = 'novel' AND d0.assigned = d.doc_id),
+       |d1 AS (SELECT * FROM ${jwDecisionSql(
+          "SELECT doc_id, title FROM docs WHERE doc_id % 2 = 0"
+            + " UNION ALL SELECT doc_id, title FROM acc0",
+          "SELECT doc_id, title FROM docs WHERE doc_id % 4 = 3"
+            + " UNION ALL SELECT doc_id + 1000000, title FROM docs"
+            + " WHERE doc_id % 4 = 1", 0.9)} t1)
+       |SELECT doc_id, assigned, matched FROM d0
+       |UNION ALL SELECT doc_id, assigned, matched FROM d1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val streamFuzzyCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.pipeline.Store]
 
@@ -396,6 +514,8 @@ object MatchOps {
       "match/jaro-winkler-closest-match-persisted-index-serving"),
     QuerySpec("q_stream_fuzzy", streamFuzzy, Some(streamFuzzyOracle),
       "stream/fuzzy-ingest (persisted-index append lifecycle)"),
+    QuerySpec("q_stream_jw", streamJw, Some(streamJwOracle),
+      "stream/jw-name-resolution (persisted-index append lifecycle)"),
     QuerySpec("q_join_fuzzy", joinFuzzy, Some(joinFuzzyOracle),
       "J5+ fuzzy edit-distance join (ED-Join prefix filtering)"),
     QuerySpec("q_join_fuzzy_indexed", joinFuzzyIndexed,

@@ -312,4 +312,88 @@ object JaroWinklerJoin {
         .orderBy(col("jw").desc, col("id_r"))))
       .filter(col("rn") === 1)
       .select("id_l", "id_r", "jw")
+
+  /** One incremental match-or-create DECISION per batch row against the
+    * indexed name set — the reference's nightly resolution loop (each
+    * incoming record resolves to its closest stored name above the
+    * cutoff or creates a new entity), decision semantics mirroring
+    * [[EditJoin.assignDecisions]] on the Jaro-Winkler modality.
+    * Returns `(idCol, assigned, matched)`:
+    *
+    *  - batch rows exact-collapse by string (rep = min id; copies
+    *    inherit the rep's decision);
+    *  - a rep with ANY stored match at round-6 jw >= threshold assigns
+    *    to the (max jw, then min stored id) match — `matched` is
+    *    'exact' at jw 1.0, 'near' otherwise;
+    *  - leftovers close over the within-batch jw graph ([[selfJoin]]
+    *    edges → min-label components) — `matched` is 'novel',
+    *    `assigned` the component minimum (self for the representative,
+    *    which is what [[appendToIndex]] should then be fed). */
+  def assignDecisions(store: graft.pipeline.Store, name: String,
+      batch: DataFrame, idCol: String, strCol: String,
+      threshold: Double, maxIter: Int = 20): DataFrame = {
+    val b = batch.filter(col(strCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
+    val brm = b.withColumn("rep",
+      min("id").over(Window.partitionBy("str")))
+    val reps = brm.filter(col("id") === col("rep"))
+      .select(col("id").as(idCol), col("str").as(strCol))
+    val best = assignAgainstIndex(store, name, reps, idCol, strCol,
+        threshold)
+      .groupBy("id_l")
+      .agg(max(struct(col("jw"), (-col("id_r")).as("nid"))).as("m"))
+      .select(col("id_l").as("id"), (-col("m.nid")).as("assigned"),
+        when(col("m.jw") === 1.0, "exact").otherwise("near").as("matched"))
+    val novel = reps
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
+      .join(best.select("id"), Seq("id"), "left_anti")
+      .localCheckpoint() // feeds the edge join AND the label expansion
+    val edges = selfJoin(novel.select(col("id"), col("str")), "id", "str",
+      threshold)
+    val labels = graft.graph.ConnectedComponents
+      .run(edges.select("id_a", "id_b"), maxIter)
+    val novelDec = novel.join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("assigned"),
+        lit("novel").as("matched"))
+    brm.join(best.unionByName(novelDec).withColumnRenamed("id", "rep"),
+        Seq("rep"))
+      .select(col("id").as(idCol), col("assigned"), col("matched"))
+  }
+
+  /** Append accepted novel representatives to the persisted name index
+    * as a `batchTag`-keyed file publication — per-batch cost
+    * proportional to the BATCH, no read-modify-write of stored data,
+    * replay-safe when paired with [[clearBatch]] at batch start (the
+    * [[graft.dedup.CorpusIndex.append]] contract). Signatures and
+    * buckets are pure functions of the string, so appended rows are
+    * indistinguishable from build-time rows. */
+  def appendToIndex(store: graft.pipeline.Store, name: String,
+      novel: DataFrame, idCol: String, strCol: String, batchTag: String,
+      threshold: Double): Unit = {
+    val meta = store.read(s"${name}_meta", metaSchema).collect()
+    require(meta.length == 1 && meta(0).getDouble(0) == threshold,
+      s"index '$name' was built for threshold " +
+        s"${meta.toSeq.map(_.getDouble(0))}, append asked $threshold")
+    val members = memberRows(novel, idCol, strCol)
+    val s = members.groupBy("str").agg(min("id").as("id"))
+      .withColumn("len", octet_length(col("str")).cast("int"))
+      .localCheckpoint()
+    import graft.pipeline.FsUtils.publishBatch
+    publishBatch(members.select("str", "id"),
+      store.path(s"${name}_members"), batchTag)
+    publishBatch(residentRows(s).select("id", "len", "str", "sig", "bkt"),
+      store.path(s"${name}_strings"), batchTag)
+    // cross-table commit point, written LAST (IndexCommits contract)
+    graft.dedup.IndexCommits.mark(store, name, batchTag)
+  }
+
+  /** Purge every index file a previous attempt of `batchTag` published
+    * — the batch-start half of the replay-safety contract. */
+  def clearBatch(store: graft.pipeline.Store, name: String,
+      batchTag: String): Unit = {
+    graft.dedup.IndexCommits.unmark(store, name, batchTag)
+    Seq("_members", "_strings").foreach(sfx =>
+      graft.pipeline.FsUtils.clearBatch(store.path(s"$name$sfx"), batchTag))
+  }
 }

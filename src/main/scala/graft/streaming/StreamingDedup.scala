@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.dedup.{CorpusIndex, EmbeddingIndex}
 import graft.pipeline.{FsUtils, Store}
-import graft.similarity.EditJoin
+import graft.similarity.{EditJoin, JaroWinklerJoin}
 
 /** Continuous corpus ingestion with near-dup gating — the streaming form
   * of [[CorpusIndex]]'s build/assign/append lifecycle: each micro-batch
@@ -173,6 +173,46 @@ object StreamingDedup {
               .select(idCol), Seq(idCol))
           EditJoin.appendToIndex(store, name, accepted, idCol, strCol, tag,
             maxDist, q)
+        }
+        ()
+      }
+      .start()
+
+  /** Streaming name resolution over the persisted Jaro-Winkler index
+    * ([[graft.similarity.JaroWinklerJoin]]) — the reference's nightly
+    * match-or-create loop as a stream: each arriving batch of names is
+    * decided against the frozen index ('exact' at jw 1.0, 'near' at
+    * round-6 jw >= threshold, else batch-local 'novel' closure), the
+    * decision is published, and accepted novel representatives are
+    * appended (signatures/buckets are pure string functions, so
+    * appended rows serve identically to build-time rows). Same
+    * replay-safety contract as [[fuzzyIngest]]. */
+  def jwIngest(spark: SparkSession, landing: String,
+      schema: StructType, store: Store, name: String, checkpoint: String,
+      strCol: String, idCol: String, threshold: Double,
+      maxIter: Int = 20,
+      decisionsTable: String = "decisions"): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val b = batch.localCheckpoint()
+        if (!b.isEmpty) {
+          val tag = bid.toString
+          JaroWinklerJoin.clearBatch(store, name, tag)
+          FsUtils.clearBatch(store.path(decisionsTable), tag)
+          val res = JaroWinklerJoin.assignDecisions(store, name, b, idCol,
+            strCol, threshold, maxIter).localCheckpoint()
+          FsUtils.publishBatch(res, store.path(decisionsTable), tag)
+          val accepted = b.join(
+            res.filter(col("matched") === "novel"
+                && col("assigned") === col(idCol))
+              .select(idCol), Seq(idCol))
+          JaroWinklerJoin.appendToIndex(store, name, accepted, idCol,
+            strCol, tag, threshold)
         }
         ()
       }
