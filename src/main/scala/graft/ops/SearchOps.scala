@@ -365,7 +365,118 @@ object SearchOps {
        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Retrieval-quality metrics — the EVALUATION half of the retrieval
+    * stack (recall@k, MRR@k, nDCG@k per query): every retriever change
+    * at corpus scale is judged by exactly these numbers. Queries are
+    * the 8 ANN probe vectors, the ranked lists their round-6 cosine
+    * top-10 (self excluded), and the relevance labels are derived, not
+    * synthetic: a retrieved doc is relevant iff it shares the query
+    * doc's `lang` (a deterministic qrels set any engine can replay).
+    *
+    * Float determinism: per-hit DCG gains 1/log2(pos+1) quantize to
+    * NANO-units (long) before summing — a double sum is
+    * partition-order-dependent, an integer sum is exact (the LmOps
+    * contract); IDCG likewise; the final divisions and rounds are
+    * single deterministic ops. MRR is one reciprocal of a small int.
+    *
+    * 100 TB shape: ranked lists come from the separately-gated ANN
+    * serving paths; metric aggregation touches queries × k rows. */
+  def retrievalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.CosineSimilarity.cosineNative
+    val k = 10
+    val emb = load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val lang = load(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ranked = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        round(cosineNative(col("embedding"), col("qv")), 6).as("cos"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("pos") <= k)
+    // binary relevance: retrieved doc shares the query doc's lang
+    val rel = ranked
+      .join(lang.select(col("doc_id").as("qid"), col("lang").as("qlang")),
+        "qid")
+      .join(lang, "doc_id")
+      .withColumn("is_rel", (col("lang") === col("qlang")).cast("int"))
+    val nRel = lang.select(col("doc_id").as("qid"), col("lang").as("qlang"))
+      .filter(col("qid") < 8)
+      .join(lang.withColumnRenamed("lang", "qlang"), Seq("qlang"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    // nano-unit quantized DCG gains; IDCG over min(n_rel, k) ideal slots
+    val gain = round(lit(1e9) / log2(col("pos") + 1), 0).cast("long")
+    val perQ = rel.groupBy("qid").agg(
+      sum(col("is_rel")).as("n_hit"),
+      sum(when(col("is_rel") === 1, gain).otherwise(lit(0L)))
+        .as("dcg_nano"),
+      min(when(col("is_rel") === 1, col("pos"))).as("first_rel"))
+    perQ.join(nRel, Seq("qid"))
+      .select(col("qid"),
+        col("n_rel"),
+        col("n_hit").cast("long").as("n_hit"),
+        round(col("n_hit") / col("n_rel"), 6).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6)
+          .as("mrr_at_k"),
+        round(col("dcg_nano") /
+          // IDCG: all min(n_rel, k) ideal hits at the top positions —
+          // an arithmetic fold over a literal sequence, exact longs
+          aggregate(sequence(lit(1),
+              least(col("n_rel"), lit(k.toLong)).cast("int")),
+            lit(0L), (acc, i) =>
+              acc + round(lit(1e9) / log2(i + 1), 0).cast("long"))
+            .cast("double"), 6).as("ndcg_at_k"))
+      .orderBy("qid")
+  }
+
+  private val retrievalMetricsOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+      |ranked AS (SELECT qid, doc_id, pos FROM (
+      |    SELECT q.qid, e.vec_id AS doc_id,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        round(list_cosine_similarity(e.v, q.qv), 6) DESC, e.vec_id)
+      |        AS pos
+      |    FROM e, q WHERE e.vec_id != q.qid) t
+      |  WHERE pos <= 10),
+      |lang AS (SELECT doc_id, lang FROM documents),
+      |rel AS (SELECT r.qid, r.doc_id, r.pos,
+      |    CASE WHEN dl.lang = ql.lang THEN 1 ELSE 0 END AS is_rel
+      |  FROM ranked r
+      |  JOIN lang ql ON ql.doc_id = r.qid
+      |  JOIN lang dl ON dl.doc_id = r.doc_id),
+      |nrel AS (SELECT ql.doc_id AS qid, CAST(count(*) AS BIGINT) AS n_rel
+      |  FROM lang ql JOIN lang dl ON dl.lang = ql.lang
+      |    AND dl.doc_id != ql.doc_id
+      |  WHERE ql.doc_id < 8 GROUP BY ql.doc_id),
+      |perq AS (SELECT qid,
+      |    CAST(sum(is_rel) AS BIGINT) AS n_hit,
+      |    CAST(sum(CASE WHEN is_rel = 1 THEN
+      |        CAST(round(1e9 / log2(pos + 1)) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS dcg_nano,
+      |    min(CASE WHEN is_rel = 1 THEN pos END) AS first_rel
+      |  FROM rel GROUP BY qid),
+      |ideal AS (SELECT i, CAST(round(1e9 / log2(i + 1)) AS BIGINT) AS g
+      |  FROM generate_series(1, 10) AS t(i)),
+      |icum AS (SELECT m.i AS m, CAST(sum(h.g) AS BIGINT) AS inano
+      |  FROM ideal m JOIN ideal h ON h.i <= m.i GROUP BY m.i),
+      |idcg AS (SELECT p.qid, ic.inano
+      |  FROM perq p JOIN nrel n USING (qid)
+      |  JOIN icum ic ON ic.m = least(n.n_rel, 10))
+      |SELECT p.qid, n.n_rel, p.n_hit,
+      |  round(CAST(p.n_hit AS DOUBLE) / n.n_rel, 6) AS recall_at_k,
+      |  round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr_at_k,
+      |  round(CAST(p.dcg_nano AS DOUBLE) / i.inano, 6) AS ndcg_at_k
+      |FROM perq p JOIN nrel n USING (qid) JOIN idcg i USING (qid)
+      |ORDER BY p.qid""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q_retrieval_metrics", retrievalMetrics,
+      Some(retrievalMetricsOracle), "search/retrieval-eval-metrics"),
     QuerySpec("q_search_hybrid_rrf", hybridSearch,
       Some(hybridSearchOracle), "search/hybrid-rrf-fusion"),
     QuerySpec("q_search_bm25", searchBm25,

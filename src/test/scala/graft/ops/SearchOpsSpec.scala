@@ -37,6 +37,35 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 2L, 1L))
   }
 
+  test("retrieval metrics: one row per probe, all metrics in [0,1], " +
+    "ndcg=1 iff every retrieved doc is relevant and fills the ideal slots") {
+    val rows = SearchOps.retrievalMetrics(spark, dir).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("qid")).toSeq == (0L to 7L))
+    rows.foreach { r =>
+      val recall = r.getAs[Double]("recall_at_k")
+      val mrr = r.getAs[Double]("mrr_at_k")
+      val ndcg = r.getAs[Double]("ndcg_at_k")
+      val nHit = r.getAs[Long]("n_hit")
+      val nRel = r.getAs[Long]("n_rel")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-6)
+      assert(nHit <= math.min(nRel, 10L))
+      // a hit anywhere implies a positive reciprocal rank and dcg
+      assert((nHit > 0) == (mrr > 0.0))
+      assert((nHit > 0) == (ndcg > 0.0))
+      // all 10 slots relevant with >=10 relevant docs => perfect ndcg
+      if (nHit == 10L && nRel >= 10L) assert(math.abs(ndcg - 1.0) < 1e-6)
+    }
+  }
+
+  test("retrieval metrics are deterministic across runs") {
+    val a = SearchOps.retrievalMetrics(spark, dir).collect().toSeq
+    val b = SearchOps.retrievalMetrics(spark, dir).collect().toSeq
+    assert(a == b)
+  }
+
   test("bm25 is deterministic across runs") {
     val a = SearchOps.searchBm25(spark, dir).collect().toSeq
     val b = SearchOps.searchBm25(spark, dir).collect().toSeq
