@@ -288,6 +288,73 @@ object SourceSinkOps {
   private val asOfCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
 
+  /** Snapshot reconciliation diff — the row-level "what changed between
+    * two table states" question every incremental pipeline answers
+    * before reprocessing (the complement of [[storeCdc]]'s append-only
+    * delta: this one also sees deletes and in-place updates). Shape is
+    * ONE co-partitioned full-outer join on the key — one shuffle per
+    * side, the minimum for an unsorted diff — with the change
+    * classification and the unchanged-row suppression evaluated on the
+    * joined row, so the dominant unchanged mass at 100 TB is dropped
+    * in-join and never materializes. With both snapshots bucketed on
+    * the key in a Store the exchanges disappear entirely.
+    *
+    * Snapshots derive deterministically from `orders`: A drops every
+    * 7th key; B drops every 5th, bumps price (+5.0, an exact IEEE step
+    * both engines compute identically) on every 3rd, and flips status
+    * on every 11th — producing all three change classes plus an
+    * unchanged majority that must NOT appear in the output. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = asOfFrame(spark, dir)
+    val k = col("o_orderkey")
+    val snapA = base.filter(k % 7 =!= 0)
+    val snapB = base.filter(k % 5 =!= 0)
+      .withColumn("o_totalprice",
+        when(k % 3 === 0, col("o_totalprice") + 5.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(k % 11 === 0, lit("X")).otherwise(col("o_orderstatus")))
+    snapA.as("a")
+      .join(snapB.as("b"),
+        col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("a.o_orderkey"), col("b.o_orderkey"))
+          .as("o_orderkey"),
+        when(col("a.o_orderkey").isNull, "added")
+          .when(col("b.o_orderkey").isNull, "deleted")
+          .otherwise("changed").as("change_type"),
+        col("a.o_orderstatus").as("old_status"),
+        col("b.o_orderstatus").as("new_status"),
+        col("a.o_totalprice").as("old_price"),
+        col("b.o_totalprice").as("new_price"))
+      .filter(col("change_type") =!= "changed" ||
+        col("old_status") =!= col("new_status") ||
+        col("old_price") =!= col("new_price"))
+      .orderBy("o_orderkey")
+  }
+
+  private val snapshotDiffOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |a AS (SELECT * FROM base WHERE o_orderkey % 7 != 0),
+      |b AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+      |         ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM base WHERE o_orderkey % 5 != 0)
+      |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  CASE WHEN a.o_orderkey IS NULL THEN 'added'
+      |       WHEN b.o_orderkey IS NULL THEN 'deleted'
+      |       ELSE 'changed' END AS change_type,
+      |  a.o_orderstatus AS old_status, b.o_orderstatus AS new_status,
+      |  a.o_totalprice AS old_price, b.o_totalprice AS new_price
+      |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+      |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+      |   OR a.o_orderstatus != b.o_orderstatus
+      |   OR a.o_totalprice != b.o_totalprice
+      |ORDER BY o_orderkey""".stripMargin
+
   /** ANALYZE-style column statistics in one aggregation statement —
     * the relation a cost-based optimizer feeds on (and the first thing
     * a data engineer asks of an unfamiliar 100 TB table): per column
@@ -537,6 +604,8 @@ object SourceSinkOps {
         |  / count(*), 6) AS avg_price
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin), "S8-maintenance/rollup"),
+    QuerySpec("q_snapshot_diff", snapshotDiff, Some(snapshotDiffOracle),
+      "S8-reconcile/snapshot-diff"),
     QuerySpec("q_store_cdc", storeCdc, Some(
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -408,6 +408,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("row_number"), s)
   }
 
+  test("snapshot diff: one full-outer sort-merge join on the key, " +
+    "unchanged rows suppressed in-join") {
+    val s = plan(SourceSinkOps.snapshotDiff(spark, dir))
+    // the diff must stay a single key-equi full-outer join — a
+    // nested-loop or cartesian fallback (e.g. from the classification
+    // predicate leaking into the join condition) would be quadratic
+    assert(s.contains("SortMergeJoin") && s.contains("FullOuter"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    // both snapshots scan the same parquet: filters must reach the scan
+    assert(s.contains("PushedFilters"), s)
+  }
+
   test("jaro-winkler join: candidate verify is a spread equi-join, no cartesian") {
     val df = MatchOps.joinJw(spark, dir)
     val s = plan(df)
