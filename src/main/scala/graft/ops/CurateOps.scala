@@ -808,6 +808,65 @@ object CurateOps {
       |       ELSE 'test' END AS split
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** LEAKAGE-PROOF train/val/test split: the id-keyed [[splitAssign]]
+    * puts two near-identical documents in different splits whenever
+    * their ids hash apart — the exact contamination a held-out set must
+    * exclude. This form keys the hash on the NEAR-DUP GROUP label
+    * instead ([[Dedup.nearDupGroups]]: exact-dup collapse, then
+    * MinHash-LSH edges between representatives, transitively closed),
+    * so an entire duplicate cluster lands in ONE split atomically — no
+    * document in test has a near-duplicate in train, structurally.
+    *
+    * The bucket hashes the group label (min doc_id of the component)
+    * rather than any text feature, keeping property (b) of
+    * [[splitAssign]]; stability under append holds while group
+    * representatives are stable, which the incremental-dedup contract
+    * ([[Dedup]] persisted indexes pin old reps) provides in production.
+    *
+    * 100 TB shape: the expensive part IS the dedup pass the pipeline
+    * already runs (banded LSH, no all-pairs); the split itself adds one
+    * broadcast-size join of (group label → bucket) logic evaluated
+    * map-side per doc. 80/10/10 here so val/test get enough groups at
+    * gate scale to exercise every branch. */
+  def splitLeakproof(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val groups = Dedup.nearDupGroups(docs, "text", "doc_id",
+      threshold = 0.2, maxIter = 20, portableEdges = true)
+    val b = pmod(Dedup.md5Hash60(
+      concat(lit("lsplit"), col("group_id").cast("string"))), lit(100L))
+    docs.select(col("doc_id"), col("lang"))
+      .join(groups, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("group_id"), b.as("bucket"),
+        when(b < 80, lit("train")).when(b < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  private val splitLeakproofOracle: String =
+    s"""WITH RECURSIVE
+       |repmap AS MATERIALIZED (SELECT doc_id, lang,
+       |    min(doc_id) OVER (PARTITION BY sha256(text)) AS rep
+       |  FROM documents),
+       |repdocs AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+       |  JOIN repmap r ON d.doc_id = r.doc_id AND r.doc_id = r.rep),
+       |${TextOps.minhashCtes("repdocs")},
+       |edges AS MATERIALIZED (SELECT id_a AS id, id_b AS nbr FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS label FROM repdocs
+       |  UNION
+       |  SELECT e.id, r.label FROM edges e JOIN reach r ON r.id = e.nbr),
+       |labels AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+       |g AS (SELECT rm.doc_id, rm.lang, l.group_id
+       |  FROM repmap rm JOIN labels l ON l.id = rm.rep),
+       |b AS (SELECT doc_id, lang, group_id,
+       |  CAST('0x' || substr(md5('lsplit' || CAST(group_id AS VARCHAR)),
+       |    2, 15) AS BIGINT) % 100 AS bucket FROM g)
+       |SELECT doc_id, lang, group_id, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   /** Percentile-threshold quality gate: drop each language's bottom
     * quartile by token count — the FineWeb-style "cut below the p25 of
     * the quality signal per stratum" filter every curation run applies.
@@ -1678,5 +1737,7 @@ object CurateOps {
       Some(mixtureTemperatureOracle), "curate/mixture-temperature"),
     QuerySpec("q_split_assign", splitAssign,
       Some(splitAssignOracle), "curate/train-val-test-split"),
+    QuerySpec("q_split_leakproof", splitLeakproof,
+      Some(splitLeakproofOracle), "curate/leakproof-group-split"),
   )
 }

@@ -533,7 +533,7 @@ object TextOps {
     * CTEs per reference, so un-hinted, the recursive closure re-derived
     * the ENTIRE MinHash chain once per recursion step — measured 177 s
     * on an 87-doc novel set vs sub-second materialized. */
-  private def minhashCtes(src: String): String = {
+  private[ops] def minhashCtes(src: String): String = {
     s"""${minhashBandCtes(src, "")},
        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM band a JOIN band b ON a.qi = b.qi AND a.bs = b.bs

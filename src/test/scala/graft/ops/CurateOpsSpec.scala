@@ -195,4 +195,35 @@ class CurateOpsSpec extends AnyFunSuite {
       r.getAs[Long]("src_tokens") * r.getAs[Double]("weight")).sum
     assert(math.abs(re - total) / total < 1e-4)
   }
+
+  test("splitLeakproof: groups atomic, near-dup edges never straddle splits") {
+    import org.apache.spark.sql.functions.col
+    val rows = CurateOps.splitLeakproof(spark, dir).collect()
+    assert(rows.length == 500)
+    val split = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // all three splits realized at fixture scale
+    assert(rows.map(_.getAs[String]("split")).toSet ==
+      Set("train", "val", "test"))
+    // a group maps to exactly one split, and multi-doc groups exist
+    // (otherwise this test degenerates to splitAssign)
+    val byGroup = rows.groupBy(_.getAs[Long]("group_id"))
+    assert(byGroup.exists(_._2.length > 1), "fixture has no dup groups")
+    byGroup.foreach { case (g, members) =>
+      assert(members.map(_.getAs[String]("split")).toSet.size == 1,
+        s"group $g straddles splits")
+    }
+    // independent check against the RAW near-dup evidence, not the
+    // group labels the op itself derived: every portable LSH edge and
+    // every exact-content pair must land in one split
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val edges = graft.dedup.Dedup.minhashLshPortable(
+        docs, "text", "doc_id", 3, 32, 8, 0.2)
+      .select(col("id_a"), col("id_b")).collect()
+    assert(edges.nonEmpty)
+    edges.foreach { e =>
+      val (a, b) = (e.getLong(0), e.getLong(1))
+      assert(split(a) == split(b), s"near-dup pair ($a,$b) straddles splits")
+    }
+  }
 }
