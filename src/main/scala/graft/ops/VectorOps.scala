@@ -785,6 +785,56 @@ object VectorOps {
       |    ORDER BY cosq DESC, neighbor) AS rank FROM cand) t
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** Corpus topic clustering via [[graft.similarity.Cluster]]: 3 Lloyd
+    * rounds of spherical k-means (k = 8) from the k lowest-id seeds,
+    * then the final assignment. The WHOLE fit is differential — the
+    * oracle unrolls every assignment and every fixed-point recentering
+    * as a CTE chain, so a drift in any iteration (not just the last
+    * assignment) fails the diff. See [[graft.similarity.Cluster]] for
+    * why the fit is engine-portable at all. */
+  def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    graft.similarity.Cluster.lloyd(emb, k = 8, iters = 3)
+      .select(col("id").as("vec_id"), col("cell"), col("cos"))
+      .orderBy("vec_id")
+  }
+
+  private val clusterKmeansOracle: String = {
+    // unrolled Lloyd chain: asg_i assigns against cent_{i-1}; cq/cent_i
+    // recenter with the same micro-unit integer arithmetic as Spark
+    def assignCte(i: Int): String =
+      s"""asg$i AS MATERIALIZED (
+         |  SELECT id, v, cell, cos FROM (
+         |    SELECT e.id, e.v, c.cell,
+         |      round(list_cosine_similarity(e.v, c.cv), 6) AS cos,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
+         |          DESC, c.cell) AS rn
+         |    FROM e CROSS JOIN cent${i - 1} c) t WHERE rn = 1)""".stripMargin
+    def recenterCte(i: Int): String =
+      s"""cq$i AS (SELECT cell, g.i AS pos,
+         |    CAST(sum(CAST(round(v[g.i] * 1000000.0) AS BIGINT)) AS BIGINT)
+         |      AS sq,
+         |    count(*) AS n
+         |  FROM asg$i, unnest(generate_series(1, 64)) AS g(i)
+         |  GROUP BY cell, g.i),
+         |cent$i AS MATERIALIZED (SELECT cell,
+         |    list(CAST(sq AS DOUBLE) / (1000000.0 * n) ORDER BY pos) AS cv
+         |  FROM cq$i GROUP BY cell)""".stripMargin
+    val iters = (1 to 3)
+      .map(i => s"${assignCte(i)},\n${recenterCte(i)}").mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |cent0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INT) AS cell, v AS cv
+       |  FROM (SELECT v, row_number() OVER (ORDER BY id) AS rn FROM e
+       |    QUALIFY rn <= 8) s),
+       |$iters,
+       |${assignCte(4)}
+       |SELECT id AS vec_id, cell, cos FROM asg4 ORDER BY vec_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_embed_seed_quality", seedQuality, Some(seedQualityOracle),
       "curate/seed-centroid-quality-screen"),
@@ -821,5 +871,8 @@ object VectorOps {
       Some(semdedupPortableOracle), "dedup/semdedup-differential"),
     QuerySpec("q_ann_quantized", annQuantized,
       Some(annQuantizedOracle), "similarity/ann-int8-brute"),
+    QuerySpec("q_cluster_kmeans", clusterKmeans,
+      Some(clusterKmeansOracle), "similarity/kmeans-lloyd-portable"),
   )
+
 }

@@ -471,4 +471,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("REPARTITION_BY_NUM") || s.contains("REPARTITION_BY_COL"),
       s"explicit repartition lost from the fuzzy-join plan:\n$s")
   }
+
+  test("k-means assignment is map-side: literal centroids, no join, no " +
+      "shuffle before the aggregate") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = graft.similarity.Cluster.seeds(emb, 8)
+    val s = plan(graft.similarity.Cluster.assign(emb, cents))
+    // centroids ride as literals: the assignment pass must contain NO
+    // join and NO exchange of any kind — one scan, one projection
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("Exchange"), s)
+    // and the argmax runs on the native cosine kernel
+    assert(s.contains("cosine_similarity"), s)
+  }
 }
