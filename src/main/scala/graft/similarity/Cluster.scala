@@ -81,12 +81,48 @@ object Cluster {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
-  /** `iters` Lloyd rounds from the deterministic seeds, then a final
-    * assignment against the converged centroids. Returns (id, cell,
-    * cos) — cos is the round-6 similarity to the final centroid. */
-  def lloyd(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** `iters` Lloyd rounds from the deterministic seeds, returning the
+    * converged centroids. */
+  def fit(emb: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double])] = {
     var cents = seeds(emb, k)
     for (_ <- 1 to iters) cents = recenter(assign(emb, cents))
-    assign(emb, cents).select("id", "cell", "cos")
+    cents
+  }
+
+  /** [[fit]] then a final assignment against the converged centroids.
+    * Returns (id, cell, cos) — cos is the round-6 similarity to the
+    * final centroid. */
+  def lloyd(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    assign(emb, fit(emb, k, iters)).select("id", "cell", "cos")
+
+  private val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cv",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+
+  /** Fit once, persist the converged centroids — the model artifact a
+    * serving pipeline loads for ONE-pass assignment of later batches
+    * (the `iters+1`-pass fit is the training cost; nightly scoring of
+    * new documents should not re-pay it). Centroids persist as exact
+    * doubles, so served assignments match the refit path bit-for-bit. */
+  def buildPersisted(store: graft.pipeline.Store, prefix: String,
+      emb: DataFrame, k: Int, iters: Int): Unit = {
+    val cents = fit(emb, k, iters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    store.write(s"${prefix}_centroids",
+      cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cv"))
+  }
+
+  /** Read persisted centroids for serving (k rows — codebook-sized). */
+  def loadCentroids(store: graft.pipeline.Store,
+      prefix: String): Array[(Int, Array[Double])] = {
+    require(store.exists(s"${prefix}_centroids"),
+      s"no persisted centroids under prefix '$prefix' — run buildPersisted")
+    store.read(s"${prefix}_centroids", centroidSchema).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
   }
 }

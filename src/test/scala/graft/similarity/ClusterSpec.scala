@@ -38,6 +38,23 @@ class ClusterSpec extends AnyFunSuite {
     assert(r1.map(_._2).size > 1)
   }
 
+  test("persisted serving == refit, bit for bit") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .selectExpr("CAST(vec_id AS LONG) AS id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val base = java.nio.file.Files
+      .createTempDirectory("clusterspec").toString
+    val store = new graft.pipeline.Store(spark, base)
+    Cluster.buildPersisted(store, "km", emb, k = 8, iters = 2)
+    val served = Cluster.assign(emb, Cluster.loadCentroids(store, "km"))
+      .select("id", "cell", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val refit = Cluster.lloyd(emb, k = 8, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(served == refit)
+    graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+  }
+
   test("empty cells drop out and stop attracting members") {
     // ids 0,1 seed two cells on the SAME direction — cell 1 empties on
     // the first assignment (ties go to the lower cell) and must not
