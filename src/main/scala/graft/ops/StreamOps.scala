@@ -345,6 +345,96 @@ object StreamOps {
       .orderBy("user_id", "session_start")
   }
 
+  /** APPEND-mode sessionization with a REAL watermark
+    * ([[graft.streaming.StreamingSessions.appendSessionStream]]) — the
+    * production shape [[streamSession]]'s complete-mode gate defers:
+    * sessions are emitted exactly once, when the watermark PROVES them
+    * closed, and keyed state is evicted as they close. Three runs on one
+    * checkpoint make append-mode emission deterministic (the protocol is
+    * documented on the streaming object): (1) the data run, with the
+    * watermark delay sized past the fixture's whole event-time span so
+    * nothing can drop or emit regardless of file batching; (2) a
+    * sentinel event far enough ahead that the persisted watermark passes
+    * every real session's close; (3) a LATE event inside the real range
+    * that the advanced watermark must DROP. The differential then pins
+    * all three semantics at once: every real session present exactly
+    * once (flush), no user -1 row (the sentinel's own session never
+    * finalizes), no user -2 contribution (late drop). `id_sum` is an
+    * exact integer membership checksum per session. */
+  private val sessApCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  def streamSessionAppend(spark: SparkSession, dir: String): DataFrame = {
+    val out = sessApCache.synchronized {
+      sessApCache.getOrElseUpdate((spark, dir), {
+        val base = SourceSinkOps.tmp("ssessap", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        val ev = graft.Tables.load(spark, dir, "events")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"))
+        val landing = s"$base/landing"
+        new java.io.File(landing).mkdirs()
+        def writeBatchFile(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmpd = s"$base/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+          val part = new java.io.File(tmpd).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$landing/$name")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          require(dst.setLastModified(mtime),
+            s"could not pin mtime on $dst — batch order would be undefined")
+        }
+        val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+        val (lo, hi) = (mm.getTimestamp(0), mm.getTimestamp(1))
+        val spanDays = (hi.getTime - lo.getTime) / 86400000L + 2
+        val delay = s"$spanDays days"
+        val t0 = 1700000000000L
+        (0 to 3).foreach(i => writeBatchFile(
+          ev.filter(col("event_id") % 4 === i), s"b$i.parquet",
+          t0 + i * 3600000L))
+        def run(): Unit = graft.streaming.StreamingSessions
+          .appendSessionStream(spark, landing, s"$base/out", s"$base/ck",
+            gapMinutes = 30, delay = delay).awaitTermination()
+        run() // data run: watermark below every event — no emit, no drop
+        import spark.implicits._
+        val sentinelTs = new java.sql.Timestamp(
+          hi.getTime + (spanDays + 1) * 86400000L)
+        writeBatchFile(Seq((-1L, sentinelTs, -1L))
+          .toDF("event_id", "ts", "user_id"), "b4.parquet", t0 + 4 * 3600000L)
+        run() // flush run: watermark lands at hi + 1 day
+        val lateTs = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
+        writeBatchFile(Seq((-2L, lateTs, -2L))
+          .toDF("event_id", "ts", "user_id"), "b5.parquet", t0 + 5 * 3600000L)
+        run() // late run: the -2 event is behind the watermark — dropped
+        s"$base/out"
+      })
+    }
+    spark.read.parquet(out)
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("id_sum"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val streamSessionAppendOracle: String =
+    """WITH g AS (SELECT user_id, ts, event_id,
+      |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |s AS (SELECT user_id, ts, event_id,
+      |  CASE WHEN prev_ts IS NULL
+      |         OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM g),
+      |i AS (SELECT user_id, ts, event_id, CAST(SUM(new_session) OVER (
+      |  PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM s)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
+      |FROM i GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   private val streamSessionOracle: String =
     """WITH g AS (SELECT user_id, ts, event_id,
       |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -387,5 +477,7 @@ object StreamOps {
       Some(streamStreamJoinOracle), "stream/stream-stream-join"),
     QuerySpec("q_stream_session", streamSession,
       Some(streamSessionOracle), "stream/session-window"),
+    QuerySpec("q_stream_session_append", streamSessionAppend,
+      Some(streamSessionAppendOracle), "stream/session-append-watermark"),
   )
 }

@@ -831,6 +831,57 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** SEMANTIC decontamination — the third leg of the decontamination
+    * triad (exact shingles: `CurateOps.decontaminate`; fuzzy titles:
+    * `EditJoin.join`): corpus documents whose EMBEDDING sits within
+    * cosine `threshold` of any benchmark item are flagged, catching the
+    * paraphrased leaks token-level methods miss. Emits the evidence
+    * pairs (corpus id, bench id, round-6 cosine), ordered.
+    *
+    * 100 TB shape: a benchmark suite is tiny next to the corpus (here
+    * 40 vectors; MMLU-scale is 10^4) — the bench side BROADCASTS and the
+    * scan-side BroadcastNestedLoopJoin evaluates |bench| native codegen
+    * cosines per corpus row, map-side, zero corpus shuffle (the
+    * seed-quality shape with k centroids instead of 1). For a bench set
+    * too big to broadcast, the hyperplane-LSH bucketed join
+    * ([[graft.dedup.Dedup.embeddingNearDup]]) is the drop-in scale path;
+    * at threshold 0.9 both return identical pairs (gate-pinned there).
+    *
+    * Fixture: the driver's embeddings carry no cross pair above ~0.52,
+    * so the bench set PLANTS the leak — a deterministic twin
+    * (vec_id + 200000, coordinate j scaled by 1 + 0.001*((j+1) mod 5),
+    * DuckDB-replayable like [[plantedEmbeddings]]) of every vec_id < 40.
+    * Twins land at cosine ~0.999997 against exactly their source;
+    * the gate must surface those 40 pairs and nothing else. */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.CosineSimilarity.cosineNative
+    val emb = load(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val bench = emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") + lit(200000L)).as("bench_id"),
+        transform(col("v"), (x, j) =>
+          x * (lit(1.0) + lit(0.001) * (((j + lit(1)) % 5).cast("double"))))
+          .as("bv"))
+    emb.join(broadcast(bench), cosineNative(col("v"), col("bv")) >= lit(0.9))
+      .select(col("vec_id"), col("bench_id"),
+        round(cosineNative(col("v"), col("bv")), 6).as("cos"))
+      .orderBy("vec_id", "bench_id")
+  }
+
+  private val decontaminateSemanticOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |b AS (SELECT vec_id + 200000 AS bench_id,
+      |    list_transform(v, (x, j) ->
+      |      x * (1.0 + 0.001 * CAST(j % 5 AS DOUBLE))) AS bv
+      |  FROM e WHERE vec_id < 40)
+      |SELECT e.vec_id, b.bench_id,
+      |  round(list_cosine_similarity(e.v, b.bv), 6) AS cos
+      |FROM e, b WHERE list_cosine_similarity(e.v, b.bv) >= 0.9
+      |ORDER BY e.vec_id, b.bench_id""".stripMargin
+
   private val clusterKmeansOracle: String = {
     // unrolled Lloyd chain: asg_i assigns against cent_{i-1}; cq/cent_i
     // recenter with the same micro-unit integer arithmetic as Spark
@@ -905,6 +956,8 @@ object VectorOps {
       Some(clusterKmeansOracle), "similarity/kmeans-lloyd-portable"),
     QuerySpec("q_cluster_assign_indexed", clusterAssignIndexed,
       Some(clusterKmeansOracle), "similarity/kmeans-persisted-serving"),
+    QuerySpec("q_decontaminate_semantic", decontaminateSemantic,
+      Some(decontaminateSemanticOracle), "curate/semantic-decontamination"),
   )
 
 }

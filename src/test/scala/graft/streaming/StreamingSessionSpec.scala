@@ -45,6 +45,47 @@ class StreamingSessionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode protocol: no emit before flush, sentinel held, late dropped") {
+    val base = java.nio.file.Files.createTempDirectory("ssessap").toString
+    val landing = s"$base/landing"
+    new java.io.File(landing).mkdirs()
+    def land(rows: Seq[(Long, Timestamp, Long)], name: String): Unit = {
+      val tmpd = s"$base/tmp_$name"
+      rows.toDF("event_id", "ts", "user_id")
+        .coalesce(1).write.mode("overwrite").parquet(tmpd)
+      val part = new java.io.File(tmpd).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$landing/$name").toPath)
+    }
+    def run(): Unit = StreamingSessions.appendSessionStream(spark, landing,
+      s"$base/out", s"$base/ck", gapMinutes = 30, delay = "2 days")
+      .awaitTermination()
+    def out() = try spark.read.parquet(s"$base/out").collect().toSeq
+      catch { case _: Throwable => Seq.empty }
+    // data run: two sessions for user 10, all within a 1-day span —
+    // the 2-day watermark delay means nothing can finalize
+    land(Seq((1L, ts("2024-01-01 00:00:00"), 10L),
+      (2L, ts("2024-01-01 00:10:00"), 10L),
+      (3L, ts("2024-01-01 06:00:00"), 10L)), "b0.parquet")
+    run()
+    assert(out().isEmpty, "append emitted before the watermark could prove closure")
+    // sentinel run: watermark jumps past both sessions' closes
+    land(Seq((-1L, ts("2024-01-10 00:00:00"), -1L)), "b1.parquet")
+    run()
+    // late run: inside the real range, behind the watermark — dropped
+    land(Seq((-2L, ts("2024-01-01 00:05:00"), -2L)), "b2.parquet")
+    run()
+    val rows = out().map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+      r.getAs[Long]("n_events"), r.getAs[Long]("id_sum"))).sortBy(_._2.getTime)
+    assert(rows == Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:40:00"), 2L, 3L),
+      (10L, ts("2024-01-01 06:00:00"), ts("2024-01-01 06:30:00"), 1L, 3L)),
+      s"got $rows")
+    graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+  }
+
   test("streaming dedup drops repeated payloads across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
