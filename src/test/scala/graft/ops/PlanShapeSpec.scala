@@ -472,6 +472,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"explicit repartition lost from the fuzzy-join plan:\n$s")
   }
 
+  test("semantic decontamination: bench side broadcasts, corpus never shuffles") {
+    val s = plan(VectorOps.decontaminateSemantic(spark, dir)
+      .limit(1000)) // drop the display orderBy's global sort from the pin
+    // the 40-vector bench set must build a broadcast nested-loop join
+    // (the only join type for a pure theta condition) — never a corpus
+    // repartition: the single allowed exchange is the broadcast itself
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("Exchange hashpartitioning"), s)
+    // the verify kernel is the native codegen cosine
+    assert(s.contains("cosine_similarity"), s)
+  }
+
   test("k-means assignment is map-side: literal centroids, no join, no " +
       "shuffle before the aggregate") {
     import org.apache.spark.sql.functions._
