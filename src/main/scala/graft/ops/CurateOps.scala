@@ -485,19 +485,36 @@ object CurateOps {
   /** Quartile + cumulative-distribution windows over customer balances
     * within each nation (unique total order via the custkey tie-break, so
     * every peer group is a singleton and both engines agree exactly). */
+  /** cume_dist is emitted as an EXACT integer ppm, not a rounded double:
+    * the window order is unique (custkey tiebreak), so cume_dist ≡
+    * row_number/partition_count, and `rn*1e6 DIV n` is pure integer
+    * arithmetic both engines floor identically. The round-6 double form
+    * failed the sf0.1 sweep on 3 rows — partition sizes like 640 make
+    * k/n a TERMINATING 7-digit decimal, so round(x, 6) hits exact .5
+    * ties that Spark (HALF_UP) and DuckDB resolve differently; no
+    * rounding rule fixes a genuine tie, so the gate leaves the rational
+    * in integers. */
   def windowNtile(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    val wAll = Window.partitionBy("c_nationkey")
     load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"),
         ntile(4).over(w).as("quartile"),
-        round(cume_dist().over(w), 6).as("cd"))
+        (row_number().over(w).cast("long") * lit(1000000L))
+          .as("rn_scaled"),
+        count(lit(1)).over(wAll).as("n_part"))
+      .select(col("c_custkey"), col("c_nationkey"), col("quartile"),
+        // integral DIV, never double /: floor(double(a/b)) can flip at
+        // representation boundaries; a DIV b is exact in both engines
+        expr("rn_scaled DIV n_part").as("cd_ppm"))
       .orderBy("c_custkey")
   }
 
   private val windowNtileOracle: String =
     """SELECT c_custkey, c_nationkey,
       |  CAST(ntile(4) OVER w AS INT) AS quartile,
-      |  round(cume_dist() OVER w, 6) AS cd
+      |  (CAST(row_number() OVER w AS BIGINT) * 1000000)
+      |    // count(*) OVER (PARTITION BY c_nationkey) AS cd_ppm
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_custkey""".stripMargin

@@ -77,12 +77,22 @@ object TextOps {
     * measured 3.2x slower: empty-pattern java.util.regex per character
     * was the whole cost).
     *
-    * Float determinism follows the [[LmOps]] micro-unit contract: each
-    * per-character term is quantized to an integer at 1e-6 precision
-    * (`round(x * 1e6, 0)` — both engines round the SAME double, and the
-    * division/multiplication feeding the one `ln` call are IEEE-exact),
-    * so the per-document sum is exact integer arithmetic in any
-    * aggregation order; only the final display value re-enters doubles.
+    * Float determinism — NO libm anywhere (upgraded after the sf0.1
+    * sweep caught 5/5000 docs flipping the 4th decimal: quantizing a
+    * libm `ln` output still has .5 boundaries, and because (nc, n)
+    * pairs repeat across thousands of documents, one unlucky pair
+    * flips every document containing it): log2(n/nc) is computed by
+    * BINARY DIGIT EXTRACTION — the integer exponent from the bit
+    * length of the integer quotient, then 20 mantissa digits by
+    * repeated squaring of the normalized ratio. Every operation is an
+    * IEEE multiply/divide/compare or integer arithmetic, all of which
+    * are bit-deterministic across engines (only transcendental
+    * library calls differ); the per-term fixed-point value is then a
+    * pure integer DIV, so the per-document sum is exact in any order
+    * and any engine. Precision: 2^-20 per log digit → the entropy is
+    * exact to well inside the 4-decimal display. (Term arithmetic
+    * fits BIGINT for documents up to ~16 MB; divide before scaling if
+    * that bound ever matters.)
     *
     * Scale shape: one explode to (doc, char) rows, one two-level
     * aggregate — histogram then per-doc fold — both hash-partitioned on
@@ -102,31 +112,74 @@ object TextOps {
           .otherwise(array().cast("array<int>"))).as("ch"))
       .groupBy("doc_id", "lang", "n", "ch")
       .agg(count(lit(1)).as("nc"))
+      // portable log2(n/nc) in 2^-20 units: exponent e from the binary
+      // length of the integer quotient (2^e <= n/nc < 2^(e+1) — exact,
+      // since no power of two lies strictly between m and m+1), then 20
+      // fraction digits by exact-IEEE squaring of r = n/(nc<<e) ∈ [1,2)
+      .withColumn("e",
+        (length(bin(expr("CAST(n AS BIGINT) DIV CAST(nc AS BIGINT)"))) - 1)
+          .cast("int"))
+      .withColumn("r",
+        col("n").cast("double") /
+          expr("CAST(shiftleft(CAST(nc AS BIGINT), e) AS DOUBLE)"))
+      .withColumn("lmicro",
+        col("e").cast("long") * lit(1048576L) +
+          aggregate(
+            sequence(lit(1), lit(20)),
+            struct(col("r").as("r"), lit(0L).as("acc")),
+            (s, _) => {
+              val r2 = s.getField("r") * s.getField("r")
+              val ge = r2 >= lit(2.0)
+              struct(
+                when(ge, r2 / lit(2.0)).otherwise(r2).as("r"),
+                (s.getField("acc") * 2 +
+                  when(ge, lit(1L)).otherwise(lit(0L))).as("acc"))
+            },
+            s => s.getField("acc")))
       .select(col("doc_id"), col("lang"), col("n"),
-        round((col("nc").cast("double") / col("n")) *
-            (log(col("n").cast("double") / col("nc")) /
-              lit(math.log(2.0))) * lit(1e6), 0)
-          .cast("long").as("tm"))
+        expr("(CAST(nc AS BIGINT) * lmicro * 1000000)" +
+          " DIV (CAST(n AS BIGINT) * 1048576)").as("tm"))
       .groupBy("doc_id", "lang")
       .agg(max(col("n")).cast("long").as("n_chars"),
         count(lit(1)).as("n_distinct_chars"),
-        round(sum(col("tm")).cast("double") / lit(1e6), 4).as("entropy_bits"))
+        // exact integer micro-bits, never a rounded double: with both
+        // engines' term sums identical, round(sum/1e6, 4) was STILL the
+        // last divergence — sums ending in ...50 are exact decimal ties
+        // at the 4th decimal, and Spark (BigDecimal HALF_UP on the
+        // double's exact binary value) and DuckDB (scaled multiply)
+        // resolve them differently. The caller divides by 1e6.
+        sum(col("tm")).as("entropy_ubits"))
       .orderBy("doc_id")
 
   private val textEntropyOracle: String =
-    """WITH c AS (SELECT doc_id, lang, length(text) AS n,
+    """WITH RECURSIVE c AS (SELECT doc_id, lang, length(text) AS n,
       |    unnest(list_filter(string_split(text, ''), x -> x != '')) AS ch
       |  FROM documents),
       |g AS (SELECT doc_id, lang, n, ch, count(*) AS nc
       |  FROM c GROUP BY doc_id, lang, n, ch),
-      |t AS (SELECT doc_id, lang, n,
-      |    CAST(round((CAST(nc AS DOUBLE) / n) *
-      |      (ln(CAST(n AS DOUBLE) / nc) / ln(2)) * 1000000, 0) AS BIGINT)
-      |      AS tm
-      |  FROM g)
+      |p AS (SELECT DISTINCT n, nc FROM g),
+      |norm AS (SELECT n, nc,
+      |    length(bin(CAST(n AS BIGINT) // CAST(nc AS BIGINT))) - 1 AS e
+      |  FROM p),
+      |norm2 AS (SELECT n, nc, e,
+      |    CAST(n AS DOUBLE) / CAST(CAST(nc AS BIGINT) << e AS DOUBLE) AS r
+      |  FROM norm),
+      |steps AS (
+      |  SELECT n, nc, e, 0 AS i, r, CAST(0 AS BIGINT) AS acc FROM norm2
+      |  UNION ALL
+      |  SELECT n, nc, e, i + 1,
+      |    CASE WHEN r * r >= 2 THEN r * r / 2 ELSE r * r END,
+      |    acc * 2 + CASE WHEN r * r >= 2 THEN 1 ELSE 0 END
+      |  FROM steps WHERE i < 20),
+      |logt AS (SELECT n, nc, CAST(e AS BIGINT) * 1048576 + acc AS lmicro
+      |  FROM steps WHERE i = 20),
+      |t AS (SELECT g.doc_id, g.lang, g.n,
+      |    (CAST(g.nc AS BIGINT) * l.lmicro * 1000000)
+      |      // (CAST(g.n AS BIGINT) * 1048576) AS tm
+      |  FROM g JOIN logt l ON l.n = g.n AND l.nc = g.nc)
       |SELECT doc_id, lang, CAST(max(n) AS BIGINT) AS n_chars,
       |  count(*) AS n_distinct_chars,
-      |  round(CAST(sum(tm) AS DOUBLE) / 1000000, 4) AS entropy_bits
+      |  CAST(sum(tm) AS BIGINT) AS entropy_ubits
       |FROM t GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
 
   /** Language-characteristic sentences planted per document (the

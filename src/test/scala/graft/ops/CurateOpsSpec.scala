@@ -148,10 +148,10 @@ class CurateOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("windowNtile quartiles are 1..4 and cume_dist ends at 1") {
+  test("windowNtile quartiles are 1..4 and cume_dist ends at exactly 1e6 ppm") {
     val rows = CurateOps.windowNtile(spark, dir).collect()
     assert(rows.map(_.getAs[Int]("quartile")).toSet == Set(1, 2, 3, 4))
-    assert(rows.map(_.getAs[Double]("cd")).max == 1.0)
+    assert(rows.map(_.getAs[Long]("cd_ppm")).max == 1000000L)
   }
 
   test("DSIR persisted model: served scores equal refit; missing model fails loudly") {
