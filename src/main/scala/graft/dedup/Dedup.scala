@@ -570,7 +570,7 @@ object Dedup {
     * window of every document, hashed (portable md5-60 of the
     * space-joined tokens), marked duplicated when it occurs in at least
     * `minDocs` DISTINCT documents. Returns one row per document:
-    * (idCol, n_windows, n_dup_windows, dup_frac) — the per-document
+    * (idCol, n_windows, n_dup_windows, dup_ppm) — the per-document
     * contamination fraction a curation pass thresholds on.
     *
     * Scale shape: one explode + window-lead pass per document (the same
@@ -597,8 +597,14 @@ object Dedup {
     perDoc.join(dupPerDoc, Seq("id"), "left_outer")
       .select(col("id").as(idCol), col("n_windows"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
-        round(coalesce(col("n_dup"), lit(0L)).cast("double")
-          / col("n_windows"), 6).as("dup_frac"))
+        // exact integer ppm, never round(double, 6): n_dup/n_windows is
+        // a small-integer rational, and window counts of the form
+        // 2^a*5^b make it a terminating decimal — an exact .5 tie at
+        // the 6th digit that Spark and DuckDB round differently (the
+        // q_window_ntile class from the sf0.1 sweep; this site just
+        // hadn't been hit by data yet)
+        expr("(coalesce(n_dup, 0L) * 1000000L) DIV n_windows")
+          .as("dup_ppm"))
   }
 
   /** Line-level deduplication — the boilerplate-removal pass of

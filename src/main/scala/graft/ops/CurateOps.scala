@@ -282,34 +282,45 @@ object CurateOps {
     *
     * Scale shape: a map-side key computation + a global top-k
     * (TakeOrdered — each partition forwards at most k rows, no corpus
-    * shuffle). Reproducible across runs and cluster sizes: u is
-    * hash-derived (53-bit mantissa-exact) and the rank carries a doc_id
-    * tie-break. Cross-engine caveat: pow is only 1-ulp-accurate (not
-    * correctly rounded), so the differential rests on the FIXED
-    * fixture's margins — the rank-100 key gap (~1e-3) and the 6-decimal
-    * output rounding leave ~10 orders of magnitude of headroom over a
-    * 1-ulp divergence, unlike the hash-exact sampling gates. */
+    * shuffle). Reproducible across runs, cluster sizes AND engines: u is
+    * hash-derived (53-bit mantissa-exact), and the key exponent is the
+    * ALL-INTEGER y = (L(2^53+2) - L(h+1)) DIV w in 2^-20 log2 units via
+    * the portable digit extraction (key = u^(1/w) = 2^(-y/2^20); libm
+    * pow was the last 1-ulp caveat in the suite). Ranking is by integer
+    * y ascending (exactly key descending — the exp2 map is monotone in
+    * exact arithmetic, and ordering by the integer sidesteps any 1-ulp
+    * non-monotonicity in the reconstructed double), doc_id tie-break;
+    * the displayed key is the portable exp2 of y, bit-identical across
+    * engines. */
   /** The one A-Res keying both weighted-sampling gates rank over: a
     * deterministic uniform u per doc (md5-derived, 53-bit
     * mantissa-exact), w = token count, key = u^(1/w). ONE definition so
     * a change to the salt, modulus, or w-filter can never diverge the
     * global and per-source gates. */
   private def aResKeyed(spark: SparkSession, dir: String): DataFrame = {
-    val u = (pmod(Dedup.md5Hash60(
-        concat(lit("wsmp"), col("doc_id").cast("string"))),
-      lit(1L << 53)).cast("double") + 1.0) / lit((1L << 53).toDouble + 2.0)
+    import graft.functions.PortableMath._
+    val lc = lit(graft.functions.PortableMath
+      .log2MicroConst((1L << 53) + 2L, 1L))
     load(spark, dir, "documents")
-      .withColumn("w", size(Text.tokens(col("text"))).cast("double"))
+      .withColumn("w", size(Text.tokens(col("text"))).cast("long"))
       .filter(col("w") > 0)
-      .withColumn("key", pow(u, lit(1.0) / col("w")))
+      .withColumn("h1", pmod(Dedup.md5Hash60(
+        concat(lit("wsmp"), col("doc_id").cast("string"))),
+        lit(1L << 53)) + 1L)
+      .withColumn("y", longDiv(
+        lc - log2Micro(col("h1"), lit(1L)), col("w")))
+      .withColumn("key", {
+        val yi = longDiv(col("y"), lit(1048576L))
+        lit(1.0) / (pow2(yi).cast("double") *
+          exp2MicroFrac(col("y") - yi * lit(1048576L)))
+      })
   }
 
   def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
     aResKeyed(spark, dir)
-      .orderBy(col("key").desc, col("doc_id").asc)
+      .orderBy(col("y").asc, col("doc_id").asc)
       .limit(100)
-      .select(col("doc_id"), col("w").cast("long").as("w"),
-        round(col("key"), 6).as("key"))
+      .select(col("doc_id"), col("w"), col("key"))
       .orderBy("doc_id")
 
   /** PER-SOURCE weighted sampling — the A-Res key of [[sampleWeighted]]
@@ -322,48 +333,60 @@ object CurateOps {
     * candidate set — same plan contract as sourceCap, pinned in
     * PlanShapeSpec.
     *
-    * Same pow-1-ulp caveat as [[sampleWeighted]], with one cut boundary
-    * PER SOURCE instead of one global one: the fixture draws ~100+ docs
-    * per source, so every source's rank-20/21 key gap sits at the same
-    * ~1e-3 order as the global gate's rank-100 gap, and the 6-decimal
-    * rounding keeps ~10 orders of magnitude of headroom per emitted
-    * key — the margins the differential relies on. */
+    * Same all-integer y ranking as [[sampleWeighted]] (one cut boundary
+    * per source instead of one global one) — exact on both engines, no
+    * margin argument needed. */
   def sampleWeightedPerGroup(spark: SparkSession, dir: String): DataFrame =
     aResKeyed(spark, dir)
       .withColumn("rn", row_number().over(Window.partitionBy("source")
-        .orderBy(col("key").desc, col("doc_id").asc)))
+        .orderBy(col("y").asc, col("doc_id").asc)))
       .filter(col("rn") <= 20)
-      .select(col("source"), col("doc_id"), col("w").cast("long").as("w"),
-        round(col("key"), 6).as("key"))
+      .select(col("source"), col("doc_id"), col("w"), col("key"))
       .orderBy("source", "doc_id")
 
-  private val sampleWeightedPerGroupOracle: String =
-    """WITH b AS (SELECT source, doc_id,
+  /** Shared oracle front half: per-doc (w, h1) then the portable-log2
+    * integer exponent y = (Lc − L(h1)) DIV w and the exp2 key. */
+  private def aResOracleCtes(withSource: Boolean): String = {
+    val src = if (withSource) "source, " else ""
+    val lc = graft.functions.PortableMath.log2MicroConst((1L << 53) + 2L, 1L)
+    s"""b AS (SELECT ${src}doc_id,
       |  CAST(len(list_filter(regexp_split_to_array(text, ' +'),
-      |    x -> x != '')) AS DOUBLE) AS w,
-      |  (CAST(CAST('0x' || substr(md5('wsmp' || CAST(doc_id AS VARCHAR)),
-      |      2, 15) AS BIGINT) % 9007199254740992 AS DOUBLE) + 1.0)
-      |    / 9007199254740994.0 AS u
+      |    x -> x != '')) AS BIGINT) AS w,
+      |  CAST('0x' || substr(md5('wsmp' || CAST(doc_id AS VARCHAR)),
+      |      2, 15) AS BIGINT) % 9007199254740992 + 1 AS h1
       |  FROM documents),
-      |k AS (SELECT source, doc_id, w, pow(u, 1.0 / w) AS key,
-      |  row_number() OVER (PARTITION BY source
-      |    ORDER BY pow(u, 1.0 / w) DESC, doc_id ASC) AS rn
-      |  FROM b WHERE w > 0)
-      |SELECT source, doc_id, CAST(w AS BIGINT) AS w, round(key, 6) AS key
-      |FROM k WHERE rn <= 20 ORDER BY source, doc_id""".stripMargin
+      |hp AS (SELECT DISTINCT h1 AS hrn, CAST(1 AS BIGINT) AS hrd FROM b
+      |  WHERE w > 0),
+      |""".stripMargin +
+    graft.functions.PortableMath.sqlLog2MicroCtes("hp", "hrn", "hrd", "klg") +
+    s""",
+      |ky AS (SELECT ${src}b.doc_id, b.w,
+      |    ($lc - l.lmicro) // b.w AS y
+      |  FROM b JOIN klg l ON l.pm_num = b.h1 AND l.pm_den = 1
+      |  WHERE b.w > 0),
+      |k AS (SELECT ${src}doc_id, w, y,
+      |    CAST('1.0' AS DOUBLE) /
+      |      (CAST(CAST(1 AS BIGINT) << (y // 1048576) AS DOUBLE) *
+      |       ${graft.functions.PortableMath
+        .sqlExp2MicroFrac("y % 1048576")}) AS key
+      |  FROM ky)""".stripMargin
+  }
+
+  private val sampleWeightedPerGroupOracle: String =
+    "WITH RECURSIVE " + aResOracleCtes(withSource = true) + """,
+      |r AS (SELECT source, doc_id, w, key,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY y ASC, doc_id ASC) AS rn
+      |  FROM k)
+      |SELECT source, doc_id, w, key
+      |FROM r WHERE rn <= 20 ORDER BY source, doc_id""".stripMargin
 
   private val sampleWeightedOracle: String =
-    """WITH b AS (SELECT doc_id,
-      |  CAST(len(list_filter(regexp_split_to_array(text, ' +'),
-      |    x -> x != '')) AS DOUBLE) AS w,
-      |  (CAST(CAST('0x' || substr(md5('wsmp' || CAST(doc_id AS VARCHAR)),
-      |      2, 15) AS BIGINT) % 9007199254740992 AS DOUBLE) + 1.0)
-      |    / 9007199254740994.0 AS u
-      |  FROM documents),
-      |k AS (SELECT doc_id, w, pow(u, 1.0 / w) AS key FROM b WHERE w > 0
-      |  ORDER BY key DESC, doc_id ASC LIMIT 100)
-      |SELECT doc_id, CAST(w AS BIGINT) AS w, round(key, 6) AS key
-      |FROM k ORDER BY doc_id""".stripMargin
+    "WITH RECURSIVE " + aResOracleCtes(withSource = false) + """
+      |SELECT doc_id, w, key FROM (
+      |  SELECT doc_id, w, key FROM k
+      |  ORDER BY y ASC, doc_id ASC LIMIT 100) t
+      |ORDER BY doc_id""".stripMargin
 
   /** Embedding normalization + int8 quantization signals: l2 norm, the
     * first unit-vector component, and the symmetric max-abs int8
@@ -718,7 +741,13 @@ object CurateOps {
       count(lit(1)).as("n_src"))
     perSource.crossJoin(broadcast(totals))
       .select(col("source"), col("src_tokens"),
-        round(col("total") / (col("n_src") * col("src_tokens")), 6).as("weight"))
+        // exact integer ppm, never round(ratio, 6): total/(n_src·src)
+        // is a small-integer rational, and smooth denominators make it
+        // a terminating decimal — an exact tie the engines round apart
+        // (the q_window_ntile class from the sf0.1 sweep)
+        graft.functions.PortableMath.longDiv(
+          col("total") * lit(1000000L),
+          col("n_src") * col("src_tokens")).as("weight_ppm"))
       .orderBy("source")
   }
 
@@ -730,7 +759,8 @@ object CurateOps {
       |t AS (SELECT source, src_tokens,
       |  sum(src_tokens) OVER () AS total, count(*) OVER () AS n_src FROM s)
       |SELECT source, src_tokens,
-      |  round(total / CAST(n_src * src_tokens AS DOUBLE), 6) AS weight
+      |  (CAST(total AS BIGINT) * 1000000)
+      |    // (CAST(n_src AS BIGINT) * src_tokens) AS weight_ppm
       |FROM t ORDER BY source""".stripMargin
 
   /** Temperature-scaled mixture sampling (the mT5 / XLM-R / Pile
@@ -757,45 +787,74 @@ object CurateOps {
       .localCheckpoint()
     // corpus-wide normalizers as broadcast one-row aggregates (the
     // PageRank dangling-mass pattern) rather than unpartitioned windows
+    // share^0.7 with NO libm: share = s/T <= 1, so
+    //   share^0.7 = 2^(-(7·log2(T/s)) / 10) = 2^-Ai · 2^(-Af/2^20)
+    // via the portable log2 digit extraction and the iterated-sqrt-of-2
+    // product (PortableMath) — Java pow and DuckDB pow differ by ulps,
+    // and the pico-quantization below would amplify one boundary hit
+    // into a pq_total (and thus every t_share) mismatch. The displayed
+    // ratios stay UNROUNDED doubles: single divisions of identical
+    // integers are bit-identical; only rounding them introduced ties.
+    import graft.functions.PortableMath
     val shared = perSource
       .crossJoin(broadcast(perSource.agg(sum("src_tokens").as("tok_total"))))
       .withColumn("share",
         col("src_tokens").cast("double") / col("tok_total"))
+      .withColumn("a", PortableMath.longDiv(
+        PortableMath.log2Micro(col("tok_total"), col("src_tokens")) * 7L,
+        lit(10L)))
+      .withColumn("ai", PortableMath.longDiv(col("a"), lit(1048576L)))
+      .withColumn("p07", lit(1.0) /
+        (PortableMath.pow2(col("ai")).cast("double") *
+          PortableMath.exp2MicroFrac(col("a") - col("ai") * 1048576L)))
       // quantize the powered share to pico-units BEFORE the normalizing
       // sum: a double sum is partition-order-dependent, an integer sum
       // is exact in any order (the LmOps contract). Floor at 1
       // pico-unit — a present source must never quantize to sampling
-      // probability zero, however tiny its share.
+      // probability zero, however tiny its share. (round-to-INTEGER of
+      // the now-identical double is safe: both engines round half away
+      // from zero.)
       .withColumn("pq", greatest(
-        round(pow(col("share"), lit(0.7)) * lit(1e12), 0).cast("long"),
-        lit(1L)))
+        round(col("p07") * lit(1e12), 0).cast("long"), lit(1L)))
     shared
       .crossJoin(broadcast(shared.agg(sum("pq").as("pq_total"))))
       .withColumn("t_share",
         col("pq").cast("double") / col("pq_total"))
       .select(col("source"), col("src_tokens"),
-        round(col("share"), 6).as("share"),
-        round(col("t_share"), 6).as("t_share"),
-        round(col("t_share") / col("share"), 6).as("oversample"))
+        col("share"), col("t_share"),
+        (col("t_share") / col("share")).as("oversample"))
       .orderBy("source")
   }
 
   private val mixtureTemperatureOracle: String =
-    """WITH s AS (SELECT source,
+    """WITH RECURSIVE s AS (SELECT source,
       |  CAST(sum(len(list_filter(regexp_split_to_array(text, ' +'),
       |    x -> x != ''))) AS BIGINT) AS src_tokens
       |  FROM documents GROUP BY source),
       |sh AS (SELECT source, src_tokens,
+      |    CAST(sum(src_tokens) OVER () AS BIGINT) AS tok_total,
       |    CAST(src_tokens AS DOUBLE) / sum(src_tokens) OVER () AS share
       |  FROM s),
+      |lp AS (SELECT DISTINCT tok_total, src_tokens FROM sh),
+      |""".stripMargin +
+    graft.functions.PortableMath
+      .sqlLog2MicroCtes("lp", "tok_total", "src_tokens", "lgt") +
+    s""",
+      |pw AS (SELECT sh.source, sh.src_tokens, sh.share,
+      |    (l.lmicro * 7) // 10 AS a,
+      |    ((l.lmicro * 7) // 10) // 1048576 AS ai
+      |  FROM sh JOIN lgt l ON l.pm_num = sh.tok_total
+      |    AND l.pm_den = sh.src_tokens),
       |p AS (SELECT source, src_tokens, share,
-      |    greatest(CAST(round(pow(share, 0.7) * 1e12) AS BIGINT), 1)
-      |      AS pq FROM sh),
+      |    greatest(CAST(round((1.0 / (CAST(CAST(1 AS BIGINT) << ai
+      |        AS DOUBLE) *
+      |      ${graft.functions.PortableMath
+        .sqlExp2MicroFrac("a - ai * 1048576")})) * 1e12) AS BIGINT), 1)
+      |      AS pq FROM pw),
       |t AS (SELECT source, src_tokens, share,
       |    CAST(pq AS DOUBLE) / sum(pq) OVER () AS t_share FROM p)
-      |SELECT source, src_tokens, round(share, 6) AS share,
-      |  round(t_share, 6) AS t_share,
-      |  round(t_share / share, 6) AS oversample
+      |SELECT source, src_tokens, share, t_share,
+      |  t_share / share AS oversample
       |FROM t ORDER BY source""".stripMargin
 
   /** Deterministic train/val/test assignment — 90/5/5 by a salted
@@ -1031,8 +1090,11 @@ object CurateOps {
       .filter(col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         col("n").as("n_inter"),
-        round(col("n") / (col("n_a") + col("n_b") - col("n")), 6)
-          .as("jaccard"))
+        // exact integer ppm — same terminating-decimal tie class as
+        // q_window_ntile (sf0.1 sweep); shingle-set sizes can be smooth
+        graft.functions.PortableMath.longDiv(
+          col("n") * lit(1000000L),
+          col("n_a") + col("n_b") - col("n")).as("jaccard_ppm"))
       .orderBy("src_a", "src_b")
   }
 
@@ -1050,8 +1112,8 @@ object CurateOps {
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
       |  GROUP BY 1, 2)
       |SELECT i.src_a, i.src_b, pa.n AS n_a, pb.n AS n_b, i.n_inter,
-      |  round(CAST(i.n_inter AS DOUBLE) / (pa.n + pb.n - i.n_inter), 6)
-      |    AS jaccard
+      |  (CAST(i.n_inter AS BIGINT) * 1000000)
+      |    // CAST(pa.n + pb.n - i.n_inter AS BIGINT) AS jaccard_ppm
       |FROM i JOIN per pa ON pa.source = i.src_a
       |       JOIN per pb ON pb.source = i.src_b
       |ORDER BY i.src_a, i.src_b""".stripMargin
@@ -1204,10 +1266,17 @@ object CurateOps {
         coalesce(col("ct"), lit(0L)).as("ct"))
       .withColumn("nr", sum("cr").over(whole))
       .withColumn("nt", sum("ct").over(whole))
-      .select(col("b"), round(log(
-          ((col("ct") + 1) * (col("nr") + DsirBuckets)).cast("double") /
-          ((col("cr") + 1) * (col("nt") + DsirBuckets)).cast("double")) *
-        lit(1e6), 0).cast("long").as("wmi"))
+      .select(col("b"), {
+        // portable micro-nat log-ratio weight, sign split on the exact
+        // integer comparison — no libm (the sf0.1-sweep contract)
+        import graft.functions.PortableMath.{log2Micro, longDiv}
+        def lnMicro(x: org.apache.spark.sql.Column,
+            y: org.apache.spark.sql.Column) =
+          longDiv(log2Micro(x, y) * lit(693147181L), lit(1048576000L))
+        val a = (col("ct") + 1) * (col("nr") + DsirBuckets)
+        val bb = (col("cr") + 1) * (col("nt") + DsirBuckets)
+        when(a >= bb, lnMicro(a, bb)).otherwise(-lnMicro(bb, a)).as("wmi")
+      })
   }
 
   private def dsirScore(feats: DataFrame, weights: DataFrame): DataFrame =
@@ -1299,7 +1368,7 @@ object CurateOps {
   }
 
   private val dsirWeightsOracle: String =
-    """WITH d AS (SELECT doc_id, lang, source,
+    """WITH RECURSIVE d AS (SELECT doc_id, lang, source,
       |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
       |  FROM documents),
       |f AS (SELECT doc_id, lang, source, unnest(toks) AS f FROM d
@@ -1314,11 +1383,21 @@ object CurateOps {
       |tot AS (SELECT
       |    (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
       |    (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS nt),
-      |w AS (SELECT raw.b, CAST(round(ln(
-      |      CAST((coalesce(tgt.ct, 0) + 1) * (tot.nr + 256) AS DOUBLE) /
-      |      CAST((raw.cr + 1) * (tot.nt + 256) AS DOUBLE)) * 1000000.0)
-      |    AS BIGINT) AS wmi
-      |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tot)
+      |wp AS (SELECT raw.b,
+      |    (coalesce(tgt.ct, 0) + 1) * (tot.nr + 256) AS wa,
+      |    (raw.cr + 1) * (tot.nt + 256) AS wb
+      |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tot),
+      |wpr AS (SELECT DISTINCT greatest(wa, wb) AS rn,
+      |    least(wa, wb) AS rd FROM wp),
+      |""".stripMargin +
+    graft.functions.PortableMath.sqlLog2MicroCtes("wpr", "rn", "rd", "wlg") +
+    """,
+      |w AS (SELECT wp.b,
+      |    CASE WHEN wa >= wb
+      |      THEN (l.lmicro * 693147181) // 1048576000
+      |      ELSE -((l.lmicro * 693147181) // 1048576000) END AS wmi
+      |  FROM wp JOIN wlg l ON l.pm_num = greatest(wa, wb)
+      |    AND l.pm_den = least(wa, wb))
       |SELECT fb.doc_id, fb.lang, CAST(count(*) AS BIGINT) AS n_feat,
       |  CAST(sum(w.wmi) AS BIGINT) AS dsir_micro
       |FROM fb JOIN w ON w.b = fb.b
@@ -1349,7 +1428,10 @@ object CurateOps {
         countDistinct("tok").as("n_distinct_tokens"))
     val lenStats = docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        round(sum("n").cast("double") / count(lit(1)), 3).as("avg_tokens"),
+        // exact integer milli-tokens: sum/count is the terminating-
+        // decimal tie class (q_window_ntile, sf0.1 sweep)
+        graft.functions.PortableMath.longDiv(
+          sum("n") * lit(1000L), count(lit(1))).as("avg_tokens_milli"),
         max("n").as("max_tokens"))
     val median = docs
       .withColumn("rn", row_number().over(
@@ -1359,7 +1441,7 @@ object CurateOps {
       .select(col("source"), col("n").as("p50_tokens"))
     lenStats.join(tokStats, Seq("source")).join(median, Seq("source"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        col("n_distinct_tokens"), col("avg_tokens"), col("p50_tokens"),
+        col("n_distinct_tokens"), col("avg_tokens_milli"), col("p50_tokens"),
         col("max_tokens"))
       .orderBy("source")
   }
@@ -1374,7 +1456,7 @@ object CurateOps {
       |    CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
       |  FROM (SELECT source, unnest(toks) AS tok FROM d) u GROUP BY source),
       |l AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-      |    round(CAST(sum(n) AS DOUBLE) / count(*), 3) AS avg_tokens,
+      |    (CAST(sum(n) AS BIGINT) * 1000) // count(*) AS avg_tokens_milli,
       |    max(n) AS max_tokens
       |  FROM d GROUP BY source),
       |r AS (SELECT source, n,
@@ -1385,7 +1467,7 @@ object CurateOps {
       |m AS (SELECT source, n AS p50_tokens FROM r
       |  WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT))
       |SELECT l.source, l.n_docs, t.n_tokens, t.n_distinct_tokens,
-      |  l.avg_tokens, m.p50_tokens, l.max_tokens
+      |  l.avg_tokens_milli, m.p50_tokens, l.max_tokens
       |FROM l JOIN t ON t.source = l.source
       |       JOIN m ON m.source = l.source
       |ORDER BY l.source""".stripMargin
@@ -1452,7 +1534,7 @@ object CurateOps {
   }
 
   private val streamCurateOracle: String =
-    """WITH d AS (SELECT doc_id, lang, source,
+    """WITH RECURSIVE d AS (SELECT doc_id, lang, source,
       |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
       |  FROM documents),
       |p AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
@@ -1468,16 +1550,27 @@ object CurateOps {
       |big AS (SELECT w1m, w2m, count(*) AS c12 FROM m
       |  WHERE doc_id % 10 < 8 GROUP BY 1, 2),
       |ctx AS (SELECT w1m, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
-      |sc AS (SELECT m.doc_id, m.lang,
-      |    CAST(round(ln(
-      |      CAST(coalesce(c.c1, 0) + (SELECT v FROM vs) AS DOUBLE) /
-      |      CAST(coalesce(b.c12, 0) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS nlp
+      |scp AS (SELECT m.doc_id, m.lang,
+      |    CAST(coalesce(c.c1, 0) + (SELECT v FROM vs) AS BIGINT) AS pn,
+      |    CAST(coalesce(b.c12, 0) + 1 AS BIGINT) AS pd
       |  FROM m LEFT JOIN big b ON b.w1m = m.w1m AND b.w2m = m.w2m
       |         LEFT JOIN ctx c ON c.w1m = m.w1m),
+      |lpr AS (SELECT DISTINCT pn, pd FROM scp),
+      |""".stripMargin +
+    graft.functions.PortableMath.sqlLog2MicroCtes("lpr", "pn", "pd", "slg") +
+    s""",
+      |sc AS (SELECT s.doc_id, s.lang,
+      |    (l.lmicro * 693147181) // 1048576000 AS nlp
+      |  FROM scp s JOIN slg l ON l.pm_num = s.pn AND l.pm_den = s.pd),
+      |hh AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(nlp) AS BIGINT) AS h FROM sc GROUP BY doc_id, lang),
+      |py AS (SELECT doc_id, lang, n_pairs,
+      |    (h * 1048576) // (n_pairs * 693147) AS y FROM hh),
       |ppl AS (SELECT doc_id, lang,
-      |    round(exp(CAST(sum(nlp) AS DOUBLE) / 1000000.0 /
-      |      CAST(count(*) AS DOUBLE)), 3) AS ppl
-      |  FROM sc GROUP BY doc_id, lang),
+      |    CAST(CAST(1 AS BIGINT) << (y // 1048576) AS DOUBLE) *
+      |      ${graft.functions.PortableMath
+        .sqlExp2MicroFrac("y - (y // 1048576) * 1048576")} AS ppl
+      |  FROM py),
       |f AS (SELECT doc_id, lang, source, unnest(toks) AS f FROM d
       |  UNION ALL
       |  SELECT doc_id, lang, source, toks[i] || ' ' || toks[i + 1] AS f
@@ -1490,11 +1583,21 @@ object CurateOps {
       |tot AS (SELECT
       |    (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
       |    (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS nt),
-      |w AS (SELECT raw.b, CAST(round(ln(
-      |      CAST((coalesce(tgt.ct, 0) + 1) * (tot.nr + 256) AS DOUBLE) /
-      |      CAST((raw.cr + 1) * (tot.nt + 256) AS DOUBLE)) * 1000000.0)
-      |    AS BIGINT) AS wmi
+      |wp AS (SELECT raw.b,
+      |    (coalesce(tgt.ct, 0) + 1) * (tot.nr + 256) AS wa,
+      |    (raw.cr + 1) * (tot.nt + 256) AS wb
       |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tot),
+      |wpr AS (SELECT DISTINCT greatest(wa, wb) AS rn,
+      |    least(wa, wb) AS rd FROM wp),
+      |""".stripMargin +
+    graft.functions.PortableMath.sqlLog2MicroCtes("wpr", "rn", "rd", "wlg") +
+    """,
+      |w AS (SELECT wp.b,
+      |    CASE WHEN wa >= wb
+      |      THEN (l.lmicro * 693147181) // 1048576000
+      |      ELSE -((l.lmicro * 693147181) // 1048576000) END AS wmi
+      |  FROM wp JOIN wlg l ON l.pm_num = greatest(wa, wb)
+      |    AND l.pm_den = least(wa, wb)),
       |ds AS (SELECT fb.doc_id, fb.lang,
       |    CAST(sum(w.wmi) AS BIGINT) AS dsir_micro
       |  FROM fb JOIN w ON w.b = fb.b GROUP BY 1, 2),
@@ -1579,16 +1682,14 @@ object CurateOps {
     * trains. JS (not KL) because it is finite when a source misses
     * vocabulary, symmetric, and bounded by ln 2.
     *
-    * Determinism: all probabilities are ratios of exact integer counts;
-    * each token's contribution is one fixed double expression quantized
-    * to NANO-nats (BIGINT) before summing — the LM-perplexity micro-nat
-    * pattern — so the per-source sum is exact integer arithmetic.
-    * Known fragility of the quantization (accepted): JVM Math.log and
-    * DuckDB ln agree only to ~1 ulp (neither libm is correctly
-    * rounded), so a contribution landing EXACTLY on a .5 nano-nat
-    * boundary could round differently on another platform and flip the
-    * hash gate; the green differential pins agreement on this fixture,
-    * and a cross-libm port would re-verify or widen the quantum.
+    * Determinism: all probabilities are ratios of exact integer counts,
+    * and every contribution is now ALL-INTEGER — the portable log2
+    * digit extraction × the fixed integer ln 2
+    * (graft.functions.PortableMath), sign split on an exact integer
+    * comparison — so per-source sums are exact in any order AND on any
+    * IEEE engine. (The previous nano-nat quantization of a libm ln had
+    * a documented .5-boundary fragility across libms; round 13 removed
+    * the class.)
     *
     * 100 TB shape: one corpus explode partial-aggregates to the
     * (source, token) frame; everything after lives on vocabulary-bounded
@@ -1605,21 +1706,38 @@ object CurateOps {
       .join(st, Seq("source", "tok"), "left")
       .na.fill(0L, Seq("n_st"))
       .crossJoin(broadcast(total))
-    val p = col("n_st").cast("double") / col("n_s").cast("double")
-    val q = col("n_t").cast("double") / col("n").cast("double")
-    val m = (p + q) / lit(2.0)
-    val contrib =
-      when(col("n_st") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
-        lit(0.5) * q * log(q / m)
-    grid.select(col("source"), col("n_s"),
-        round(contrib * lit(1e9), 0).cast("long").as("c"))
+    // all-integer JS terms via the portable log2 — the libm-ln
+    // nano-quantization this op shipped with was the documented
+    // .5-boundary fragility; now every contribution is exact integer
+    // arithmetic. With pa = n_st·n and qa = n_t·n_s (cross products —
+    // BIGINT-safe to ~3M tokens per source; reduce the fractions first
+    // beyond that), p/m = 2·pa/(pa+qa) and q/m = 2·qa/(pa+qa), both in
+    // (0, 2), and 0.5·(a/b)·ln(r)·1e9 becomes sign·(a·lnNanoAbs) DIV 2b.
+    import graft.functions.PortableMath.{log2Micro, longDiv}
+    def lnNanoAbs(a: Column, b: Column): Column =
+      longDiv(log2Micro(a, b) * lit(693147181L), lit(1048576L))
+    def halfTerm(coefNum: Column, coefDen: Column,
+        rnum: Column, rden: Column): Column =
+      when(rnum >= rden,
+        longDiv(coefNum * lnNanoAbs(rnum, rden), coefDen * lit(2L)))
+        .otherwise(-longDiv(coefNum * lnNanoAbs(rden, rnum),
+          coefDen * lit(2L)))
+    val pa = col("n_st") * col("n")
+    val qa = col("n_t") * col("n_s")
+    val c =
+      when(col("n_st") > 0,
+        halfTerm(col("n_st"), col("n_s"), pa * 2L, pa + qa))
+        .otherwise(lit(0L)) +
+        halfTerm(col("n_t"), col("n"), qa * 2L, pa + qa)
+    grid.select(col("source"), col("n_s"), c.as("c"))
       .groupBy("source")
       .agg(max("n_s").as("n_tokens"), sum("c").as("js_nano"))
       .orderBy("source")
   }
 
   private val sourceDivergenceOracle: String =
-    """WITH st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n_st
+    """WITH RECURSIVE st AS (SELECT source, tok,
+      |    CAST(count(*) AS BIGINT) AS n_st
       |  FROM (SELECT source,
       |      unnest(list_filter(regexp_split_to_array(text, ' +'),
       |        w -> w != '')) AS tok
@@ -1629,20 +1747,33 @@ object CurateOps {
       |t AS (SELECT tok, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY tok),
       |n AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM t),
       |grid AS (SELECT s.source, s.n_s, t.tok, t.n_t,
-      |    coalesce(st.n_st, 0) AS n_st, n.n
+      |    coalesce(st.n_st, 0) AS n_st, n.n,
+      |    coalesce(st.n_st, 0) * n.n AS pa, t.n_t * s.n_s AS qa
       |  FROM s CROSS JOIN t CROSS JOIN n
       |    LEFT JOIN st ON st.source = s.source AND st.tok = t.tok),
-      |c AS (SELECT source, n_s,
-      |    CAST(round((CASE WHEN n_st > 0
-      |      THEN 0.5 * (CAST(n_st AS DOUBLE) / n_s) *
-      |        ln((CAST(n_st AS DOUBLE) / n_s) /
-      |          ((CAST(n_st AS DOUBLE) / n_s + CAST(n_t AS DOUBLE) / n) / 2.0))
-      |      ELSE 0.0 END +
-      |      0.5 * (CAST(n_t AS DOUBLE) / n) *
-      |        ln((CAST(n_t AS DOUBLE) / n) /
-      |          ((CAST(n_st AS DOUBLE) / n_s + CAST(n_t AS DOUBLE) / n) / 2.0))
-      |      ) * 1000000000.0) AS BIGINT) AS c
-      |  FROM grid)
+      |pr AS (SELECT DISTINCT greatest(2 * pa, pa + qa) AS rn,
+      |    least(2 * pa, pa + qa) AS rd FROM grid WHERE n_st > 0
+      |  UNION SELECT DISTINCT greatest(2 * qa, pa + qa),
+      |    least(2 * qa, pa + qa) FROM grid),
+      |""".stripMargin +
+    graft.functions.PortableMath.sqlLog2MicroCtes("pr", "rn", "rd", "lgd") +
+    """,
+      |lnt AS (SELECT pm_num, pm_den,
+      |    (lmicro * 693147181) // 1048576 AS lnabs FROM lgd),
+      |c AS (SELECT g.source, g.n_s,
+      |    (CASE WHEN g.n_st > 0 THEN
+      |       CASE WHEN 2 * g.pa >= g.pa + g.qa
+      |         THEN (g.n_st * lp.lnabs) // (g.n_s * 2)
+      |         ELSE -((g.n_st * lp.lnabs) // (g.n_s * 2)) END
+      |     ELSE 0 END)
+      |    + CASE WHEN 2 * g.qa >= g.pa + g.qa
+      |        THEN (g.n_t * lq.lnabs) // (g.n * 2)
+      |        ELSE -((g.n_t * lq.lnabs) // (g.n * 2)) END AS c
+      |  FROM grid g
+      |  LEFT JOIN lnt lp ON lp.pm_num = greatest(2 * g.pa, g.pa + g.qa)
+      |    AND lp.pm_den = least(2 * g.pa, g.pa + g.qa)
+      |  LEFT JOIN lnt lq ON lq.pm_num = greatest(2 * g.qa, g.pa + g.qa)
+      |    AND lq.pm_den = least(2 * g.qa, g.pa + g.qa))
       |SELECT source, max(n_s) AS n_tokens, CAST(sum(c) AS BIGINT) AS js_nano
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 

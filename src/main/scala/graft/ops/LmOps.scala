@@ -34,10 +34,11 @@ import graft.pipeline.{FsUtils, Store}
   * amortizes; 2 checkpoint barriers, both over <=V²-row frames).
   *
   * Float determinism across engines: per-token negative log-probs are
-  * quantized to micro-nats (`BIGINT`) so the per-document sum is exact
-  * integer arithmetic in any partition order; only the final perplexity
-  * applies `exp` and rounds to 3 decimals (the same per-row
-  * transcendental + round contract q_fn_great_circle established).
+  * exact micro-nat integers from the PORTABLE log2 (digit extraction ×
+  * a fixed integer ln 2 — no libm; graft.functions.PortableMath), so the
+  * per-document sum is exact in any partition order, and the final
+  * perplexity is the portable exp2 (iterated-sqrt-of-2 product) — the
+  * unrounded double is bit-identical on both engines by construction.
   */
 object LmOps {
 
@@ -104,14 +105,30 @@ object LmOps {
       .join(broadcast(bigrams), Seq("w1m", "w2m"), "left")
       .join(broadcast(contexts), Seq("w1m"), "left")
       .select(col("doc_id"), col("lang"),
-        round(log((coalesce(col("c1"), lit(0L)) + lit(vsize)).cast("double") /
-            (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double")) *
-          lit(1e6), 0).cast("long").as("nlp"))
+        // -ln P in micro-nats with NO libm (the sf0.1-sweep contract):
+        // portable log2 digit extraction × the fixed ln2 integer —
+        // c1+V >= c12+1 always, so the ratio is >= 1
+        graft.functions.PortableMath.longDiv(
+          graft.functions.PortableMath.log2Micro(
+            coalesce(col("c1"), lit(0L)) + lit(vsize),
+            coalesce(col("c12"), lit(0L)) + lit(1L)) * lit(693147181L),
+          lit(1048576000L)).as("nlp"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_pairs"), sum("nlp").as("h_micro"))
       .select(col("doc_id"), col("lang"), col("n_pairs"),
-        round(exp(col("h_micro").cast("double") / lit(1e6) /
-          col("n_pairs").cast("double")), 3).as("ppl"))
+        // ppl = exp(mean nats) = 2^(h_micro·2^20 / (n·ln2·1e6)) via the
+        // portable exp2 — libm exp outputs differ by ulps between
+        // engines; here every step is exact-IEEE and the unrounded
+        // double is bit-identical (fits BIGINT for docs to ~8M pairs)
+        ppl(col("h_micro"), col("n_pairs")).as("ppl"))
+  }
+
+  /** 2^(h·2^20 / (n · 693147)) — the portable-exp2 perplexity. */
+  private def ppl(hMicro: Column, nPairs: Column): Column = {
+    import graft.functions.PortableMath._
+    val y = longDiv(hMicro * lit(1048576L), nPairs * lit(693147L))
+    val yi = longDiv(y, lit(1048576L))
+    pow2(yi).cast("double") * exp2MicroFrac(y - yi * lit(1048576L))
   }
 
   // ---- persisted model lifecycle ------------------------------------
@@ -281,8 +298,12 @@ object LmOps {
       .orderBy("doc_id")
   }
 
-  private val ccnetBucketsSampledOracle: String =
-    """WITH d AS (SELECT doc_id, lang,
+  /** Shared oracle pipeline: bigram model fit on the train split, then
+    * the PORTABLE per-pair nlp (log2 digit extraction × integer ln2 —
+    * mirrors [[score]] exactly) and the portable-exp2 per-doc
+    * perplexity in CTE `pplt` (doc_id, lang, n_pairs, ppl). */
+  private val pplOracleCtes: String =
+    """d AS (SELECT doc_id, lang,
       |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
       |  FROM documents),
       |p AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
@@ -298,20 +319,34 @@ object LmOps {
       |big AS (SELECT w1m, w2m, count(*) AS c12 FROM m
       |  WHERE doc_id % 10 < 8 GROUP BY 1, 2),
       |ctx AS (SELECT w1m, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
-      |sc AS (SELECT m.doc_id, m.lang,
-      |    CAST(round(ln(
-      |      CAST(coalesce(c.c1, 0) + (SELECT v FROM vs) AS DOUBLE) /
-      |      CAST(coalesce(b.c12, 0) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS nlp
+      |scp AS (SELECT m.doc_id, m.lang,
+      |    CAST(coalesce(c.c1, 0) + (SELECT v FROM vs) AS BIGINT) AS pn,
+      |    CAST(coalesce(b.c12, 0) + 1 AS BIGINT) AS pd
       |  FROM m LEFT JOIN big b ON b.w1m = m.w1m AND b.w2m = m.w2m
       |         LEFT JOIN ctx c ON c.w1m = m.w1m),
-      |ppl AS (SELECT doc_id, lang,
-      |    round(exp(CAST(sum(nlp) AS DOUBLE) / 1000000.0 /
-      |      CAST(count(*) AS DOUBLE)), 3) AS ppl
-      |  FROM sc GROUP BY doc_id, lang),
+      |lpr AS (SELECT DISTINCT pn, pd FROM scp),
+      |""".stripMargin +
+    graft.functions.PortableMath.sqlLog2MicroCtes("lpr", "pn", "pd", "lgs") +
+    s""",
+      |sc AS (SELECT s.doc_id, s.lang,
+      |    (l.lmicro * 693147181) // 1048576000 AS nlp
+      |  FROM scp s JOIN lgs l ON l.pm_num = s.pn AND l.pm_den = s.pd),
+      |hh AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(nlp) AS BIGINT) AS h FROM sc GROUP BY doc_id, lang),
+      |py AS (SELECT doc_id, lang, n_pairs,
+      |    (h * 1048576) // (n_pairs * 693147) AS y FROM hh),
+      |pplt AS (SELECT doc_id, lang, n_pairs,
+      |    CAST(CAST(1 AS BIGINT) << (y // 1048576) AS DOUBLE) *
+      |      ${graft.functions.PortableMath
+        .sqlExp2MicroFrac("y - (y // 1048576) * 1048576")} AS ppl
+      |  FROM py)""".stripMargin
+
+  private val ccnetBucketsSampledOracle: String =
+    "WITH RECURSIVE " + pplOracleCtes + """,
       |smp AS (SELECT doc_id, lang, ppl,
       |    row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS rn,
       |    count(*) OVER (PARTITION BY lang) AS cnt
-      |  FROM ppl WHERE doc_id % 10 = 0),
+      |  FROM pplt WHERE doc_id % 10 = 0),
       |cut AS (SELECT lang,
       |    max(CASE WHEN rn = CAST(ceil(cnt / 3.0) AS BIGINT)
       |      THEN ppl END) AS t1,
@@ -322,73 +357,25 @@ object LmOps {
       |  CASE WHEN c.t1 IS NULL THEN 'unbucketed'
       |       WHEN p.ppl <= c.t1 THEN 'head'
       |       WHEN p.ppl <= c.t2 THEN 'middle' ELSE 'tail' END AS bucket
-      |FROM ppl p LEFT JOIN cut c ON c.lang = p.lang
+      |FROM pplt p LEFT JOIN cut c ON c.lang = p.lang
       |ORDER BY p.doc_id""".stripMargin
 
   private val ccnetBucketsOracle: String =
-    """WITH d AS (SELECT doc_id, lang,
-      |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
-      |  FROM documents),
-      |p AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
-      |  FROM d, unnest(range(1, len(toks))) AS u(i)),
-      |voc AS (SELECT tok FROM (
-      |    SELECT unnest(toks) AS tok FROM d WHERE doc_id % 10 < 8) u
-      |  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 16),
-      |vs AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM voc),
-      |m AS (SELECT p.doc_id, p.lang,
-      |    coalesce(v1.tok, '<unk>') AS w1m, coalesce(v2.tok, '<unk>') AS w2m
-      |  FROM p LEFT JOIN voc v1 ON v1.tok = p.w1
-      |         LEFT JOIN voc v2 ON v2.tok = p.w2),
-      |big AS (SELECT w1m, w2m, count(*) AS c12 FROM m
-      |  WHERE doc_id % 10 < 8 GROUP BY 1, 2),
-      |ctx AS (SELECT w1m, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
-      |sc AS (SELECT m.doc_id, m.lang,
-      |    CAST(round(ln(
-      |      CAST(coalesce(c.c1, 0) + (SELECT v FROM vs) AS DOUBLE) /
-      |      CAST(coalesce(b.c12, 0) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS nlp
-      |  FROM m LEFT JOIN big b ON b.w1m = m.w1m AND b.w2m = m.w2m
-      |         LEFT JOIN ctx c ON c.w1m = m.w1m),
-      |ppl AS (SELECT doc_id, lang,
-      |    round(exp(CAST(sum(nlp) AS DOUBLE) / 1000000.0 /
-      |      CAST(count(*) AS DOUBLE)), 3) AS ppl
-      |  FROM sc GROUP BY doc_id, lang),
+    "WITH RECURSIVE " + pplOracleCtes + """,
       |t AS (SELECT doc_id, lang, ppl,
       |    ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS t
-      |  FROM ppl)
+      |  FROM pplt)
       |SELECT doc_id, lang, ppl,
       |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
       |    AS bucket
       |FROM t ORDER BY doc_id""".stripMargin
 
   private val lmPerplexityOracle: String =
-    """WITH d AS (SELECT doc_id, lang,
-      |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
-      |  FROM documents),
-      |p AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
-      |  FROM d, unnest(range(1, len(toks))) AS u(i)),
-      |voc AS (SELECT tok FROM (
-      |    SELECT unnest(toks) AS tok FROM d WHERE doc_id % 10 < 8) u
-      |  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 16),
-      |vs AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM voc),
-      |m AS (SELECT p.doc_id, p.lang,
-      |    coalesce(v1.tok, '<unk>') AS w1m, coalesce(v2.tok, '<unk>') AS w2m
-      |  FROM p LEFT JOIN voc v1 ON v1.tok = p.w1
-      |         LEFT JOIN voc v2 ON v2.tok = p.w2),
-      |big AS (SELECT w1m, w2m, count(*) AS c12 FROM m
-      |  WHERE doc_id % 10 < 8 GROUP BY 1, 2),
-      |ctx AS (SELECT w1m, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
-      |sc AS (SELECT m.doc_id, m.lang,
-      |    CAST(round(ln(
-      |      CAST(coalesce(c.c1, 0) + (SELECT v FROM vs) AS DOUBLE) /
-      |      CAST(coalesce(b.c12, 0) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS nlp
-      |  FROM m LEFT JOIN big b ON b.w1m = m.w1m AND b.w2m = m.w2m
-      |         LEFT JOIN ctx c ON c.w1m = m.w1m)
+    "WITH RECURSIVE " + pplOracleCtes + """
       |SELECT doc_id, lang,
       |  CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'heldout' END AS split,
-      |  CAST(count(*) AS BIGINT) AS n_pairs,
-      |  round(exp(CAST(sum(nlp) AS DOUBLE) / 1000000.0 /
-      |    CAST(count(*) AS DOUBLE)), 3) AS ppl
-      |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+      |  n_pairs, ppl
+      |FROM pplt ORDER BY doc_id""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_lm_perplexity", lmPerplexity,

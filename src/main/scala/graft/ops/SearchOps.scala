@@ -51,19 +51,25 @@ object SearchOps {
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
     val stats = base.agg(statCols.head, statCols.tail: _*)
 
-    // idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); contribution quantized
-    // to micro-units so the per-doc sum is exact integer arithmetic
+    // idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) = ln((2N+2)/(2df+1)) —
+    // an integer-ratio log, so it goes through the PORTABLE log2 (no
+    // libm; the sf0.1-sweep contract) to exact micro-nats. The length-
+    // normalization factor is pure IEEE +,*,/ (deterministic), and
+    // round-to-INTEGER of the same double is engine-safe, so the
+    // micro-unit contribution sums exactly in any order.
     def contrib(i: Int): Column = {
       val tf = col(s"tf_$i").cast("double")
-      val idf = log(lit(1.0) +
-        (col("n_docs").cast("double") - col(s"df_$i").cast("double") + lit(0.5)) /
-          (col(s"df_$i").cast("double") + lit(0.5)))
+      val idfMicro = graft.functions.PortableMath.longDiv(
+        graft.functions.PortableMath.log2Micro(
+          col("n_docs") * 2L + 2L,
+          col(s"df_$i") * 2L + 1L) * lit(693147181L),
+        lit(1048576000L))
       val norm = lit(1.0) - lit(b) +
         lit(b) * col("dl").cast("double") /
           (col("sum_dl").cast("double") / col("n_docs").cast("double"))
       when(col(s"tf_$i") > 0,
-        round(idf * tf * lit(k1 + 1.0) / (tf + lit(k1) * norm) * lit(1e6), 0)
-          .cast("long"))
+        round(idfMicro.cast("double") * tf * lit(k1 + 1.0) /
+          (tf + lit(k1) * norm), 0).cast("long"))
         .otherwise(lit(0L))
     }
 
@@ -94,17 +100,24 @@ object SearchOps {
       s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
     val contribs = gateTerms.indices.map { i =>
       s"""CASE WHEN tf_$i > 0 THEN CAST(round(
-         |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) /
-         |        (CAST(df_$i AS DOUBLE) + 0.5)) *
+         |      CAST(idf_$i AS DOUBLE) *
          |      CAST(tf_$i AS DOUBLE) * 2.2 /
          |      (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 +
          |        0.75 * CAST(dl AS DOUBLE) /
-         |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) *
-         |      1000000.0) AS BIGINT) ELSE 0 END""".stripMargin
+         |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         |      ) AS BIGINT) ELSE 0 END""".stripMargin
     }.mkString(" +\n      |    ")
+    val idfPairs = gateTerms.indices.map(i =>
+      s"SELECT 2 * n_docs + 2 AS rn, 2 * df_$i + 1 AS rd FROM s")
+      .mkString("\n      |  UNION\n      |  ")
+    val idfCols = gateTerms.indices.map(i =>
+      s"""(SELECT (l.lmicro * 693147181) // 1048576000 FROM blg l, s
+         |    WHERE l.pm_num = 2 * s.n_docs + 2
+         |      AND l.pm_den = 2 * s.df_$i + 1) AS idf_$i""".stripMargin)
+      .mkString(",\n      |  ")
     val hits = gateTerms.indices.map(i =>
       s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, lang,
+    s"""WITH RECURSIVE d AS (SELECT doc_id, lang,
        |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
        |  FROM documents),
        |t AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl,
@@ -112,10 +125,16 @@ object SearchOps {
        |  FROM d),
        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM t),
+       |bp AS ($idfPairs),
+       |${graft.functions.PortableMath
+          .sqlLog2MicroCtes("bp", "rn", "rd", "blg")},
+       |idf AS (SELECT
+       |  $idfCols
+       |  FROM s),
        |sc AS (SELECT doc_id, lang,
        |    CAST($hits AS BIGINT) AS n_terms_hit,
        |    $contribs AS score_micro
-       |  FROM t, s)
+       |  FROM t, s, idf)
        |SELECT doc_id, lang, n_terms_hit, score_micro,
        |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT)
        |    AS rank
@@ -203,12 +222,18 @@ object SearchOps {
     val tf = base.select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // weight = tf·(ln((N+1)/(df+1)) + 1) in exact milli-units via the
+    // portable micro-nat log — the (N, df) pairs repeat across the
+    // whole vocabulary, the amplified libm-boundary class — then one
+    // integer DIV; the weight relation is all-BIGINT
     val w = tf.join(dfs, "token").crossJoin(stats)
       .select(col("doc_id"), col("token"),
-        round(col("tf").cast("double") *
-          (log((col("n_docs").cast("double") + lit(1.0)) /
-            (col("df").cast("double") + lit(1.0))) + lit(1.0)) * lit(1e3), 0)
-          .cast("long").as("c"))
+        graft.functions.PortableMath.longDiv(
+          col("tf") * (graft.functions.PortableMath.longDiv(
+            graft.functions.PortableMath.log2Micro(
+              col("n_docs") + 1L, col("df") + 1L) * lit(693147181L),
+            lit(1048576000L)) + lit(1000000L)),
+          lit(1000L)).as("c"))
     // ONE aggregation pass computes the norm AND the query dot: norm
     // and hits as separate branches each re-derived the corpus-sized
     // explode -> tf -> df-join subtree (their post-join exchanges
@@ -223,9 +248,12 @@ object SearchOps {
         count(when(isHit, lit(1))).as("n_terms_hit"),
         sum(when(isHit, col("c"))).as("dot"))
       .filter(col("n_terms_hit") > 0)
+    // UNROUNDED score: dot and n2 are exact integers, sqrt is IEEE
+    // correctly-rounded, one division — bit-identical across engines;
+    // round(,6) was the tie hazard (perfect-square n2 terminates)
     hits
       .select(col("doc_id"), col("n_terms_hit"),
-        round(col("dot").cast("double") / sqrt(col("n2").cast("double")), 6)
+        (col("dot").cast("double") / sqrt(col("n2").cast("double")))
           .as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
@@ -239,7 +267,7 @@ object SearchOps {
 
   private val searchTfidfOracle: String = {
     val inList = gateTerms.map(t => s"'$t'").mkString(", ")
-    s"""WITH d AS (SELECT doc_id,
+    s"""WITH RECURSIVE d AS (SELECT doc_id,
        |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '')
        |      AS toks
        |  FROM documents),
@@ -248,22 +276,24 @@ object SearchOps {
        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
        |dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df
        |  FROM tf GROUP BY 1),
+       |ip AS (SELECT DISTINCT s.n_docs + 1 AS rn, dfs.df + 1 AS rd
+       |  FROM dfs, s),
+       |${graft.functions.PortableMath
+          .sqlLog2MicroCtes("ip", "rn", "rd", "ilg")},
        |w AS (SELECT tf.doc_id, tf.token,
-       |    CAST(round(CAST(tf.tf AS DOUBLE) *
-       |      (ln((CAST(s.n_docs AS DOUBLE) + 1.0) /
-       |        (CAST(dfs.df AS DOUBLE) + 1.0)) + 1.0) * 1000.0)
-       |      AS BIGINT) AS c
-       |  FROM tf JOIN dfs USING (token), s),
+       |    (tf.tf * ((l.lmicro * 693147181) // 1048576000 + 1000000))
+       |      // 1000 AS c
+       |  FROM tf JOIN dfs USING (token), s
+       |  JOIN ilg l ON l.pm_num = s.n_docs + 1 AND l.pm_den = dfs.df + 1),
        |norm AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2
        |  FROM w GROUP BY 1),
        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
        |    CAST(sum(c) AS BIGINT) AS dot
        |  FROM w WHERE token IN ($inList) GROUP BY 1)
        |SELECT h.doc_id, h.n_terms_hit,
-       |  round(CAST(h.dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)), 6)
-       |    AS score,
+       |  CAST(h.dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) AS score,
        |  CAST(row_number() OVER (ORDER BY
-       |    round(CAST(h.dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)), 6)
+       |    CAST(h.dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE))
        |      DESC, h.doc_id) AS INT) AS rank
        |FROM hits h JOIN norm n USING (doc_id)
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
@@ -320,17 +350,24 @@ object SearchOps {
       s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
     val contribs = gateTerms.indices.map { i =>
       s"""CASE WHEN tf_$i > 0 THEN CAST(round(
-         |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) /
-         |        (CAST(df_$i AS DOUBLE) + 0.5)) *
+         |      CAST(idf_$i AS DOUBLE) *
          |      CAST(tf_$i AS DOUBLE) * 2.2 /
          |      (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75 +
          |        0.75 * CAST(dl AS DOUBLE) /
-         |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) *
-         |      1000000.0) AS BIGINT) ELSE 0 END""".stripMargin
+         |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         |      ) AS BIGINT) ELSE 0 END""".stripMargin
     }.mkString(" +\n      |    ")
+    val idfPairs = gateTerms.indices.map(i =>
+      s"SELECT 2 * n_docs + 2 AS rn, 2 * df_$i + 1 AS rd FROM s")
+      .mkString("\n      |  UNION\n      |  ")
+    val idfCols = gateTerms.indices.map(i =>
+      s"""(SELECT (l.lmicro * 693147181) // 1048576000 FROM blg l, s
+         |    WHERE l.pm_num = 2 * s.n_docs + 2
+         |      AND l.pm_den = 2 * s.df_$i + 1) AS idf_$i""".stripMargin)
+      .mkString(",\n      |  ")
     val hits = gateTerms.indices.map(i =>
       s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, lang,
+    s"""WITH RECURSIVE d AS (SELECT doc_id, lang,
        |    list_filter(regexp_split_to_array(text, ' +'), w -> w != '') AS toks
        |  FROM documents),
        |t AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl,
@@ -338,9 +375,15 @@ object SearchOps {
        |  FROM d),
        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM t),
+       |bp AS ($idfPairs),
+       |${graft.functions.PortableMath
+          .sqlLog2MicroCtes("bp", "rn", "rd", "blg")},
+       |idf AS (SELECT
+       |  $idfCols
+       |  FROM s),
        |sc AS (SELECT doc_id, CAST($hits AS BIGINT) AS n_terms_hit,
        |    $contribs AS score_micro
-       |  FROM t, s),
+       |  FROM t, s, idf),
        |lex AS (SELECT doc_id,
        |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT)
        |      AS rank_lex
@@ -408,33 +451,53 @@ object SearchOps {
       .join(lang.withColumnRenamed("lang", "qlang"), Seq("qlang"))
       .filter(col("doc_id") =!= col("qid"))
       .groupBy("qid").agg(count(lit(1)).as("n_rel"))
-    // nano-unit quantized DCG gains; IDCG over min(n_rel, k) ideal slots
-    val gain = round(lit(1e9) / log2(col("pos") + 1), 0).cast("long")
+    // nano-unit DCG gains as LITERALS from the portable log2 (the libm
+    // log2 + round(,0) form had quantization boundaries; the sf0.1-sweep
+    // class) — gainsNano(pos-1) = 1e9·2^20 DIV log2Micro(pos+1), burned
+    // in by the Scala twin, which PortableMathSpec pins bit-identical to
+    // the column form; the oracle embeds the same integers as VALUES
+    val gainsNano: Seq[Long] = (1 to k).map(pos =>
+      1048576000000000L /
+        graft.functions.PortableMath.log2MicroConst(pos + 1L, 1L))
+    val gainArr = array(gainsNano.map(lit): _*)
+    val gain = element_at(gainArr, col("pos").cast("int"))
     val perQ = rel.groupBy("qid").agg(
       sum(col("is_rel")).as("n_hit"),
       sum(when(col("is_rel") === 1, gain).otherwise(lit(0L)))
         .as("dcg_nano"),
       min(when(col("is_rel") === 1, col("pos"))).as("first_rel"))
+    import graft.functions.PortableMath.longDiv
     perQ.join(nRel, Seq("qid"))
       .select(col("qid"),
         col("n_rel"),
         col("n_hit").cast("long").as("n_hit"),
-        round(col("n_hit") / col("n_rel"), 6).as("recall_at_k"),
-        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6)
-          .as("mrr_at_k"),
-        round(col("dcg_nano") /
+        // exact integer ppm outputs — small-int rationals rounded to 6
+        // hit terminating-decimal ties the engines resolve apart
+        longDiv(col("n_hit") * lit(1000000L), col("n_rel"))
+          .as("recall_ppm"),
+        coalesce(longDiv(lit(1000000L), col("first_rel")), lit(0L))
+          .as("mrr_ppm"),
+        longDiv(col("dcg_nano") * lit(1000000L),
           // IDCG: all min(n_rel, k) ideal hits at the top positions —
-          // an arithmetic fold over a literal sequence, exact longs
+          // an arithmetic fold over the same literal gains, exact longs
           aggregate(sequence(lit(1),
               least(col("n_rel"), lit(k.toLong)).cast("int")),
-            lit(0L), (acc, i) =>
-              acc + round(lit(1e9) / log2(i + 1), 0).cast("long"))
-            .cast("double"), 6).as("ndcg_at_k"))
+            lit(0L), (acc, i) => acc + element_at(gainArr, i)))
+          .as("ndcg_ppm"))
       .orderBy("qid")
   }
 
+  /** The same portable-log2 gain integers the Spark side burns in. */
+  private val retrievalGainsSql: String = (1 to 10).map(pos =>
+    s"($pos, ${1048576000000000L /
+      graft.functions.PortableMath.log2MicroConst(pos + 1L, 1L)})")
+    .mkString(", ")
+
   private val retrievalMetricsOracle: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH gains AS (SELECT * FROM (VALUES $retrievalGainsSql)
+      |  AS t(pos, g)),
+      |""".stripMargin +
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
       |ranked AS (SELECT qid, doc_id, pos FROM (
       |    SELECT q.qid, e.vec_id AS doc_id,
@@ -455,22 +518,19 @@ object SearchOps {
       |  WHERE ql.doc_id < 8 GROUP BY ql.doc_id),
       |perq AS (SELECT qid,
       |    CAST(sum(is_rel) AS BIGINT) AS n_hit,
-      |    CAST(sum(CASE WHEN is_rel = 1 THEN
-      |        CAST(round(1e9 / log2(pos + 1)) AS BIGINT)
-      |      ELSE 0 END) AS BIGINT) AS dcg_nano,
-      |    min(CASE WHEN is_rel = 1 THEN pos END) AS first_rel
-      |  FROM rel GROUP BY qid),
-      |ideal AS (SELECT i, CAST(round(1e9 / log2(i + 1)) AS BIGINT) AS g
-      |  FROM generate_series(1, 10) AS t(i)),
-      |icum AS (SELECT m.i AS m, CAST(sum(h.g) AS BIGINT) AS inano
-      |  FROM ideal m JOIN ideal h ON h.i <= m.i GROUP BY m.i),
+      |    CAST(sum(CASE WHEN is_rel = 1 THEN gn.g ELSE 0 END)
+      |      AS BIGINT) AS dcg_nano,
+      |    min(CASE WHEN is_rel = 1 THEN rel.pos END) AS first_rel
+      |  FROM rel JOIN gains gn ON gn.pos = rel.pos GROUP BY qid),
+      |icum AS (SELECT m.pos AS m, CAST(sum(h.g) AS BIGINT) AS inano
+      |  FROM gains m JOIN gains h ON h.pos <= m.pos GROUP BY m.pos),
       |idcg AS (SELECT p.qid, ic.inano
       |  FROM perq p JOIN nrel n USING (qid)
       |  JOIN icum ic ON ic.m = least(n.n_rel, 10))
       |SELECT p.qid, n.n_rel, p.n_hit,
-      |  round(CAST(p.n_hit AS DOUBLE) / n.n_rel, 6) AS recall_at_k,
-      |  round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr_at_k,
-      |  round(CAST(p.dcg_nano AS DOUBLE) / i.inano, 6) AS ndcg_at_k
+      |  (p.n_hit * 1000000) // n.n_rel AS recall_ppm,
+      |  coalesce(1000000 // CAST(p.first_rel AS BIGINT), 0) AS mrr_ppm,
+      |  (p.dcg_nano * 1000000) // i.inano AS ndcg_ppm
       |FROM perq p JOIN nrel n USING (qid) JOIN idcg i USING (qid)
       |ORDER BY p.qid""".stripMargin
 

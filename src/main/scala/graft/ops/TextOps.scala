@@ -112,33 +112,15 @@ object TextOps {
           .otherwise(array().cast("array<int>"))).as("ch"))
       .groupBy("doc_id", "lang", "n", "ch")
       .agg(count(lit(1)).as("nc"))
-      // portable log2(n/nc) in 2^-20 units: exponent e from the binary
-      // length of the integer quotient (2^e <= n/nc < 2^(e+1) — exact,
-      // since no power of two lies strictly between m and m+1), then 20
-      // fraction digits by exact-IEEE squaring of r = n/(nc<<e) ∈ [1,2)
-      .withColumn("e",
-        (length(bin(expr("CAST(n AS BIGINT) DIV CAST(nc AS BIGINT)"))) - 1)
-          .cast("int"))
-      .withColumn("r",
-        col("n").cast("double") /
-          expr("CAST(shiftleft(CAST(nc AS BIGINT), e) AS DOUBLE)"))
+      // portable log2(n/nc) in 2^-20 units (graft.functions.PortableMath
+      // — exponent from the quotient's bit length, 20 fraction digits by
+      // exact-IEEE squaring), then pure integer term arithmetic
       .withColumn("lmicro",
-        col("e").cast("long") * lit(1048576L) +
-          aggregate(
-            sequence(lit(1), lit(20)),
-            struct(col("r").as("r"), lit(0L).as("acc")),
-            (s, _) => {
-              val r2 = s.getField("r") * s.getField("r")
-              val ge = r2 >= lit(2.0)
-              struct(
-                when(ge, r2 / lit(2.0)).otherwise(r2).as("r"),
-                (s.getField("acc") * 2 +
-                  when(ge, lit(1L)).otherwise(lit(0L))).as("acc"))
-            },
-            s => s.getField("acc")))
+        graft.functions.PortableMath.log2Micro(col("n"), col("nc")))
       .select(col("doc_id"), col("lang"), col("n"),
-        expr("(CAST(nc AS BIGINT) * lmicro * 1000000)" +
-          " DIV (CAST(n AS BIGINT) * 1048576)").as("tm"))
+        graft.functions.PortableMath.longDiv(
+          col("nc").cast("long") * col("lmicro") * lit(1000000L),
+          col("n").cast("long") * lit(1048576L)).as("tm"))
       .groupBy("doc_id", "lang")
       .agg(max(col("n")).cast("long").as("n_chars"),
         count(lit(1)).as("n_distinct_chars"),
@@ -158,25 +140,13 @@ object TextOps {
       |g AS (SELECT doc_id, lang, n, ch, count(*) AS nc
       |  FROM c GROUP BY doc_id, lang, n, ch),
       |p AS (SELECT DISTINCT n, nc FROM g),
-      |norm AS (SELECT n, nc,
-      |    length(bin(CAST(n AS BIGINT) // CAST(nc AS BIGINT))) - 1 AS e
-      |  FROM p),
-      |norm2 AS (SELECT n, nc, e,
-      |    CAST(n AS DOUBLE) / CAST(CAST(nc AS BIGINT) << e AS DOUBLE) AS r
-      |  FROM norm),
-      |steps AS (
-      |  SELECT n, nc, e, 0 AS i, r, CAST(0 AS BIGINT) AS acc FROM norm2
-      |  UNION ALL
-      |  SELECT n, nc, e, i + 1,
-      |    CASE WHEN r * r >= 2 THEN r * r / 2 ELSE r * r END,
-      |    acc * 2 + CASE WHEN r * r >= 2 THEN 1 ELSE 0 END
-      |  FROM steps WHERE i < 20),
-      |logt AS (SELECT n, nc, CAST(e AS BIGINT) * 1048576 + acc AS lmicro
-      |  FROM steps WHERE i = 20),
+      |""".stripMargin +
+    graft.functions.PortableMath.sqlLog2MicroCtes("p", "n", "nc", "logt") +
+    """,
       |t AS (SELECT g.doc_id, g.lang, g.n,
       |    (CAST(g.nc AS BIGINT) * l.lmicro * 1000000)
       |      // (CAST(g.n AS BIGINT) * 1048576) AS tm
-      |  FROM g JOIN logt l ON l.n = g.n AND l.nc = g.nc)
+      |  FROM g JOIN logt l ON l.pm_num = g.n AND l.pm_den = g.nc)
       |SELECT doc_id, lang, CAST(max(n) AS BIGINT) AS n_chars,
       |  count(*) AS n_distinct_chars,
       |  CAST(sum(tm) AS BIGINT) AS entropy_ubits
@@ -912,8 +882,8 @@ object TextOps {
        |  JOIN dup USING (h) GROUP BY doc_id)
        |SELECT pd.doc_id AS doc_id, CAST(pd.n_windows AS BIGINT) AS n_windows,
        |  CAST(coalesce(dd.n_dup, 0) AS BIGINT) AS n_dup_windows,
-       |  round(CAST(coalesce(dd.n_dup, 0) AS DOUBLE) / pd.n_windows, 6)
-       |    AS dup_frac
+       |  (CAST(coalesce(dd.n_dup, 0) AS BIGINT) * 1000000)
+       |    // CAST(pd.n_windows AS BIGINT) AS dup_ppm
        |FROM pd LEFT JOIN dd ON dd.doc_id = pd.doc_id
        |ORDER BY doc_id""".stripMargin
   }

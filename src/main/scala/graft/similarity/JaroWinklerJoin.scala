@@ -174,7 +174,21 @@ object JaroWinklerJoin {
     import graft.functions.expressions.CharSig.charSig
     s.select(col("id"), col("len"), col("str"),
       charSig(col("str")).as("sig"),
-      floor(log2(col("len"))).cast("int").as("bkt"))
+      // EXACT floor(log2(len)) from the integer's bit length —
+      // floor(log2(...)) via libm can flip by one ulp at exact powers
+      // of two, silently shifting a resident one bucket over and
+      // breaking candidate completeness for those lengths
+      (length(bin(col("len").cast("long"))) - 1).cast("int").as("bkt"))
+  }
+
+  /** Exact floor(log2(x)) for a POSITIVE double column with x >= 1:
+    * libm log2 guesses within one ulp, then exact-IEEE comparisons
+    * against the power-of-two bounds correct the boundary cases. */
+  private def exactFloorLog2(x: Column): Column = {
+    val e0 = floor(log2(x)).cast("int")
+    val p0 = graft.functions.PortableMath
+      .pow2(greatest(e0, lit(0)).cast("long")).cast("double")
+    when(x < p0, e0 - 1).when(x >= p0 * 2.0, e0 + 1).otherwise(e0)
   }
 
   private[graft] def candidateVerify(a: DataFrame, b: DataFrame,
@@ -202,8 +216,8 @@ object JaroWinklerJoin {
     val prober = a.select(col("id"), col("len"), col("str"),
         charSig(col("str")).as("sig"),
         explode(sequence(
-          floor(log2(greatest(lit(1.0), col("len") * rB))).cast("int"),
-          floor(log2(col("len") / rB)).cast("int"))).as("bkt"))
+          exactFloorLog2(greatest(lit(1.0), col("len") * rB)),
+          exactFloorLog2(col("len") / rB))).as("bkt"))
       .select(col("id"), col("len"), col("str"), col("sig"), col("bkt"),
         explode(sequence(lit(0), lit(nParts - 1))).as("salt"))
 

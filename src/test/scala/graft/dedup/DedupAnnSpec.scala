@@ -80,17 +80,17 @@ class DedupAnnSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val out = Dedup.duplicateSpans(docs, "text", "doc_id", k = 4)
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     // doc 1: windows = 4; "alpha beta gamma delta" (pos 0) is in docs 2,3
-    assert(out(1L) == ((4L, 1L, 0.25)))
-    // doc 2: 3 windows, only the middle one duplicated
-    assert(out(2L) == ((3L, 1L, 0.333333)))
+    assert(out(1L) == ((4L, 1L, 250000L)))
+    // doc 2: 3 windows, only the middle one duplicated (exact ppm floor)
+    assert(out(2L) == ((3L, 1L, 333333L)))
     // doc 3: 5 windows; the shared span occurs at pos 0 AND pos 4 — both
     // occurrences count; "delta alpha", "gamma delta alpha"… windows are
     // unique to doc 3
-    assert(out(3L) == ((5L, 2L, 0.4)))
+    assert(out(3L) == ((5L, 2L, 400000L)))
     // doc 4: nothing duplicated, still present with its 3 windows
-    assert(out(4L) == ((3L, 0L, 0.0)))
+    assert(out(4L) == ((3L, 0L, 0L)))
   }
 
   test("lineDedup removes cross-doc lines, keeps order, empties fully-boilerplate docs") {

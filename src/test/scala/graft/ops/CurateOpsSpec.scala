@@ -188,11 +188,11 @@ class CurateOpsSpec extends AnyFunSuite {
   test("mixtureWeights: weight 1.0 iff source has exactly uniform share") {
     val rows = CurateOps.mixtureWeights(spark, dir).collect()
     assert(rows.length > 1)
-    rows.foreach(r => assert(r.getAs[Double]("weight") > 0.0))
+    rows.foreach(r => assert(r.getAs[Long]("weight_ppm") > 0L))
     // weights reweight token mass to uniform: sum(src_tokens*weight) ~ total
     val total = rows.map(_.getAs[Long]("src_tokens")).sum.toDouble
     val re = rows.map(r =>
-      r.getAs[Long]("src_tokens") * r.getAs[Double]("weight")).sum
+      r.getAs[Long]("src_tokens") * (r.getAs[Long]("weight_ppm") / 1e6)).sum
     assert(math.abs(re - total) / total < 1e-4)
   }
 

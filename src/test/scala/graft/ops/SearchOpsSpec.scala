@@ -43,20 +43,21 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(rows.length == 8)
     assert(rows.map(_.getAs[Long]("qid")).toSeq == (0L to 7L))
     rows.foreach { r =>
-      val recall = r.getAs[Double]("recall_at_k")
-      val mrr = r.getAs[Double]("mrr_at_k")
-      val ndcg = r.getAs[Double]("ndcg_at_k")
+      val recall = r.getAs[Long]("recall_ppm")
+      val mrr = r.getAs[Long]("mrr_ppm")
+      val ndcg = r.getAs[Long]("ndcg_ppm")
       val nHit = r.getAs[Long]("n_hit")
       val nRel = r.getAs[Long]("n_rel")
-      assert(recall >= 0.0 && recall <= 1.0)
-      assert(mrr >= 0.0 && mrr <= 1.0)
-      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-6)
+      assert(recall >= 0L && recall <= 1000000L)
+      assert(mrr >= 0L && mrr <= 1000000L)
+      assert(ndcg >= 0L && ndcg <= 1000000L)
       assert(nHit <= math.min(nRel, 10L))
       // a hit anywhere implies a positive reciprocal rank and dcg
-      assert((nHit > 0) == (mrr > 0.0))
-      assert((nHit > 0) == (ndcg > 0.0))
+      assert((nHit > 0) == (mrr > 0L))
+      assert((nHit > 0) == (ndcg > 0L))
       // all 10 slots relevant with >=10 relevant docs => perfect ndcg
-      if (nHit == 10L && nRel >= 10L) assert(math.abs(ndcg - 1.0) < 1e-6)
+      // (exact integer: dcg == idcg, so the ppm DIV is exactly 1e6)
+      if (nHit == 10L && nRel >= 10L) assert(ndcg == 1000000L)
     }
   }
 
