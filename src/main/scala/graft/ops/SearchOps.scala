@@ -49,7 +49,15 @@ object SearchOps {
     val statCols = Seq(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")) ++
       terms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
-    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val statsRaw = base.agg(statCols.head, statCols.tail: _*)
+    // the 20-step portable-log idf evaluates ONCE per term on this
+    // single stats row, never per corpus row (interpreted HOF cost)
+    val stats = statsRaw.select(col("*") +: terms.indices.map(i =>
+      graft.functions.PortableMath.longDiv(
+        graft.functions.PortableMath.log2Micro(
+          col("n_docs") * 2L + 2L,
+          col(s"df_$i") * 2L + 1L) * lit(693147181L),
+        lit(1048576000L)).as(s"idf_$i")): _*)
 
     // idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) = ln((2N+2)/(2df+1)) —
     // an integer-ratio log, so it goes through the PORTABLE log2 (no
@@ -59,11 +67,7 @@ object SearchOps {
     // micro-unit contribution sums exactly in any order.
     def contrib(i: Int): Column = {
       val tf = col(s"tf_$i").cast("double")
-      val idfMicro = graft.functions.PortableMath.longDiv(
-        graft.functions.PortableMath.log2Micro(
-          col("n_docs") * 2L + 2L,
-          col(s"df_$i") * 2L + 1L) * lit(693147181L),
-        lit(1048576000L))
+      val idfMicro = col(s"idf_$i")
       val norm = lit(1.0) - lit(b) +
         lit(b) * col("dl").cast("double") /
           (col("sum_dl").cast("double") / col("n_docs").cast("double"))
@@ -224,16 +228,20 @@ object SearchOps {
     val dfs = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // weight = tf·(ln((N+1)/(df+1)) + 1) in exact milli-units via the
     // portable micro-nat log — the (N, df) pairs repeat across the
-    // whole vocabulary, the amplified libm-boundary class — then one
-    // integer DIV; the weight relation is all-BIGINT
-    val w = tf.join(dfs, "token").crossJoin(stats)
+    // whole vocabulary, the amplified libm-boundary class. The 20-step
+    // digit extraction is an interpreted HOF, so it runs ONCE PER
+    // TOKEN on the vocabulary-bounded dfs frame (measured 2.8x on the
+    // gate when inlined per corpus row), and the corpus-sized weight
+    // projection is one all-BIGINT multiply/DIV per row.
+    val dfs2 = dfs.crossJoin(stats)
+      .select(col("token"), graft.functions.PortableMath.longDiv(
+        graft.functions.PortableMath.log2Micro(
+          col("n_docs") + 1L, col("df") + 1L) * lit(693147181L),
+        lit(1048576000L)).as("lnm"))
+    val w = tf.join(dfs2, "token")
       .select(col("doc_id"), col("token"),
         graft.functions.PortableMath.longDiv(
-          col("tf") * (graft.functions.PortableMath.longDiv(
-            graft.functions.PortableMath.log2Micro(
-              col("n_docs") + 1L, col("df") + 1L) * lit(693147181L),
-            lit(1048576000L)) + lit(1000000L)),
-          lit(1000L)).as("c"))
+          col("tf") * (col("lnm") + lit(1000000L)), lit(1000L)).as("c"))
     // ONE aggregation pass computes the norm AND the query dot: norm
     // and hits as separate branches each re-derived the corpus-sized
     // explode -> tf -> df-join subtree (their post-join exchanges

@@ -114,9 +114,17 @@ object TextOps {
       .agg(count(lit(1)).as("nc"))
       // portable log2(n/nc) in 2^-20 units (graft.functions.PortableMath
       // — exponent from the quotient's bit length, 20 fraction digits by
-      // exact-IEEE squaring), then pure integer term arithmetic
-      .withColumn("lmicro",
-        graft.functions.PortableMath.log2Micro(col("n"), col("nc")))
+      // exact-IEEE squaring), evaluated once per DISTINCT (n, nc) pair
+      // and broadcast back (the 20-step extraction is an interpreted
+      // HOF; (n, nc) pairs repeat heavily across documents — measured
+      // 2.4x on the gate when inlined per histogram row), then pure
+      // integer term arithmetic
+      .transform { hist =>
+        val pairs = hist.select("n", "nc").distinct()
+          .withColumn("lmicro",
+            graft.functions.PortableMath.log2Micro(col("n"), col("nc")))
+        hist.join(broadcast(pairs), Seq("n", "nc"))
+      }
       .select(col("doc_id"), col("lang"), col("n"),
         graft.functions.PortableMath.longDiv(
           col("nc").cast("long") * col("lmicro") * lit(1000000L),
