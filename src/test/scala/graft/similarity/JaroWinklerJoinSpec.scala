@@ -44,6 +44,31 @@ class JaroWinklerJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("power-of-two lengths: bucket boundaries land exactly on 2^k and " +
+      "no pair is dropped") {
+    // at threshold 0.9, r = rB = 0.5 exactly: a prober of length L scans
+    // buckets [floor(log2(L/2)), floor(log2(2L))] — BOTH endpoints are
+    // exact powers of two for these lengths, the regime where a libm
+    // floor(log2()) can flip by one ulp and silently drop a candidate
+    // (the resident side sits exactly on a bucket edge). Brute-force
+    // equality pins completeness through the exact-integer bucketing.
+    val p2 = Seq(
+      1L -> "ab", 2L -> "abcd", 3L -> "abcdefgh",
+      4L -> "abcdefghijklmnop", 5L -> "abcdefghijklmnopqrstuvwxyzabcdef",
+      6L -> "abce", 7L -> "abcdefgi", 8L -> "abcdefghijklmnoq",
+      9L -> "abcdefghijklmnopqrstuvwxyzabcdeg")
+    val want = (for {
+      (ia, sa) <- p2; (ib, sb) <- p2
+      if ia < ib
+      s = jw(sa, sb) if s >= 0.9
+    } yield (ia, ib, s)).toSet
+    assert(want.nonEmpty, "fixture must produce matches at 0.9")
+    val got = JaroWinklerJoin.selfJoin(p2.toDF("id", "name"),
+        "id", "name", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("cross join equals brute force, including identical cross-side strings") {
     val left = names.filter(_._1 % 2 == 1).toDF("id", "name")
     val right = names.filter(_._1 % 2 == 0).toDF("id", "name")
