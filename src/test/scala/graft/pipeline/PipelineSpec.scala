@@ -138,6 +138,34 @@ class PipelineSpec extends AnyFunSuite {
       s"scan read non-matching partitions: ${files.mkString(", ")}")
   }
 
+  test("dim-filtered join triggers DYNAMIC partition pruning on the fact scan") {
+    // the flagship 100 TB star-join read path: the region predicate
+    // lives on the DIM side, so static pruning can't touch the fact
+    // scan — the runtime dynamicpruning subquery (fed by the broadcast)
+    // must prune the (region=...) directories instead
+    val storeDir = tmpDir("store_dpp")
+    val store = new Store(spark, storeDir.toString)
+    import spark.implicits._
+    val fact = (1 to 300).map(i =>
+      (s"ID$i", Seq("AL", "EP", "WP")(i % 3), 2020 + (i % 2), i.toDouble))
+      .toDF("nhc_id", "region", "season", "v")
+    store.write("fact_dpp", fact)
+    // the dim must be a FILE-backed scan: a LocalRelation's filter
+    // constant-folds away before the PartitionPruning rule looks for a
+    // selective predicate over a scan, and no DPP is ever inserted
+    Seq(("AL", "Atlantic"), ("EP", "EastPac"), ("WP", "WestPac"))
+      .toDF("region", "basin")
+      .write.mode("overwrite").parquet(s"$storeDir/dim_dpp")
+    val dim = spark.read.parquet(s"$storeDir/dim_dpp")
+    val q = spark.read.parquet(store.path("fact_dpp"))
+      .join(broadcast(dim.filter(col("basin") === "Atlantic")), "region")
+      .agg(org.apache.spark.sql.functions.sum("v"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+  }
+
   test("maintenance: archive stale storms, expire old invests with cascade") {
     val landing = tmpDir("landing_m")
     val storeDir = tmpDir("store_m")
