@@ -279,6 +279,96 @@ object StreamOps {
     spark.read.parquet(out).orderBy("click_id", "purchase_id")
   }
 
+  /** STREAM-STREAM LEFT OUTER join — the semantic the inner join above
+    * cannot express: a click with NO purchase inside its 7-day window
+    * must still emit (with a null purchase), but only once the
+    * watermark PROVES no matching purchase can ever arrive — the
+    * abandoned-cart / unattributed-conversion shape. State on both
+    * sides is bounded by delay + range, and the null-extended rows are
+    * the watermark's certificates.
+    *
+    * Determinism protocol (the q_stream_session_append playbook): the
+    * delay exceeds the fixture's whole event-time span, so during the
+    * data run nothing drops and no null-extended row can emit (matched
+    * pairs emit as they join — exact either way); a sentinel run
+    * advances BOTH streams' watermarks (the join watermark is their
+    * min) past every click's window-close, flushing every unmatched
+    * click exactly once; a final LATE click inside the real range must
+    * be dropped by the advanced watermark. Sentinels use distinct
+    * users and a 100-day separation so they can never match each
+    * other, and their own rows never finalize (nothing follows them).
+    * The differential pins all three: every unmatched click present
+    * with a null purchase, no user -1/-3 row, no user -2 row. */
+  private val ssojCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  def streamStreamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val out = ssojCache.synchronized {
+      ssojCache.getOrElseUpdate((spark, dir), {
+        val base = SourceSinkOps.tmp("ssoj", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        val ev = graft.Tables.load(spark, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("event_type"))
+        val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+        val (lo, hi) = (mm.getTimestamp(0), mm.getTimestamp(1))
+        val spanDays = (hi.getTime - lo.getTime) / 86400000L + 2
+        val delay = s"$spanDays days"
+        val clicksDir = s"$base/clicks"; val buysDir = s"$base/buys"
+        def clicksOf(df: DataFrame) = df.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("c_ts"))
+        def buysOf(df: DataFrame) = df.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("b_user"), col("ts").as("p_ts"))
+        clicksOf(ev).coalesce(1).write.parquet(clicksDir)
+        buysOf(ev).coalesce(1).write.parquet(buysDir)
+        def run(): Unit = {
+          val cs = spark.readStream.schema(clicksOf(ev).schema)
+            .parquet(clicksDir).withWatermark("c_ts", delay)
+          val bs = spark.readStream.schema(buysOf(ev).schema)
+            .parquet(buysDir).withWatermark("p_ts", delay)
+          cs.join(bs,
+              col("user_id") === col("b_user")
+                && col("p_ts") >= col("c_ts")
+                && col("p_ts") <= col("c_ts") + expr("interval 7 days"),
+              "leftOuter")
+            .select("click_id", "user_id", "purchase_id")
+            .writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+        run() // data run: matches emit; no null-extension can finalize
+        import spark.implicits._
+        val sentC = new java.sql.Timestamp(
+          hi.getTime + (spanDays + 8) * 86400000L)
+        val sentP = new java.sql.Timestamp(sentC.getTime + 100 * 86400000L)
+        Seq((-1L, -1L, sentC)).toDF("click_id", "user_id", "c_ts")
+          .coalesce(1).write.mode("append").parquet(clicksDir)
+        Seq((-3L, -3L, sentP)).toDF("purchase_id", "b_user", "p_ts")
+          .coalesce(1).write.mode("append").parquet(buysDir)
+        run() // flush run: min-watermark passes every click's window
+        Seq((-2L, -2L, new java.sql.Timestamp(
+            (lo.getTime + hi.getTime) / 2)))
+          .toDF("click_id", "user_id", "c_ts")
+          .coalesce(1).write.mode("append").parquet(clicksDir)
+        run() // late run: the -2 click is behind the watermark — dropped
+        s"$base/out"
+      })
+    }
+    spark.read.parquet(out).orderBy("click_id", "purchase_id")
+  }
+
+  private val streamStreamJoinOuterOracle: String =
+    """SELECT c.event_id AS click_id, c.user_id, b.event_id AS purchase_id
+      |FROM events c LEFT JOIN events b ON b.user_id = c.user_id
+      |  AND b.event_type = 'purchase'
+      |  AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 7 DAY
+      |WHERE c.event_type = 'click'
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   /** Streaming SESSION windows ([[graft.streaming.StreamingIngest
     * .sessionStream]], the built-in `session_window` gap-merge): events
     * arrive as two mtime-ordered micro-batches split by event_id parity
@@ -479,5 +569,7 @@ object StreamOps {
       Some(streamSessionOracle), "stream/session-window"),
     QuerySpec("q_stream_session_append", streamSessionAppend,
       Some(streamSessionAppendOracle), "stream/session-append-watermark"),
+    QuerySpec("q_stream_join_outer", streamStreamJoinOuter,
+      Some(streamStreamJoinOuterOracle), "stream/stream-stream-outer-join"),
   )
 }
