@@ -86,6 +86,57 @@ class StreamingSessionSpec extends AnyFunSuite {
     graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
   }
 
+  test("outer stream-join protocol: no null-extension before the flush, " +
+      "exactly one after, late click dropped") {
+    val base = java.nio.file.Files.createTempDirectory("ssoj").toString
+    val clicksDir = s"$base/clicks"; val buysDir = s"$base/buys"
+    def land(dir: String, cols: (String, String, String),
+        rows: Seq[(Long, Long, Timestamp)]): Unit =
+      rows.toDF(cols._1, cols._2, cols._3)
+        .coalesce(1).write.mode("append").parquet(dir)
+    val cCols = ("click_id", "user_id", "c_ts")
+    val bCols = ("purchase_id", "b_user", "p_ts")
+    def run(): Unit = {
+      val cs = spark.readStream
+        .schema("click_id LONG, user_id LONG, c_ts TIMESTAMP")
+        .parquet(clicksDir).withWatermark("c_ts", "30 days")
+      val bs = spark.readStream
+        .schema("purchase_id LONG, b_user LONG, p_ts TIMESTAMP")
+        .parquet(buysDir).withWatermark("p_ts", "30 days")
+      cs.join(bs, col("user_id") === col("b_user")
+            && col("p_ts") >= col("c_ts")
+            && col("p_ts") <= col("c_ts") + expr("interval 7 days"),
+          "leftOuter")
+        .select("click_id", "user_id", "purchase_id")
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    def out() = try spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.toString.toLong)))
+      .toSeq catch { case _: Throwable => Seq.empty }
+    // user 10 clicks twice: one click matched, one not; span 1 day
+    land(clicksDir, cCols, Seq((1L, 10L, ts("2024-01-01 00:00:00")),
+      (2L, 10L, ts("2024-01-02 00:00:00"))))
+    land(buysDir, bCols, Seq((50L, 10L, ts("2024-01-01 12:00:00"))))
+    run()
+    val first = out()
+    assert(first.toSet == Set((1L, Some(50L))),
+      s"only the matched pair may emit before the flush: $first")
+    // sentinel flush on both streams (distinct users, 100-day gap)
+    land(clicksDir, cCols, Seq((-1L, -1L, ts("2024-03-15 00:00:00"))))
+    land(buysDir, bCols, Seq((-3L, -3L, ts("2024-06-25 00:00:00"))))
+    run()
+    // late click inside the real range — must be dropped
+    land(clicksDir, cCols, Seq((-2L, -2L, ts("2024-01-01 06:00:00"))))
+    run()
+    val fin = out()
+    assert(fin.toSet == Set((1L, Some(50L)), (2L, None)), s"got $fin")
+    assert(fin.size == 2, s"duplicate emissions: $fin")
+    graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+  }
+
   test("streaming dedup drops repeated payloads across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
