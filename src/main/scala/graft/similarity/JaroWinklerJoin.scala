@@ -17,8 +17,11 @@ import graft.functions.expressions.JaroWinkler.jaroWinklerNative
   *
   * Exact threshold semantics: every pair with
   * `round(jaro_winkler(a, b), 6) >= threshold` is returned — pruning
-  * never drops a qualifying pair. The sound pruning chain (θ =
-  * threshold, jw the classic Winkler form with boost scale p = 0.1 over
+  * never drops a qualifying pair. Because the accept rounds to 6
+  * digits, raw scores down to threshold − 5e-7 qualify; the pruning
+  * chain is derived from that slackened θ so it is sound under the
+  * rounded accept, not just the raw one. The chain (θ = threshold −
+  * 5e-7, jw the classic Winkler form with boost scale p = 0.1 over
   * at most l = 4 prefix chars, boost applied only when jaro > 0.7):
   *
   *  1. jw ≤ 0.6·jaro + 0.4 when the boost applies (l ≤ 4, p = 0.1),
@@ -201,7 +204,12 @@ object JaroWinklerJoin {
   private def verifyAgainstResidents(a: DataFrame, residentIdx: DataFrame,
       threshold: Double, extra: Column, outL: String,
       outR: String): DataFrame = {
-    val j0 = (threshold - 0.4) / 0.6
+    // Accept is round(jw, 6) >= threshold, so raw scores down to
+    // threshold − 5e-7 qualify (they round up to θ). Every pruning
+    // bound below derives from that slackened θ — otherwise a pair
+    // whose raw jw sits a hair under θ could clear the rounded accept
+    // yet be dropped by a band computed from the unrounded θ.
+    val j0 = (threshold - 5e-7 - 0.4) / 0.6
     val r = math.max(3 * j0 - 2, 0.0)
     // bucket fan-out floor: at r = 0 (θ ≤ 0.8) any length ratio is
     // admissible; 2^-16 bounds the replication at +16 buckets while
@@ -231,8 +239,12 @@ object JaroWinklerJoin {
     // condition order is the cost ladder: equi-keys, band arithmetic,
     // the ~50 ns count-bound (kills 93.5% of banded pairs on the sf0.1
     // fixture — see CharSig), and only then the ~20× costlier jw kernel
-    val mReq = ceil(lit(3 * j0 - 1) * col("a.len") * col("b.len") /
-      (col("a.len") + col("b.len"))).cast("int")
+    // ceil of the double product can land one above the true integer
+    // bound when the exact value is an integer and the product rounds
+    // a ulp high; shave a relative epsilon before ceil (lens ≤ ~1e5
+    // keeps the slack under 1e-6 chars — loosening, hence sound)
+    val mReq = ceil((lit(3 * j0 - 1) * col("a.len") * col("b.len") /
+      (col("a.len") + col("b.len"))) * (1.0 - 1e-12) - 1e-9).cast("int")
     val jw = jwRounded(col("a.str"), col("b.str"))
     prober2.as("a").join(resident2.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.salt") === col("b.salt") &&
