@@ -150,19 +150,61 @@ object PageRank {
     resume(e0.unionByName(d), Some(r0), sweeps)
   }
 
-  /** Accept a delta: persist the merged edge set and updated ranks under
-    * the batch tag (the append half of the index lifecycle). */
+  /** Accept a delta: persist the merged edge set and updated ranks, with
+    * a crash-safe REPLAY contract matching the other persisted indexes.
+    * Unlike their append-only batch publishes, this append
+    * read-modify-writes the base tables — and the rank sweep is NOT
+    * idempotent (a warm start from already-updated ranks diverges from a
+    * clean run), so the pre-delta rank vector is snapshotted under the
+    * batch tag before the base is touched:
+    *
+    *   1. commit marker present  → no-op (batch fully applied); retire
+    *      any leftover snapshot
+    *   2. no intent marker       → base is pristine: snapshot `_ranks`
+    *      under the tag (staged publish), THEN write the intent marker
+    *   3. intent marker present  → a prior attempt may have mutated the
+    *      base; the snapshot, not `_ranks`, seeds the sweep
+    *   4. sweep from the snapshot over stored ∪ delta edges (the edge
+    *      union is idempotent — [[resume]] dedups), overwrite `_edges` /
+    *      `_ranks`, commit-mark, then retire snapshot + intent.
+    *
+    * A re-driven batch with the SAME tag therefore reproduces the
+    * clean-run output from any crash point. */
   def appendDelta(store: graft.pipeline.Store, name: String,
       delta: DataFrame, batchTag: String, sweeps: Int = 2): Unit = {
-    val updated = updateWithDelta(store, name, delta, sweeps)
-      .localCheckpoint()
+    import graft.pipeline.FsUtils
+    val preDir = new java.io.File(store.path(s"${name}_ranks_pre"))
+    val intent = new java.io.File(preDir, s"_intent_$batchTag")
+    if (graft.dedup.IndexCommits.committedTags(store, name)
+        .contains(batchTag)) {
+      intent.delete()
+      FsUtils.clearBatch(preDir.getPath, batchTag)
+      return
+    }
+    graft.dedup.IndexCommits.validate(store, name, Seq("_edges", "_ranks"))
+    val spark = delta.sparkSession
+    if (!intent.exists()) {
+      FsUtils.publishBatch(store.read(s"${name}_ranks", ranksSchema),
+        preDir.getPath, batchTag)
+      java.nio.file.Files.write(intent.toPath, Array.empty[Byte])
+    }
+    val snapFiles = Option(preDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"batch_${batchTag}_"))
+      .map(_.getPath).toSeq
+    val r0 =
+      if (snapFiles.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ranksSchema)
+      else spark.read.schema(ranksSchema).parquet(snapFiles: _*)
     val d = delta.toDF("src", "dst")
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-    val e0 = store.read(s"${name}_edges", edgesSchema)
-    store.write(s"${name}_edges", e0.unionByName(d).distinct()
-      .localCheckpoint())
+    val merged = store.read(s"${name}_edges", edgesSchema)
+      .unionByName(d).distinct().localCheckpoint()
+    val updated = resume(merged, Some(r0), sweeps).localCheckpoint()
+    store.write(s"${name}_edges", merged)
     store.write(s"${name}_ranks", updated)
     graft.dedup.IndexCommits.mark(store, name, batchTag)
+    intent.delete()
+    FsUtils.clearBatch(preDir.getPath, batchTag)
   }
 }

@@ -75,4 +75,66 @@ class PageRankSpec extends AnyFunSuite {
   test("empty graph returns empty") {
     assert(ranks(Seq.empty, 3).isEmpty)
   }
+
+  // ---- persisted-index append replay contract (the one RMW append in
+  // the index family: the rank sweep is not idempotent, so replay
+  // soundness rests on the pre-delta snapshot + intent/commit markers)
+
+  private def freshStore(tag: String): graft.pipeline.Store = {
+    val base = s"/tmp/graft-test-prlc-$tag"
+    graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+    new graft.pipeline.Store(spark, base)
+  }
+
+  private def storedRanks(st: graft.pipeline.Store): Map[Long, Long] =
+    spark.read.parquet(st.path("pr_ranks")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  private val baseEdges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+  private val deltaEdges = Seq((4L, 1L), (1L, 4L))
+
+  test("appendDelta: replay after commit is a no-op") {
+    val st = freshStore("noop")
+    PageRank.buildIndex(st, "pr", baseEdges.toDF("src", "dst"), 3)
+    val delta = deltaEdges.toDF("src", "dst")
+    PageRank.appendDelta(st, "pr", delta, "b1", sweeps = 2)
+    val once = storedRanks(st)
+    PageRank.appendDelta(st, "pr", delta, "b1", sweeps = 2)
+    assert(storedRanks(st) == once) // second drive must not re-sweep
+  }
+
+  test("appendDelta: replay of a crash-after-ranks-write reproduces " +
+      "the clean run") {
+    // expected: the clean single-run outcome on a pristine store
+    val clean = freshStore("clean")
+    PageRank.buildIndex(clean, "pr", baseEdges.toDF("src", "dst"), 3)
+    val delta = deltaEdges.toDF("src", "dst")
+    PageRank.appendDelta(clean, "pr", delta, "b1", sweeps = 2)
+    val expected = storedRanks(clean)
+
+    // construct the worst crash point by hand: snapshot + intent
+    // written, base edges AND ranks already mutated, commit marker
+    // absent (the state the ADVICE scenario warm-started from)
+    val st = freshStore("crash")
+    PageRank.buildIndex(st, "pr", baseEdges.toDF("src", "dst"), 3)
+    val upd = PageRank.updateWithDelta(st, "pr", delta, sweeps = 2)
+      .localCheckpoint()
+    val preDir = new java.io.File(st.path("pr_ranks_pre"))
+    graft.pipeline.FsUtils.publishBatch(
+      spark.read.parquet(st.path("pr_ranks")), preDir.getPath, "b1")
+    java.nio.file.Files.write(
+      new java.io.File(preDir, "_intent_b1").toPath, Array.empty[Byte])
+    val merged = spark.read.parquet(st.path("pr_edges"))
+      .unionByName(delta).distinct().localCheckpoint()
+    st.write("pr_edges", merged)
+    st.write("pr_ranks", upd)
+
+    // re-drive the SAME batch: must seed from the snapshot, not the
+    // mutated ranks, and land exactly on the clean-run vector
+    PageRank.appendDelta(st, "pr", delta, "b1", sweeps = 2)
+    assert(storedRanks(st) == expected)
+    // and the batch is now committed + snapshot retired
+    assert(graft.dedup.IndexCommits.committedTags(st, "pr").contains("b1"))
+    assert(!new java.io.File(preDir, "_intent_b1").exists())
+  }
 }
