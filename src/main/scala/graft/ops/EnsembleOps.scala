@@ -288,6 +288,146 @@ object EnsembleOps {
        |  ON p.model = c.model AND p.init = c.init AND p.ens = c.ens
        |  AND p.track_no = c.track_no""".stripMargin
 
+  /** S-source — MAT v5 syntracks intake (tcdb/etl/syntracks.py:203-269):
+    * the reference's one remaining source format. The 240-track ensemble
+    * fixture is serialized into per-init MATLAB v5 files (struct array
+    * `tracks` with fields ens/stormName/annual_id/hour/lat/lon/wind/mslp,
+    * alternating miCOMPRESSED and raw — both reader paths exercised every
+    * run), read back through Spark's binaryFile source, and normalized
+    * exactly as toSyntrackObjects does: the ens field decodes as −1→DET
+    * (member num_ens=10), 0→CTRL (member 1), k→ENS (member k+1); valid =
+    * init + hour; a non-string stormName becomes ""; NaN steps surface
+    * as NULL lat. The DuckDB oracle recomputes every row arithmetically
+    * from `customer`, so the whole binary codec (header, tags, struct
+    * recursion, UTF-16 chars, zlib, IEEE doubles incl. NaN) sits inside
+    * the differential. All doubles are integer-derived quarters/halves —
+    * exactly representable, so no rounding enters the diff (the
+    * PortableMath conventions; the reference's round-to-3 is an identity
+    * on this grid and is deliberately omitted).
+    *
+    * Scale shape: a syntracks archive is MANY SMALL FILES (one per model
+    * init); the binaryFile source gives one task per file and the decode
+    * is per-file imperative binary parsing — the documented last-resort
+    * case for row-level code, with nothing corpus-sized on the driver
+    * (the fixture WRITER collects, but over the ≤240-track fixture only;
+    * real intake never collects). */
+  def matIntake(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = SourceSinkOps.tmp("mat", dir)
+    writeMatFixture(spark, dir, path)
+    val numEns = 10L // the model-settings constant (settings.num_ens)
+    spark.read.format("binaryFile").load(s"$path/*.mat")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val epoch = "gefs_(\\d+)\\.mat".r.findFirstMatchIn(p)
+          .getOrElse(throw new IllegalArgumentException(
+            s"unrecognized syntracks file name: $p")).group(1).toLong
+        val init = java.time.LocalDateTime
+          .ofEpochSecond(epoch, 0, java.time.ZoneOffset.UTC)
+        def nums(el: Map[String, graft.parse.MatFile.Value],
+            f: String): Array[Double] = el(f) match {
+          case graft.parse.MatFile.Num(_, d) => d
+          case v => throw new IllegalArgumentException(s"$f: $v")
+        }
+        graft.parse.MatFile.read(bytes)
+          .collect { case (_, s: graft.parse.MatFile.Struct) => s }
+          .flatMap(_.elements.flatMap { el =>
+            val ens = nums(el, "ens")(0).toLong
+            val (ensName, ensNum) =
+              if (ens == -1L) ("DET", numEns)
+              else if (ens == 0L) ("CTRL", 1L)
+              else ("ENS", ens + 1)
+            val storm = el.get("stormName") match {
+              case Some(graft.parse.MatFile.Str(s)) => s
+              case _ => "" // non-string stormName → "" (syntracks.py:240)
+            }
+            val aid = nums(el, "annual_id")(0).toLong
+            val hour = nums(el, "hour")
+            val lat = nums(el, "lat")
+            val lon = nums(el, "lon")
+            val wind = nums(el, "wind")
+            val mslp = nums(el, "mslp")
+            hour.indices.map { i =>
+              val h = hour(i).toLong
+              MatTrackRow(init, ensNum, ensName, storm, aid, h,
+                init.plusHours(h),
+                if (lat(i).isNaN) null else Double.box(lat(i)),
+                lon(i), wind(i), mslp(i))
+            }
+          })
+      }.toDF()
+  }
+
+  /** Group the 240-track fixture into per-init struct arrays and write
+    * them as .mat files (even inits compressed, odd raw). Bounded by the
+    * fixture's %240 collapse at every sf. */
+  private def writeMatFixture(spark: SparkSession, dir: String,
+      path: String): Unit = {
+    import graft.parse.MatFile
+    val rows = trackPoints(spark, dir)
+      .select(col("init").cast("long").as("epoch"), col("ens"),
+        col("track_no"), col("annual_id"), col("hour"), col("lat"),
+        col("lon"), col("wind").cast("double").as("wind"),
+        col("storm_name"))
+      .collect()
+    val dirF = new java.io.File(path)
+    graft.pipeline.FsUtils.deleteRecursively(dirF)
+    dirF.mkdirs()
+    val fields = Seq("ens", "stormName", "annual_id", "hour", "lat",
+      "lon", "wind", "mslp")
+    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .zipWithIndex.foreach { case ((epoch, rs), fi) =>
+        val tracks = rs.groupBy(r => (r.getLong(1), r.getLong(2))).toSeq
+          .sortBy(_._1).map { case ((ens, _), steps) =>
+            val s = steps.sortBy(_.getLong(4))
+            def arr(f: Int => Double): MatFile.Num =
+              MatFile.Num(Seq(1, s.length), s.indices.map(f).toArray)
+            Map[String, MatFile.Value](
+              "ens" -> MatFile.Num(Seq(1, 1), Array((ens - 2).toDouble)),
+              "stormName" -> MatFile.Str(
+                if (s.head.isNullAt(8)) "" else s.head.getString(8)),
+              "annual_id" -> MatFile.Num(Seq(1, 1),
+                Array(s.head.getLong(3).toDouble)),
+              "hour" -> arr(i => s(i).getLong(4).toDouble),
+              "lat" -> arr(i =>
+                if (s(i).isNullAt(5)) Double.NaN else s(i).getDouble(5)),
+              "lon" -> arr(i => s(i).getDouble(6)),
+              "wind" -> arr(i => s(i).getDouble(7)),
+              "mslp" -> arr(i => 1010.0 - s(i).getDouble(7) / 2.0))
+          }
+        MatFile.writeFile(new java.io.File(dirF, s"gefs_$epoch.mat"),
+          Seq("tracks" -> MatFile.Struct(fields, tracks)),
+          compress = fi % 2 == 0)
+      }
+  }
+
+  private val matIntakeOracle =
+    """WITH tr AS (SELECT DISTINCT c_custkey % 240 AS t FROM customer),
+      |steps AS (SELECT t, unnest(range(0, t % 9 + 1)) AS s FROM tr),
+      |pts AS (SELECT t, s, (t // 4) % 10 + 1 AS ens,
+      |  (t % 3) * 6 + 6 * s AS hour FROM steps)
+      |SELECT
+      |  TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+      |    CAST(1590969600 + (t % 4) * 21600 AS INT) AS init,
+      |  CAST(CASE WHEN ens = 1 THEN 10 WHEN ens = 2 THEN 1
+      |       ELSE ens - 1 END AS BIGINT) AS ens_num,
+      |  CASE WHEN ens = 1 THEN 'DET' WHEN ens = 2 THEN 'CTRL'
+      |       ELSE 'ENS' END AS ens_name,
+      |  CASE WHEN t % 7 = 3 THEN 'PRE_' || CAST(t AS VARCHAR)
+      |       ELSE '' END AS storm_name,
+      |  CAST(CASE WHEN t % 7 = 3 THEN t % 3 + 1 ELSE 0 END AS BIGINT)
+      |    AS annual_id,
+      |  CAST(hour AS BIGINT) AS hour,
+      |  TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+      |    CAST(1590969600 + (t % 4) * 21600 + hour * 3600 AS INT) AS valid,
+      |  CASE WHEN (t + s) % 17 = 0 THEN NULL
+      |       ELSE (t % 40) - 20 + s / 4.0 END AS lat,
+      |  ((t * 11) % 60) + 70 + s / 2.0 AS lon,
+      |  CAST(20 + (t * 3 + s * 7) % 80 AS DOUBLE) AS wind,
+      |  1010 - (20 + (t * 3 + s * 7) % 80) / 2.0 AS mslp
+      |FROM pts""".stripMargin
+
   private val ensWideRoundtripOracle =
     s"""WITH tr AS (SELECT DISTINCT c_custkey % 240 AS t FROM customer),
        |steps AS (SELECT t, unnest(range(0, t % 9 + 1)) AS s FROM tr
@@ -315,5 +455,15 @@ object EnsembleOps {
     QuerySpec("q_syntracks_e2e", syntracksE2e,
       Some(syntracksE2eOracle), "J7/A9/W5/S8 composed"),
     QuerySpec("q_ts_interpolate", tsInterpolate,
-      Some(tsInterpolateOracle), "W5-gap-fill"))
+      Some(tsInterpolateOracle), "W5-gap-fill"),
+    QuerySpec("q_mat_intake", matIntake, Some(matIntakeOracle),
+      "S-source: MAT v5 syntracks intake (tcdb/etl/syntracks.py:203-269)"))
 }
+
+/** One normalized syntracks step row ([[EnsembleOps.matIntake]]);
+  * LocalDateTime fields encode as TIMESTAMP_NTZ, nullable lat as a
+  * boxed Double. */
+final case class MatTrackRow(init: java.time.LocalDateTime,
+    ens_num: Long, ens_name: String, storm_name: String, annual_id: Long,
+    hour: Long, valid: java.time.LocalDateTime, lat: java.lang.Double,
+    lon: Double, wind: Double, mslp: Double)

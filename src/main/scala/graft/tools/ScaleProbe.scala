@@ -1,8 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-
-import graft.{Session, SparkEntry, Tables}
+import graft.{Session, SparkEntry}
 
 /** Scale-up probe: replicate sf0.1 `factor`x with re-keyed unique ids
   * (~5M lineitem rows at 8x), run representative queries at both scales,
@@ -15,36 +13,7 @@ object ScaleProbe {
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/sfx$factor"
     val spark = Session.local()
-    import spark.implicits._
-
-    val keyCols = Map(
-      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
-      "orders" -> Seq("o_orderkey", "o_custkey"),
-      "customer" -> Seq("c_custkey"),
-      "supplier" -> Seq("s_suppkey"),
-      "part" -> Seq("p_partkey"),
-      "events" -> Seq("event_id", "user_id"),
-      "documents" -> Seq("doc_id"),
-      "embeddings" -> Seq("vec_id"))
-
-    if (!new java.io.File(dst).exists()) {
-      new java.io.File(dst).mkdirs()
-      Tables.all.foreach { t =>
-        val df = Tables.load(spark, src, t)
-        val out = keyCols.get(t) match {
-          case None => df // tiny dims unchanged
-          case Some(keys) =>
-            val copies = spark.range(factor).toDF("__i")
-            val rep = df.crossJoin(copies)
-            val shifted = keys.foldLeft(rep)((d, k) =>
-              d.withColumn(k, col(k) + col("__i") * 10000000L))
-              .drop("__i")
-            shifted
-        }
-        out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-        ()
-      }
-    }
+    Replicate.build(spark, src, dst, factor)
 
     val defaultProbes = Seq("q_agg_pricing_summary", "q_join_5way",
       "q_window_running", "q_join_asof", "q_agg_count_distinct",
