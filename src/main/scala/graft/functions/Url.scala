@@ -33,10 +33,12 @@ object Url {
       .otherwise(h0)
   }
 
-  /** Registered domain: the last two dot-labels of the canonical host
-    * ("cdn.en-news.com" -> "en-news.com"). Public-suffix-list nuances
-    * (co.uk) are out of scope for the synthetic corpus; the extraction
-    * point is the operator seam where a PSL table would broadcast-join. */
+  /** Registered domain, last-two-labels HEURISTIC ("cdn.en-news.com" ->
+    * "en-news.com"). This is the PSL's implicit `*` fallback rule only —
+    * it mis-buckets second-level-registration ccTLDs (`bbc.co.uk` ->
+    * "co.uk"). Domain bucketing at corpus scale should go through
+    * [[PublicSuffix.withRegisteredDomain]], the broadcast-PSL seam,
+    * which uses this heuristic exactly for hosts no rule covers. */
   def registeredDomain(url: Column): Column =
     regexp_extract(canonicalHost(url), "([^.:]+\\.[^.:]+)$", 1)
 

@@ -24,11 +24,15 @@ import graft.functions.Url
   */
 object WebOps {
 
-  /** The messy-URL fixture, shared by both gates (Spark side). */
+  /** The messy-URL fixture, shared by both gates (Spark side). Variant 4
+    * is a ccTLD host on a second-level-registration suffix (…co.uk) so
+    * the PSL path in [[domainStats]] is exercised, not just the .com
+    * fallback. */
   private def withRawUrl(docs: DataFrame): DataFrame = {
     val base = concat(col("lang"), lit("-news.com"))
+    val ccBase = concat(col("lang"), lit("-press.co.uk"))
     val pathId = (col("doc_id") % 30).cast("long")
-    val variant = expr("(doc_id div 30) % 4") // integer division, both engines
+    val variant = expr("(doc_id div 30) % 5") // integer division, both engines
     val path = concat(lit("/articles/"), pathId)
     val url = when(variant === 0, concat(lit("https://"), base, path))
       .when(variant === 1,
@@ -36,21 +40,24 @@ object WebOps {
       .when(variant === 2,
         concat(lit("https://www."), base, path,
           lit("?id="), pathId, lit("&utm_source=feed")))
-      .otherwise(
+      .when(variant === 3,
         concat(lit("https://cdn."), base, lit(":443"), path, lit("#frag")))
+      .otherwise(concat(lit("https://news."), ccBase, path))
     docs.withColumn("url", url)
   }
 
   /** The same fixture in DuckDB SQL. */
   private val rawUrlSql: String =
-    """CASE CAST((doc_id // 30) % 4 AS BIGINT)
+    """CASE CAST((doc_id // 30) % 5 AS BIGINT)
       |  WHEN 0 THEN 'https://' || lang || '-news.com/articles/' || (doc_id % 30)
       |  WHEN 1 THEN 'HTTPS://WWW.' || upper(lang || '-news.com') ||
       |    '/articles/' || (doc_id % 30) || '/'
       |  WHEN 2 THEN 'https://www.' || lang || '-news.com/articles/' ||
       |    (doc_id % 30) || '?id=' || (doc_id % 30) || '&utm_source=feed'
-      |  ELSE 'https://cdn.' || lang || '-news.com:443/articles/' ||
+      |  WHEN 3 THEN 'https://cdn.' || lang || '-news.com:443/articles/' ||
       |    (doc_id % 30) || '#frag'
+      |  ELSE 'https://news.' || lang || '-press.co.uk/articles/' ||
+      |    (doc_id % 30)
       |END""".stripMargin
 
   /** URL dedup: canonicalize, then keep-first per canonical URL. The
@@ -95,19 +102,27 @@ object WebOps {
        |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
 
   /** Per-registered-domain corpus stats: docs, distinct hosts (apex /
-    * www / cdn variants counted canonically), total chars. */
-  def domainStats(spark: SparkSession, dir: String): DataFrame =
-    withRawUrl(load(spark, dir, "documents"))
-      .select(Url.registeredDomain(col("url")).as("domain"),
-        Url.canonicalHost(col("url")).as("host"),
+    * www / cdn variants counted canonically), total chars. Bucketing
+    * goes through the broadcast public-suffix seam
+    * ([[graft.functions.PublicSuffix]]), so `news.en-press.co.uk`
+    * buckets as `en-press.co.uk`, not `co.uk` — the difference between
+    * per-site and per-TLD stats on real crawl data. */
+  def domainStats(spark: SparkSession, dir: String): DataFrame = {
+    val hosts = withRawUrl(load(spark, dir, "documents"))
+      .select(Url.canonicalHost(col("url")).as("host"),
         col("doc_id"), col("n_chars"))
+    graft.functions.PublicSuffix
+      .withRegisteredDomain(hosts, "host", "domain")
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("host")).as("n_hosts"),
         sum("n_chars").as("total_chars"))
       .orderBy("domain")
+  }
 
-  private val domainStatsOracle: String =
+  private val domainStatsOracle: String = {
+    val pslList = graft.functions.PublicSuffix.builtin
+      .map(s => s"'$s'").mkString(", ")
     s"""WITH u AS (SELECT doc_id, n_chars, $rawUrlSql AS url FROM documents),
        |h AS (SELECT doc_id, n_chars,
        |  CASE WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://',
@@ -120,12 +135,32 @@ object WebOps {
        |      lower(regexp_extract(url,
        |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
        |      '^www\\.', '') END AS host
-       |  FROM u)
-       |SELECT regexp_extract(host, '([^.:]+\\.[^.:]+)$$', 1) AS domain,
+       |  FROM u),
+       |psl AS (SELECT unnest([$pslList]) AS suffix),
+       |lab AS (SELECT doc_id, n_chars, host,
+       |  string_split(host, '.') AS labs,
+       |  len(string_split(host, '.')) AS n FROM h),
+       |m AS (SELECT doc_id, n_chars, host, labs, n,
+       |  CASE
+       |    WHEN array_to_string(labs[greatest(1, n - 3):n], '.')
+       |      IN (SELECT suffix FROM psl) THEN 4
+       |    WHEN array_to_string(labs[greatest(1, n - 2):n], '.')
+       |      IN (SELECT suffix FROM psl) THEN 3
+       |    WHEN array_to_string(labs[greatest(1, n - 1):n], '.')
+       |      IN (SELECT suffix FROM psl) THEN 2
+       |    WHEN array_to_string(labs[greatest(1, n):n], '.')
+       |      IN (SELECT suffix FROM psl) THEN 1
+       |    ELSE NULL END AS k
+       |  FROM lab)
+       |SELECT CASE WHEN k IS NULL
+       |    THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+       |    ELSE array_to_string(labs[greatest(1, n - k):n], '.') END
+       |  AS domain,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-       |FROM h GROUP BY 1 ORDER BY domain""".stripMargin
+       |FROM m GROUP BY 1 ORDER BY domain""".stripMargin
+  }
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_url_dedup", urlDedup, Some(urlDedupOracle),
