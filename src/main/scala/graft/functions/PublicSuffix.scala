@@ -10,28 +10,40 @@ import org.apache.spark.sql.functions._
   * which at crawl scale both corrupts per-domain quality stats and
   * defeats domain capping exactly where it matters most.
   *
-  * PSL semantics (publicsuffix.org algorithm, plain rules): the
-  * registered domain is the matched public suffix plus ONE more label,
-  * with the LONGEST matching suffix winning ("www.bbc.co.uk": "uk" and
-  * "co.uk" both match; "co.uk" wins → "bbc.co.uk"). Wildcard and
-  * exception rules (`*.ck`, `!www.ck`) are out of scope for the
-  * builtin subset; hosts matching no rule fall back to the last-two-
-  * labels heuristic (the PSL's implicit `*` catch-all rule), and a host
-  * that IS a public suffix returns itself.
+  * Full PSL semantics (publicsuffix.org algorithm):
+  *  - plain rule `co.uk`: matches hosts ending in those labels; the
+  *    public suffix is the rule itself.
+  *  - wildcard rule `*.ck`: any single label left of the base counts as
+  *    part of the suffix (`foo.ck` is a public suffix; `bar.foo.ck` is
+  *    registrable). The base alone (`ck`) is NOT made a suffix by a
+  *    wildcard rule.
+  *  - exception rule `!www.ck`: overrides any matching wildcard/plain
+  *    rule; the public suffix is the rule minus its leftmost label
+  *    (`www.ck` is registrable, suffix `ck`).
+  *  - prevailing rule: a matching exception wins outright; otherwise
+  *    the longest matching suffix wins. No match → implicit `*` rule,
+  *    i.e. last-two-labels; a single unmatched label is its own
+  *    registered domain (prevailing-rule semantics for hosts like
+  *    `localhost`). A host that IS a public suffix returns itself.
   *
-  * 100 TB shape: the suffix table — ~9k rows for the full PSL, the
-  * [[builtin]] subset here — is BROADCAST; matching is `maxLabels`
-  * consecutive broadcast hash joins on the last-k-labels string (pure
-  * equi-joins: a k-label candidate can only string-equal a k-label
-  * suffix), so the corpus never shuffles and the whole chain stays in
-  * one codegen stage per join. No explode, no re-group, no UDF.
+  * 100 TB shape: the rule table — ~9k rules for the full PSL, the
+  * [[builtin]] subset here — is driver-bounded by the PSL contract, so
+  * it compiles straight into per-label-count `InSet` membership
+  * predicates on the last-k-labels string: the degenerate broadcast (a
+  * shared hash set referenced from generated code) with no join
+  * machinery at all. The whole extraction is ONE map-side projection in
+  * one whole-stage-codegen span — the corpus never shuffles, nothing
+  * joins, no explode, no re-group, no UDF — and the predicate count is
+  * derived from the rule set's label-count spectrum (2 levels for the
+  * builtin), not a hardcoded bound.
   */
 object PublicSuffix {
 
   /** Curated subset of the Public Suffix List: the gTLDs plus the
     * second-level-registration ccTLDs a web corpus actually hits. This
-    * is the deploy-time seam — swap in the full PSL as a DataFrame via
-    * the `suffixes` parameter; the algorithm is rule-count-agnostic. */
+    * is the deploy-time seam — swap in the full PSL (wildcard and
+    * exception rules included) via the `suffixes` parameter; the
+    * algorithm is rule-count-agnostic. */
   val builtin: Seq[String] = Seq(
     "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
     "io", "co", "ai", "dev", "app", "xyz",
@@ -51,47 +63,96 @@ object PublicSuffix {
     "de", "fr", "it", "es", "nl", "pl", "ru", "se", "no", "fi", "dk",
     "ch", "at", "be", "cz", "pt", "gr", "ie", "hu", "ca", "us", "eu")
 
-  /** Append `outCol` = the PSL registered domain of `hostCol` (a
-    * canonical host, optionally `:port`-suffixed — the port is ignored
-    * for bucketing). `suffixes` must expose a `suffix` column; defaults
-    * to [[builtin]]. `maxLabels` bounds rule length (the full PSL needs
-    * 4; the builtin subset only contains 1- and 2-label rules but the
-    * join chain is cheap enough to leave headroom). */
-  def withRegisteredDomain(df: DataFrame, hostCol: String, outCol: String,
-      suffixes: Option[DataFrame] = None, maxLabels: Int = 4): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val psl = suffixes.getOrElse(builtin.toDF("suffix"))
-    val h = col("__psl_h")
-    var out = df.withColumn("__psl_h",
-      regexp_replace(lower(col(hostCol)), ":\\d+$", ""))
-    (1 to maxLabels).foreach { i =>
-      out = out.join(
-        broadcast(psl.select(col("suffix").as(s"__psl_s$i")).distinct()),
-        substring_index(h, ".", -i) === col(s"__psl_s$i"), "left")
-    }
-    // longest match wins; registered = suffix + one label.
-    // substring_index saturates to the whole host when the host has no
-    // label left of the suffix — i.e. a host that IS a public suffix
-    // returns itself. No match → last-two-labels fallback (implicit *).
-    val reg = coalesce((maxLabels to 1 by -1).map(i =>
-      when(col(s"__psl_s$i").isNotNull,
-        substring_index(h, ".", -(i + 1)))) :+
-      regexp_extract(h, "([^.]+\\.[^.]+)$", 1): _*)
-    out.withColumn(outCol, reg)
-      .drop("__psl_h" +: (1 to maxLabels).map(i => s"__psl_s$i"): _*)
+  /** One rule-set level: the distinct last-k-label match keys split by
+    * rule kind (a key can simultaneously be a plain rule, a wildcard
+    * base, and an exception base). */
+  private case class Level(k: Int, plain: Seq[String], wild: Seq[String],
+      exc: Seq[String])
+
+  /** Parse rule strings (dedup + lowercase; `*.`/`!` markers per the
+    * PSL spec) into per-label-count key sets, ascending by k. */
+  private def parseRules(rules: Seq[String]): Seq[Level] = {
+    val parsed = rules.iterator.map(_.trim.toLowerCase).filter(_.nonEmpty)
+      .map { r =>
+        if (r.startsWith("!")) (r.drop(1), 'e')
+        else if (r.startsWith("*.")) (r.drop(2), 'w')
+        else (r, 'p')
+      }.toSeq.distinct
+    parsed.groupBy { case (key, _) => key.count(_ == '.') + 1 }
+      .toSeq.sortBy(_._1)
+      .map { case (k, rs) =>
+        def keysOf(kind: Char) =
+          rs.collect { case (key, `kind`) => key }.sorted
+        Level(k, keysOf('p'), keysOf('w'), keysOf('e'))
+      }
   }
 
-  /** Column form for tests/composition over an already-extracted host
-    * when the suffix set is the builtin (literal `isin` membership —
-    * same semantics as the join form, for bounded rule sets only). */
-  def registeredDomainLit(host: Column): Column = {
+  /** The PSL registered domain of `host` (a canonical host, optionally
+    * `:port`-suffixed — the port is ignored for bucketing), as a pure
+    * column expression over the given rule strings. */
+  def registeredDomain(host: Column, rules: Seq[String]): Column = {
     val h = regexp_replace(lower(host), ":\\d+$", "")
-    val byLen = builtin.groupBy(_.count(_ == '.') + 1)
-    val ks = byLen.keys.toSeq.sorted.reverse
-    coalesce(ks.map(i =>
-      when(substring_index(h, ".", -i).isin(byLen(i): _*),
-        substring_index(h, ".", -(i + 1)))) :+
-      regexp_extract(h, "([^.]+\\.[^.]+)$", 1): _*)
+    val levels = parseRules(rules)
+    def member(keys: Seq[String], k: Int): Column =
+      substring_index(h, ".", -k).isin(keys: _*)
+
+    // Prevailing rule → public-suffix label count L: an exception at
+    // level k → L = k-1 (wins outright; longest first), else max over
+    // plain (L = k) and wildcard with a label to spare (L = k+1).
+    // greatest() skips nulls.
+    val excCands = levels.reverse.filter(_.exc.nonEmpty)
+      .map(lv => when(member(lv.exc, lv.k), lit(lv.k - 1)))
+    val nl = size(split(h, "\\."))
+    val normCands = levels.flatMap { lv =>
+      val p = if (lv.plain.nonEmpty)
+        Seq(when(member(lv.plain, lv.k), lit(lv.k))) else Nil
+      val w = if (lv.wild.nonEmpty)
+        Seq(when(member(lv.wild, lv.k) && nl > lv.k, lit(lv.k + 1))) else Nil
+      p ++ w
+    }
+    val normLen = normCands match {
+      case Seq() => lit(null).cast("int")
+      case Seq(one) => one
+      case many => greatest(many: _*)
+    }
+    val len = coalesce(excCands :+ normLen: _*)
+
+    // Registered = suffix + one label; substring_index saturates to the
+    // whole host when the host IS the suffix. The possible L values are
+    // a small static set, so the dynamic-count lookup is a coalesce of
+    // exact-match branches. No rule → last-two fallback (implicit *);
+    // a dot-less unmatched host is its own registered domain.
+    val possibleLens = levels.flatMap { lv =>
+      (if (lv.exc.nonEmpty) Seq(lv.k - 1) else Nil) ++
+        (if (lv.plain.nonEmpty) Seq(lv.k) else Nil) ++
+        (if (lv.wild.nonEmpty) Seq(lv.k + 1) else Nil)
+    }.distinct.filter(_ >= 0).sorted
+    coalesce(possibleLens.map { l =>
+      when(len === l, substring_index(h, ".", -(l + 1)))
+    } :+ when(h.contains("."), regexp_extract(h, "([^.]+\\.[^.]+)$", 1))
+      .otherwise(h): _*)
   }
+
+  /** Append `outCol` = the PSL registered domain of `hostCol`.
+    * `suffixes` must expose a `suffix` column holding raw PSL rule
+    * strings (plain / `*.wildcard` / `!exception`); defaults to
+    * [[builtin]]. The frame is read driver-side — the PSL contract
+    * bounds it at broadcast size (~9k rules), so the read moves no more
+    * data than a broadcast would. */
+  def withRegisteredDomain(df: DataFrame, hostCol: String, outCol: String,
+      suffixes: Option[DataFrame] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rules = suffixes match {
+      case Some(sf) => sf.select(col("suffix").cast("string"))
+        .as[String].collect().toSeq
+      case None => builtin
+    }
+    df.withColumn(outCol, registeredDomain(col(hostCol), rules))
+  }
+
+  /** Column form over an already-extracted host with the builtin rule
+    * set — the exact same compiled expression as the seam's default. */
+  def registeredDomainLit(host: Column): Column =
+    registeredDomain(host, builtin)
 }

@@ -153,58 +153,87 @@ object PageRank {
   /** Accept a delta: persist the merged edge set and updated ranks, with
     * a crash-safe REPLAY contract matching the other persisted indexes.
     * Unlike their append-only batch publishes, this append
-    * read-modify-writes the base tables — and the rank sweep is NOT
+    * read-modify-writes the base tables — the rank sweep is NOT
     * idempotent (a warm start from already-updated ranks diverges from a
-    * clean run), so the pre-delta rank vector is snapshotted under the
-    * batch tag before the base is touched:
+    * clean run), and [[graft.pipeline.Store.write]] is delete-then-rename
+    * (a crash between them leaves the table MISSING, which `read`
+    * surfaces as an empty frame) — so BOTH pre-delta tables are
+    * snapshotted under the batch tag before the base is touched:
     *
     *   1. commit marker present  → no-op (batch fully applied); retire
-    *      any leftover snapshot
+    *      any leftover snapshots
     *   2. no intent marker       → base is pristine: snapshot `_ranks`
-    *      under the tag (staged publish), THEN write the intent marker
-    *   3. intent marker present  → a prior attempt may have mutated the
-    *      base; the snapshot, not `_ranks`, seeds the sweep
-    *   4. sweep from the snapshot over stored ∪ delta edges (the edge
-    *      union is idempotent — [[resume]] dedups), overwrite `_edges` /
-    *      `_ranks`, commit-mark, then retire snapshot + intent.
+    *      AND `_edges` under the tag (staged publishes), THEN write the
+    *      intent marker recording each snapshot's file count
+    *   3. intent marker present  → a prior attempt may have mutated (or
+    *      half-deleted) the base; the snapshots, not the live tables,
+    *      seed the sweep. A snapshot whose file count disagrees with
+    *      the intent record fails LOUDLY — proceeding would re-rank a
+    *      delta-only graph and silently drop the base edges.
+    *   4. sweep from the rank snapshot over snapshot ∪ delta edges (the
+    *      edge union is idempotent — [[resume]] dedups), overwrite
+    *      `_edges` / `_ranks`, commit-mark, then retire snapshots +
+    *      intent.
     *
     * A re-driven batch with the SAME tag therefore reproduces the
-    * clean-run output from any crash point. */
+    * clean-run output from any crash point, including mid-`Store.write`
+    * of either base table. */
   def appendDelta(store: graft.pipeline.Store, name: String,
       delta: DataFrame, batchTag: String, sweeps: Int = 2): Unit = {
     import graft.pipeline.FsUtils
-    val preDir = new java.io.File(store.path(s"${name}_ranks_pre"))
-    val intent = new java.io.File(preDir, s"_intent_$batchTag")
+    import java.nio.charset.StandardCharsets.UTF_8
+    val preRanks = new java.io.File(store.path(s"${name}_ranks_pre"))
+    val preEdges = new java.io.File(store.path(s"${name}_edges_pre"))
+    val intent = new java.io.File(preRanks, s"_intent_$batchTag")
+    def tagFiles(dir: java.io.File): Seq[String] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"batch_${batchTag}_"))
+        .map(_.getPath).sorted.toSeq
+    def retire(): Unit = {
+      intent.delete()
+      FsUtils.clearBatch(preRanks.getPath, batchTag)
+      FsUtils.clearBatch(preEdges.getPath, batchTag)
+    }
     if (graft.dedup.IndexCommits.committedTags(store, name)
         .contains(batchTag)) {
-      intent.delete()
-      FsUtils.clearBatch(preDir.getPath, batchTag)
+      retire()
       return
     }
     graft.dedup.IndexCommits.validate(store, name, Seq("_edges", "_ranks"))
     val spark = delta.sparkSession
     if (!intent.exists()) {
       FsUtils.publishBatch(store.read(s"${name}_ranks", ranksSchema),
-        preDir.getPath, batchTag)
-      java.nio.file.Files.write(intent.toPath, Array.empty[Byte])
+        preRanks.getPath, batchTag)
+      FsUtils.publishBatch(store.read(s"${name}_edges", edgesSchema),
+        preEdges.getPath, batchTag)
+      java.nio.file.Files.write(intent.toPath,
+        s"${tagFiles(preRanks).size} ${tagFiles(preEdges).size}"
+          .getBytes(UTF_8))
     }
-    val snapFiles = Option(preDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(s"batch_${batchTag}_"))
-      .map(_.getPath).toSeq
-    val r0 =
-      if (snapFiles.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ranksSchema)
-      else spark.read.schema(ranksSchema).parquet(snapFiles: _*)
+    val Array(nRanks, nEdges) = new String(
+      java.nio.file.Files.readAllBytes(intent.toPath), UTF_8)
+      .trim.split(" ").map(_.toInt)
+    val (rankFiles, edgeFiles) = (tagFiles(preRanks), tagFiles(preEdges))
+    require(rankFiles.size == nRanks && edgeFiles.size == nEdges,
+      s"appendDelta($name, batch $batchTag): snapshot loss — intent " +
+        s"records $nRanks rank / $nEdges edge files but " +
+        s"${rankFiles.size} / ${edgeFiles.size} exist; replaying would " +
+        "drop the pre-delta base. Restore the snapshot dirs or rebuild.")
+    def snapRead(files: Seq[String],
+        schema: org.apache.spark.sql.types.StructType) =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    val r0 = snapRead(rankFiles, ranksSchema)
     val d = delta.toDF("src", "dst")
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-    val merged = store.read(s"${name}_edges", edgesSchema)
+    val merged = snapRead(edgeFiles, edgesSchema)
       .unionByName(d).distinct().localCheckpoint()
     val updated = resume(merged, Some(r0), sweeps).localCheckpoint()
     store.write(s"${name}_edges", merged)
     store.write(s"${name}_ranks", updated)
     graft.dedup.IndexCommits.mark(store, name, batchTag)
-    intent.delete()
-    FsUtils.clearBatch(preDir.getPath, batchTag)
+    retire()
   }
 }

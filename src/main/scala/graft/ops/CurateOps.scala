@@ -1247,20 +1247,28 @@ object CurateOps {
         (Dedup.md5Hash60(col("f")) % DsirBuckets).as("b"): _*)
   }
 
-  /** The exactly-B-row per-bucket micro-nat weight frame from a feature
-    * stream carrying an `is_t` target flag — one conditional-sum
-    * counting pass, then the observed counts joined onto the FULL
-    * bucket spine 0..B-1. The spine matters for SERVING: a batch
-    * feature can hash to a bucket the training corpus never produced,
-    * and the add-one smoothing defines its weight
-    * (ln((nr+B)/(nt+B)) at cr = ct = 0) — dropping such features would
-    * silently bias served scores low relative to a refit. */
-  private def dsirWeightFrame(feats: DataFrame): DataFrame = {
+  /** Per-doc bucket histogram: the feature stream collapsed to one row
+    * per (keep…, bucket) with its multiplicity `c`. Every downstream
+    * DSIR quantity is a linear functional of this frame (bucket counts
+    * = Σc per bucket, doc score = Σc·w per doc), so the refit gate
+    * tokenizes + hashes the corpus ONCE and reuses the histogram for
+    * both the counting and the scoring pass. */
+  private def dsirDocBuckets(docs: DataFrame, textCol: String,
+      keep: Seq[String]): DataFrame =
+    dsirFeatureStream(docs, textCol, keep)
+      .groupBy((keep :+ "b").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** The exactly-B-row per-bucket micro-nat weight frame from observed
+    * per-bucket counts `(b, cr, ct)`, joined onto the FULL bucket spine
+    * 0..B-1. The spine matters for SERVING: a batch feature can hash to
+    * a bucket the training corpus never produced, and the add-one
+    * smoothing defines its weight (ln((nr+B)/(nt+B)) at cr = ct = 0) —
+    * dropping such features would silently bias served scores low
+    * relative to a refit. */
+  private def dsirWeightFrame(counts: DataFrame): DataFrame = {
     val whole = Window.partitionBy(lit(1))
-    val spine = feats.sparkSession.range(DsirBuckets).toDF("b")
-    val counts = feats.groupBy("b")
-      .agg(count(lit(1)).as("cr"),
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val spine = counts.sparkSession.range(DsirBuckets).toDF("b")
     spine.join(counts, Seq("b"), "left")
       .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
         coalesce(col("ct"), lit(0L)).as("ct"))
@@ -1279,18 +1287,28 @@ object CurateOps {
       })
   }
 
-  private def dsirScore(feats: DataFrame, weights: DataFrame): DataFrame =
-    feats.join(broadcast(weights), Seq("b"))
+  /** Doc scores from the bucket histogram: Σc and Σc·w per doc — exact
+    * integers, identical to summing the raw feature stream. */
+  private def dsirScore(docBuckets: DataFrame,
+      weights: DataFrame): DataFrame =
+    docBuckets.join(broadcast(weights), Seq("b"))
       .groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("n_feat"), sum("wmi").as("dsir_micro"))
+      .agg(sum("c").as("n_feat"),
+        sum(col("c") * col("wmi")).as("dsir_micro"))
       .orderBy("doc_id")
 
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
       .withColumn("is_t", col("source") === "src0")
-    val feats = dsirFeatureStream(docs, "text",
-      Seq("doc_id", "lang", "is_t"))
-    dsirScore(feats, dsirWeightFrame(feats))
+    // one tokenize+hash pass; the histogram (≤B rows per doc) feeds the
+    // fit AND the score — eager checkpoint, not persist (cache-hit on
+    // repeat invocations would be a bench cheat)
+    val db = dsirDocBuckets(docs, "text", Seq("doc_id", "lang", "is_t"))
+      .localCheckpoint()
+    val counts = db.groupBy("b")
+      .agg(sum("c").as("cr"),
+        sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"))
+    dsirScore(db, dsirWeightFrame(counts))
   }
 
   // ---- persisted DSIR model: train once, score any batch -------------
@@ -1319,7 +1337,10 @@ object CurateOps {
       new java.io.File(store.path(s"${prefix}_meta")))
     val feats = dsirFeatureStream(corpus.withColumn("is_t", isTarget),
       textCol, Seq("is_t"))
-    store.write(s"${prefix}_weights", dsirWeightFrame(feats))
+    val counts = feats.groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    store.write(s"${prefix}_weights", dsirWeightFrame(counts))
     store.write(s"${prefix}_meta",
       corpus.sparkSession.createDataFrame(
         java.util.Arrays.asList(
@@ -1340,10 +1361,18 @@ object CurateOps {
     require(buckets == DsirBuckets.toLong,
       s"persisted DSIR model has $buckets buckets, this build expects " +
         s"$DsirBuckets — rebuild the model")
+    // single pass — join the token stream straight onto the broadcast
+    // weights and rollup per doc (map-side partial agg keeps the shuffle
+    // at doc granularity; the histogram detour only pays off when TWO
+    // consumers share it, i.e. the in-gate refit)
     val feats = dsirFeatureStream(
       batch.select(col(idCol).as("doc_id"), col("lang"), col(textCol)),
       textCol, Seq("doc_id", "lang"))
-    dsirScore(feats, store.read(s"${prefix}_weights", dsirWeightSchema))
+    feats.join(broadcast(store.read(s"${prefix}_weights", dsirWeightSchema)),
+        Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_feat"), sum("wmi").as("dsir_micro"))
+      .orderBy("doc_id")
   }
 
   /** The persisted-serving twin of [[dsirWeights]] (the

@@ -152,8 +152,9 @@ object WebOps {
        |      IN (SELECT suffix FROM psl) THEN 1
        |    ELSE NULL END AS k
        |  FROM lab)
-       |SELECT CASE WHEN k IS NULL
-       |    THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+       |SELECT CASE WHEN k IS NULL THEN
+       |    CASE WHEN host NOT LIKE '%.%' THEN host
+       |         ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END
        |    ELSE array_to_string(labs[greatest(1, n - k):n], '.') END
        |  AS domain,
        |  CAST(count(*) AS BIGINT) AS n_docs,

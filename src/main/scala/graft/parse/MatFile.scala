@@ -80,7 +80,13 @@ object MatFile {
         case MiCompressed =>
           val b2 = wrap(inflate(payload), order)
           val (t2, p2) = readElement(b2)
-          if (t2 == MiMatrix) out += parseMatrix(wrap(p2, order), order)
+          // per the MAT 5 spec a miCOMPRESSED element holds exactly one
+          // miMATRIX; anything else is a malformed archive — fail loudly
+          // rather than silently dropping a variable
+          require(t2 == MiMatrix,
+            s"malformed miCOMPRESSED element: inner type $t2, " +
+              "expected miMATRIX (14)")
+          out += parseMatrix(wrap(p2, order), order)
         case _ => () // skip non-matrix top-level elements
       }
     }

@@ -38,10 +38,26 @@ object Replicate {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  /** Build `dst` as a `factor`× replica of `src` (no-op if it exists). */
+  /** Build `dst` as a `factor`× replica of `src`. A completed build
+    * writes a `_SUCCESS` marker recording (src, factor) as its LAST
+    * step; the no-op check keys on that marker, not bare directory
+    * existence, so a build that crashed mid-table is rebuilt instead of
+    * a partial replica silently feeding the differential sweep — and a
+    * marker from a DIFFERENT (src, factor) fails loudly rather than
+    * serving the wrong fixture. */
   def build(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
-    if (new java.io.File(dst).exists()) return
+    import java.nio.charset.StandardCharsets.UTF_8
+    val marker = new java.io.File(dst, "_SUCCESS")
+    val stamp = s"src=$src factor=$factor"
+    if (marker.exists()) {
+      val prev = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), UTF_8).trim
+      require(prev == stamp,
+        s"replica at $dst was built as '$prev', requested '$stamp' — " +
+          "delete the directory to rebuild")
+      return
+    }
     new java.io.File(dst).mkdirs()
     Tables.all.foreach { t =>
       val df = Tables.load(spark, src, t)
@@ -55,6 +71,8 @@ object Replicate {
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       ()
     }
+    java.nio.file.Files.write(marker.toPath, stamp.getBytes(UTF_8))
+    ()
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{Session, SparkEntry, Tables}
+
+/** Zipfian-skew probe: the scale question [[ScaleProbe]] can't answer.
+  * Uniform replication grows every key's group by the same factor; real
+  * crawl corpora are zipfian — ONE source holds half the docs, ONE
+  * length block holds the head entity's title variants, ONE vector cell
+  * holds the boilerplate embedding. This tool builds a replica whose
+  * extra copies concentrate into exactly those hot spots and compares
+  * each probe query against the UNIFORM replica at the SAME factor, so
+  * the reported ratio isolates skew from volume.
+  *
+  * Skew injections (extra copies only; copy 0 is the original data, so
+  * every uniform-replica row set exists here at identical volume):
+  *  - mega-source: every replicated document lands in `source = 'src0'`
+  *    (probes q_source_cap's pre-shuffle rank-limit).
+  *  - mega length-block: docs with `doc_id % 97 = 0` get a synthetic
+  *    5-token title of FIXED shape/length with per-doc md5-hex filler —
+  *    every such title collides in the fuzzy joins' length bands and
+  *    the JW length blocks (hot candidate buckets), while the hex
+  *    filler keeps pairwise similarity far below the accept thresholds
+  *    (ed >> 4, JW << 0.9), so the OUTPUT stays linear and the probe
+  *    measures candidate-path skew, not a quadratic result set
+  *    (probes q_entity_resolution, q_join_jw).
+  *  - mega vector cell: embeddings with `vec_id % 59 = 0` are rewritten
+  *    to point almost exactly along dimension 0 (dominant first
+  *    component, everything else scaled to noise) — they all land in
+  *    one IVF cell, making one hot cell-join key
+  *    (probes q_ann_knn_join's cell-partitioned shuffle join).
+  *
+  * Only `documents` and `embeddings` are written — the probe queries
+  * read nothing else; do not point other gates at the skew directory. */
+object SkewProbe {
+
+  val DefaultProbes = Seq("q_entity_resolution", "q_join_jw",
+    "q_source_cap", "q_ann_knn_join")
+
+  /** Fixed-shape hot title: 5 tokens "zk______ qw____ rt___ uv__
+    * xy_____" (34 chars, constant) with md5(doc_id) hex filler. */
+  private def hotTitle(idCol: org.apache.spark.sql.Column) = {
+    val h = md5(idCol.cast("string"))
+    concat(lit("zk"), substring(h, 1, 6), lit(" qw"), substring(h, 7, 4),
+      lit(" rt"), substring(h, 11, 3), lit(" uv"), substring(h, 15, 2),
+      lit(" xy"), substring(h, 17, 5), lit(" "))
+  }
+
+  /** Build the skewed replica (same marker contract as
+    * [[Replicate.build]]). */
+  def buildSkewed(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val marker = new java.io.File(dst, "_SUCCESS")
+    val stamp = s"src=$src factor=$factor skew=zipf-v1"
+    if (marker.exists()) {
+      val prev = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), UTF_8).trim
+      require(prev == stamp,
+        s"skew replica at $dst was built as '$prev', requested '$stamp'")
+      return
+    }
+    new java.io.File(dst).mkdirs()
+    val copies = spark.range(1, factor.toLong).toDF("__i")
+
+    val docs = Tables.load(spark, src, "documents")
+    val extraDocs = docs.crossJoin(copies)
+      .withColumn("doc_id", col("doc_id") + col("__i") * Replicate.Shift)
+      .withColumn("source", lit("src0"))
+      .withColumn("text", when(col("doc_id") % 97 === 0,
+        concat(hotTitle(col("doc_id")), col("text")))
+        .otherwise(col("text")))
+      .drop("__i")
+    docs.unionByName(extraDocs)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = Tables.load(spark, src, "embeddings")
+    val extraEmb = emb.crossJoin(copies)
+      .withColumn("vec_id", col("vec_id") + col("__i") * Replicate.Shift)
+      .withColumn("embedding", when(col("vec_id") % 59 === 0,
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, lit(100.0f)).otherwise(x * lit(0.001f))))
+        .otherwise(col("embedding")))
+      .drop("__i")
+    emb.unionByName(extraEmb)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    java.nio.file.Files.write(marker.toPath, stamp.getBytes(UTF_8))
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(8)
+    val probes = if (args.length > 1) args.drop(1).toSeq else DefaultProbes
+    val src = "/root/testdata/sf0.1"
+    val uniform = s"/tmp/sfx$factor"
+    val skewed = s"/tmp/sfskew$factor"
+    val spark = Session.local()
+    Replicate.build(spark, src, uniform, factor)
+    buildSkewed(spark, src, skewed, factor)
+
+    probes.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def time(dir: String): Double = {
+        fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val u = time(uniform)
+      val s = time(skewed)
+      println(f"[skew] $name%-24s uniform_x$factor=${u}%7.2fs  " +
+        f"zipf_x$factor=${s}%7.2fs  skew_ratio=${s / u}%5.2f")
+    }
+    spark.stop()
+  }
+}

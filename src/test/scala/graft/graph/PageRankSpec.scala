@@ -112,18 +112,14 @@ class PageRankSpec extends AnyFunSuite {
     PageRank.appendDelta(clean, "pr", delta, "b1", sweeps = 2)
     val expected = storedRanks(clean)
 
-    // construct the worst crash point by hand: snapshot + intent
+    // construct the worst crash point by hand: snapshots + intent
     // written, base edges AND ranks already mutated, commit marker
     // absent (the state the ADVICE scenario warm-started from)
     val st = freshStore("crash")
     PageRank.buildIndex(st, "pr", baseEdges.toDF("src", "dst"), 3)
     val upd = PageRank.updateWithDelta(st, "pr", delta, sweeps = 2)
       .localCheckpoint()
-    val preDir = new java.io.File(st.path("pr_ranks_pre"))
-    graft.pipeline.FsUtils.publishBatch(
-      spark.read.parquet(st.path("pr_ranks")), preDir.getPath, "b1")
-    java.nio.file.Files.write(
-      new java.io.File(preDir, "_intent_b1").toPath, Array.empty[Byte])
+    val preDir = snapshotBothWithIntent(st, "b1")
     val merged = spark.read.parquet(st.path("pr_edges"))
       .unionByName(delta).distinct().localCheckpoint()
     st.write("pr_edges", merged)
@@ -136,5 +132,62 @@ class PageRankSpec extends AnyFunSuite {
     // and the batch is now committed + snapshot retired
     assert(graft.dedup.IndexCommits.committedTags(st, "pr").contains("b1"))
     assert(!new java.io.File(preDir, "_intent_b1").exists())
+  }
+
+  /** Build the post-intent crash state the way appendDelta does: both
+    * pre-delta snapshots published, intent recording their file counts. */
+  private def snapshotBothWithIntent(st: graft.pipeline.Store,
+      tag: String): java.io.File = {
+    val preRanks = new java.io.File(st.path("pr_ranks_pre"))
+    val preEdges = new java.io.File(st.path("pr_edges_pre"))
+    graft.pipeline.FsUtils.publishBatch(
+      spark.read.parquet(st.path("pr_ranks")), preRanks.getPath, tag)
+    graft.pipeline.FsUtils.publishBatch(
+      spark.read.parquet(st.path("pr_edges")), preEdges.getPath, tag)
+    def n(d: java.io.File) = Option(d.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.startsWith(s"batch_${tag}_"))
+    java.nio.file.Files.write(
+      new java.io.File(preRanks, s"_intent_$tag").toPath,
+      s"${n(preRanks)} ${n(preEdges)}".getBytes("UTF-8"))
+    preRanks
+  }
+
+  test("appendDelta: replay with the base edges table MISSING (crash " +
+      "inside Store.write's delete-then-rename) reproduces the clean run") {
+    val clean = freshStore("clean2")
+    PageRank.buildIndex(clean, "pr", baseEdges.toDF("src", "dst"), 3)
+    val delta = deltaEdges.toDF("src", "dst")
+    PageRank.appendDelta(clean, "pr", delta, "b1", sweeps = 2)
+    val expected = storedRanks(clean)
+
+    val st = freshStore("edgeloss")
+    PageRank.buildIndex(st, "pr", baseEdges.toDF("src", "dst"), 3)
+    snapshotBothWithIntent(st, "b1")
+    // Store.write deleted the old dir, then the process died: no _edges
+    graft.pipeline.FsUtils.deleteRecursively(
+      new java.io.File(st.path("pr_edges")))
+
+    PageRank.appendDelta(st, "pr", delta, "b1", sweeps = 2)
+    assert(storedRanks(st) == expected)
+    // the base edge set was restored from the snapshot, delta included
+    val edges = spark.read.parquet(st.path("pr_edges"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == (baseEdges ++ deltaEdges).toSet)
+  }
+
+  test("appendDelta: a lost snapshot under an existing intent fails " +
+      "loudly instead of re-ranking a delta-only graph") {
+    val st = freshStore("snaploss")
+    PageRank.buildIndex(st, "pr", baseEdges.toDF("src", "dst"), 3)
+    snapshotBothWithIntent(st, "b1")
+    graft.pipeline.FsUtils.deleteRecursively(
+      new java.io.File(st.path("pr_edges_pre")))
+    val ex = intercept[IllegalArgumentException] {
+      PageRank.appendDelta(st, "pr", deltaEdges.toDF("src", "dst"), "b1")
+    }
+    assert(ex.getMessage.contains("snapshot loss"))
+    // base tables untouched by the failed replay
+    assert(spark.read.parquet(st.path("pr_edges")).count() ==
+      baseEdges.size)
   }
 }

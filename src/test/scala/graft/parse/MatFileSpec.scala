@@ -80,4 +80,70 @@ class MatFileSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](read(Array.fill(64)(0.toByte)))
     assert(e.getMessage.contains("128-byte header"))
   }
+
+  // ------------------------------------------- hand-built byte images
+
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  private def le4(i: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(i).array
+
+  private def elem(tpe: Int, payload: Array[Byte]): Array[Byte] = {
+    val pad = (8 - payload.length % 8) % 8
+    le4(tpe) ++ le4(payload.length) ++ payload ++ new Array[Byte](pad)
+  }
+
+  private def matHeader: Array[Byte] =
+    "MATLAB 5.0".padTo(116, ' ').getBytes("US-ASCII") ++
+      new Array[Byte](8) ++ Array(0x00.toByte, 0x01.toByte) ++ // LE 0x0100
+      Array('I'.toByte, 'M'.toByte)
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+    d.end(); out.toByteArray
+  }
+
+  test("a miCOMPRESSED element whose inner type is not miMATRIX is a " +
+      "malformed archive and fails loudly, not a silent variable drop") {
+    // inner element is miINT32 (5) instead of miMATRIX (14)
+    val bogusInner = elem(5, le4(42))
+    val img = matHeader ++ elem(15, deflate(bogusInner))
+    val e = intercept[IllegalArgumentException](read(img))
+    assert(e.getMessage.contains("malformed miCOMPRESSED"))
+    assert(e.getMessage.contains("inner type 5"))
+  }
+
+  test("an unsupported array class INSIDE a struct field surfaces as " +
+      "Unsupported and does not poison sibling fields") {
+    // struct s(1,1) with fields a (mxSPARSE, out of scope) and b (double)
+    def matrixBody(clazz: Int, name: String, tail: Array[Byte]) =
+      elem(6, le4(clazz) ++ le4(0)) ++          // array flags
+        elem(5, le4(1) ++ le4(1)) ++            // dims 1x1
+        elem(1, name.getBytes("US-ASCII")) ++   // name ("" for fields)
+        tail
+    val fieldA = elem(14, matrixBody(5, "", Array.empty)) // sparse: no data read
+    val fieldB = elem(14, matrixBody(6, "",
+      elem(9, ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putDouble(3.5).array)))
+    val structBody =
+      elem(6, le4(2) ++ le4(0)) ++              // flags: mxSTRUCT
+        elem(5, le4(1) ++ le4(1)) ++            // dims 1x1
+        elem(1, "s".getBytes("US-ASCII")) ++    // name
+        elem(5, le4(4)) ++                      // field name length
+        elem(1, Array[Byte](97, 0, 0, 0,
+          98, 0, 0, 0)) ++                      // field names, NUL-padded
+        fieldA ++ fieldB
+    val img = matHeader ++ elem(14, structBody)
+    val got = read(img)
+    assert(got.map(_._1) == Seq("s"))
+    val st = got.head._2.asInstanceOf[Struct]
+    assert(st.fieldNames == Seq("a", "b"))
+    assert(st.elements.head("a") == Unsupported(5))
+    val b = st.elements.head("b").asInstanceOf[Num]
+    assert(b.data.toSeq == Seq(3.5))
+  }
 }
