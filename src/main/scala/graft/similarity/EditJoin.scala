@@ -95,12 +95,18 @@ object EditJoin {
     require(maxDist >= 0 && q >= 1, "maxDist >= 0, q >= 1")
     val floor = q * (maxDist + 1) // below this the gram bound is vacuous
 
-    val members = df.filter(col(strCol).isNotNull)
+    // exact-collapse: one representative per distinct string, with the
+    // full sorted member-id list riding the SAME shuffle — the ed = 0
+    // branch and the final expansion both read it, so the corpus is
+    // scanned/tokenized once and every downstream consumer reuses one
+    // exchange instead of rebuilding a members frame per branch
+    // (measured: the per-branch broadcast builds re-ran the scan).
+    val s2 = df.filter(col(strCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
-
-    // exact-collapse: one representative per distinct string
-    val s = members.groupBy("str").agg(min("id").as("id"))
+      .groupBy("str").agg(min("id").as("id"),
+        sort_array(collect_list("id")).as("ids"))
       .withColumn("len", length(col("str")))
+    val s = s2.select("str", "id", "len")
 
     // --- brute branch (distinct strings): pairs whose shorter side is
     // below the gram floor; both sides < floor + maxDist by length band.
@@ -119,16 +125,14 @@ object EditJoin {
     // candidate join stage: the bucket-pair blowup (the weakly-
     // selective-gram regime) is filtered in-task by the codegen banded
     // levenshtein and never reaches an exchange. Only survivors dedup.
-    val grams = gramsOf(s, floor, q)
-    val freq = grams.groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
-
+    //
     // The prefix frame is tiny but the bucket join EXPLODES inside the
     // join stage — AQE, seeing only the small shuffle, would coalesce it
     // to one partition and serialize the whole verify on a single task
     // (measured: 52 s -> ~3 s at sf0.1). An explicit-width repartition
     // on the join key is preserved by AQE and spreads the bucket work.
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val prefixP = prefixOf(grams, freq, maxDist, q)
+    val prefixP = prefixSelf(gramsOf(s, floor, q), maxDist, q)
       .repartition(nParts, col("gram"), col("occ"))
 
     val verified = verifiedPairs(prefixP, prefixP,
@@ -139,19 +143,25 @@ object EditJoin {
       .distinct()
 
     // --- expand distinct-string results back to id pairs (output-bound):
-    // cross-string matches via the member lists of both sides; same-string
-    // (ed = 0) pairs directly from each string's member list.
+    // cross-string matches via the member-id lists of both sides;
+    // same-string (ed = 0) pairs enumerated straight off each string's
+    // sorted member list (i < j), no self-join.
     val diff = brute.unionByName(verified)
-      .join(members.select(col("str").as("str_a"), col("id").as("ia")),
-        "str_a")
-      .join(members.select(col("str").as("str_b"), col("id").as("ib")),
-        "str_b")
+      .join(s2.select(col("str").as("str_a"), col("ids").as("la")), "str_a")
+      .join(s2.select(col("str").as("str_b"), col("ids").as("lb")), "str_b")
+      .select(explode(col("la")).as("ia"), col("lb"), col("ed"))
+      .select(col("ia"), explode(col("lb")).as("ib"), col("ed"))
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("ed"))
-    val same = members.as("a").join(members.as("b"),
-        col("a.str") === col("b.str") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        lit(0).cast("int").as("ed"))
+    // pairs (ids(i), ids(j)), i < j, off the sorted list: posexplode the
+    // anchor, slice the tail per anchor row — per-row memory stays
+    // O(dup count), never O(dup count²), however heavy one string's
+    // duplication gets (the output itself is quadratic by contract)
+    val same = s2.filter(size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"), explode(slice(col("ids"), col("i") + lit(2),
+        size(col("ids")) - col("i") - 1)).as("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("ed"))
 
     diff.unionByName(same)
   }
@@ -181,14 +191,24 @@ object EditJoin {
         abs(col("a.len") - col("b.len")) <= maxDist,
       "str_l", "str_r", maxDist)
 
-    // gram branch over both-long pairs, prefixes under ONE shared order
-    val (lg, rg) = (gramsOf(ls, floor, q), gramsOf(rs, floor, q))
-    val freq = lg.unionByName(rg)
-      .groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
+    // gram branch over both-long pairs, prefixes under ONE shared order:
+    // both sides' grams union into one frame, the shared element
+    // frequency is a count window over (gram, occ) on that union (no
+    // aggregate + join-back), and the per-string rank partitions on
+    // (side, id) — ids may collide across corpora
+    val u = gramsOf(ls, floor, q).withColumn("side", lit("l"))
+      .unionByName(gramsOf(rs, floor, q).withColumn("side", lit("r")))
+    val pfx = u
+      .withColumn("freq",
+        count(lit(1)).over(Window.partitionBy("gram", "occ")))
+      .withColumn("rn", row_number().over(Window.partitionBy("side", "id")
+        .orderBy(col("freq"), col("gram"), col("occ"))))
+      .filter(col("rn") <= maxDist * q + 1)
+      .select("side", "id", "len", "str", "gram", "occ")
     val nParts = left.sparkSession.sessionState.conf.numShufflePartitions
-    val lp = prefixOf(lg, freq, maxDist, q)
+    val lp = pfx.filter(col("side") === "l").drop("side")
       .repartition(nParts, col("gram"), col("occ"))
-    val rp = prefixOf(rg, freq, maxDist, q)
+    val rp = pfx.filter(col("side") === "r").drop("side")
       .repartition(nParts, col("gram"), col("occ"))
 
     val verified = verifiedPairs(lp, rp,
@@ -247,10 +267,25 @@ object EditJoin {
         Window.partitionBy("id", "gram").orderBy("pos")))
       .select("id", "len", "str", "gram", "occ")
 
+  /** Prefix selection against an EXPLICIT frequency relation — the
+    * persisted-index path, where the element order is frozen at build
+    * time (batch grams unseen by the corpus get frequency 0). */
   private def prefixOf(g: DataFrame, freq: DataFrame, maxDist: Int,
       q: Int): DataFrame =
     g.join(freq, Seq("gram", "occ"), "left")
       .na.fill(0L, Seq("freq"))
+      .withColumn("rn", row_number().over(Window.partitionBy("id")
+        .orderBy(col("freq"), col("gram"), col("occ"))))
+      .filter(col("rn") <= maxDist * q + 1)
+      .select("id", "len", "str", "gram", "occ")
+
+  /** Prefix selection where the frequency IS the gram frame's own
+    * (gram, occ) count — one count window on the existing shuffle
+    * instead of an aggregate plus a join back (same values, two fewer
+    * stages; the in-plan self-join path). */
+  private def prefixSelf(g: DataFrame, maxDist: Int, q: Int): DataFrame =
+    g.withColumn("freq",
+        count(lit(1)).over(Window.partitionBy("gram", "occ")))
       .withColumn("rn", row_number().over(Window.partitionBy("id")
         .orderBy(col("freq"), col("gram"), col("occ"))))
       .filter(col("rn") <= maxDist * q + 1)
