@@ -163,9 +163,82 @@ object WebOps {
        |FROM m GROUP BY 1 ORDER BY domain""".stripMargin
   }
 
+  /** [[domainStats]] under a CUSTOM rule set exercising the full PSL
+    * grammar — wildcard (`*.co.uk`: every co.uk slot is its own public
+    * suffix) and exception (`!en-press.co.uk`: that slot is registrable
+    * after all) rules, prevailing-rule precedence included. On the
+    * fixture this buckets `news.en-press.co.uk` as `en-press.co.uk`
+    * (exception beats wildcard) while every OTHER language's press host
+    * buckets as `news.<lang>-press.co.uk` (wildcard suffix + one
+    * label). The oracle replays the PSL algorithm over the same rules
+    * in SQL, so wildcard/exception semantics are differential-gated,
+    * not just spec-tested. */
+  def domainStatsWild(spark: SparkSession, dir: String): DataFrame = {
+    val hosts = withRawUrl(load(spark, dir, "documents"))
+      .select(Url.canonicalHost(col("url")).as("host"),
+        col("doc_id"), col("n_chars"))
+    import spark.implicits._
+    val rules = Seq("com", "uk", "*.co.uk", "!en-press.co.uk")
+      .toDF("suffix")
+    graft.functions.PublicSuffix
+      .withRegisteredDomain(hosts, "host", "domain", suffixes = Some(rules))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("domain")
+  }
+
+  private val domainStatsWildOracle: String =
+    s"""WITH u AS (SELECT doc_id, n_chars, $rawUrlSql AS url FROM documents),
+       |h AS (SELECT doc_id, n_chars,
+       |  CASE WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://',
+       |      1)) = 'https'
+       |    THEN regexp_replace(regexp_replace(
+       |      lower(regexp_extract(url,
+       |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+       |      '^www\\.', ''), ':443$$', '')
+       |    ELSE regexp_replace(
+       |      lower(regexp_extract(url,
+       |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+       |      '^www\\.', '') END AS host
+       |  FROM u),
+       |lab AS (SELECT doc_id, n_chars, host,
+       |  string_split(host, '.') AS labs,
+       |  len(string_split(host, '.')) AS n FROM h),
+       |m AS (SELECT doc_id, n_chars, host, labs, n,
+       |  -- exception !en-press.co.uk: suffix = rule minus leftmost label
+       |  CASE WHEN n >= 3 AND
+       |    array_to_string(labs[n - 2:n], '.') = 'en-press.co.uk'
+       |    THEN 2 ELSE NULL END AS k_exc,
+       |  -- wildcard *.co.uk: one extra label joins the suffix
+       |  CASE WHEN n >= 3 AND
+       |    array_to_string(labs[n - 1:n], '.') = 'co.uk'
+       |    THEN 3 ELSE NULL END AS k_wild,
+       |  -- plain rules com, uk
+       |  CASE WHEN labs[n] IN ('com', 'uk') THEN 1 ELSE NULL END AS k_pl
+       |  FROM lab),
+       |k AS (SELECT doc_id, n_chars, host, labs, n,
+       |  COALESCE(k_exc,
+       |    NULLIF(GREATEST(COALESCE(k_wild, 0), COALESCE(k_pl, 0)), 0))
+       |    AS k
+       |  FROM m)
+       |SELECT CASE WHEN k IS NULL THEN
+       |    CASE WHEN host NOT LIKE '%.%' THEN host
+       |         ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END
+       |    ELSE array_to_string(labs[greatest(1, n - k):n], '.') END
+       |  AS domain,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM k GROUP BY 1 ORDER BY domain""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_url_dedup", urlDedup, Some(urlDedupOracle),
       "web curation: URL canonicalization + keep-first dedup"),
     QuerySpec("q_domain_stats", domainStats, Some(domainStatsOracle),
-      "web curation: registered-domain stats (docs, hosts, chars)"))
+      "web curation: registered-domain stats (docs, hosts, chars)"),
+    QuerySpec("q_domain_stats_wild", domainStatsWild,
+      Some(domainStatsWildOracle),
+      "web curation: PSL wildcard/exception rules, differential-gated"))
 }

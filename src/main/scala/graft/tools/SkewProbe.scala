@@ -18,7 +18,7 @@ import graft.{Session, SparkEntry, Tables}
   * every uniform-replica row set exists here at identical volume):
   *  - mega-source: every replicated document lands in `source = 'src0'`
   *    (probes q_source_cap's pre-shuffle rank-limit).
-  *  - mega length-block: docs with `doc_id % 97 = 0` get a synthetic
+  *  - mega length-block: docs with `doc_id % 7 = 0` get a synthetic
   *    5-token title of FIXED shape/length with per-doc md5-hex filler —
   *    every such title collides in the fuzzy joins' length bands and
   *    the JW length blocks (hot candidate buckets), while the hex
@@ -26,7 +26,7 @@ import graft.{Session, SparkEntry, Tables}
   *    (ed >> 4, JW << 0.9), so the OUTPUT stays linear and the probe
   *    measures candidate-path skew, not a quadratic result set
   *    (probes q_entity_resolution, q_join_jw).
-  *  - mega vector cell: embeddings with `vec_id % 59 = 0` are rewritten
+  *  - mega vector cell: embeddings with `vec_id % 5 = 0` are rewritten
   *    to point almost exactly along dimension 0 (dominant first
   *    component, everything else scaled to noise) — they all land in
   *    one IVF cell, making one hot cell-join key
@@ -54,7 +54,7 @@ object SkewProbe {
       factor: Int): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     val marker = new java.io.File(dst, "_SUCCESS")
-    val stamp = s"src=$src factor=$factor skew=zipf-v1"
+    val stamp = s"src=$src factor=$factor skew=zipf-v2"
     if (marker.exists()) {
       val prev = new String(
         java.nio.file.Files.readAllBytes(marker.toPath), UTF_8).trim
@@ -69,7 +69,7 @@ object SkewProbe {
     val extraDocs = docs.crossJoin(copies)
       .withColumn("doc_id", col("doc_id") + col("__i") * Replicate.Shift)
       .withColumn("source", lit("src0"))
-      .withColumn("text", when(col("doc_id") % 97 === 0,
+      .withColumn("text", when(col("doc_id") % 7 === 0,
         concat(hotTitle(col("doc_id")), col("text")))
         .otherwise(col("text")))
       .drop("__i")
@@ -79,7 +79,7 @@ object SkewProbe {
     val emb = Tables.load(spark, src, "embeddings")
     val extraEmb = emb.crossJoin(copies)
       .withColumn("vec_id", col("vec_id") + col("__i") * Replicate.Shift)
-      .withColumn("embedding", when(col("vec_id") % 59 === 0,
+      .withColumn("embedding", when(col("vec_id") % 5 === 0,
         transform(col("embedding"), (x, i) =>
           when(i === 0, lit(100.0f)).otherwise(x * lit(0.001f))))
         .otherwise(col("embedding")))
