@@ -314,20 +314,20 @@ object ParseOps {
        |meta AS (SELECT *,
        |  CAST(regexp_extract(file, '^.(..)(..)([0-9]{4})', 3) AS INT) AS fs
        |  FROM parsed),
-       |ranked AS (SELECT *,
-       |  row_number() OVER (PARTITION BY file ORDER BY datetime ASC, rad ASC) AS rn_first,
-       |  row_number() OVER (PARTITION BY file ORDER BY datetime DESC, rad DESC) AS rn_last
-       |  FROM meta),
        |agg AS (SELECT file, any_value(fs) AS fs,
        |  max(vmax) AS vmax_max,
-       |  max(CASE WHEN rn_first = 1 THEN basin END) AS basin_first,
-       |  max(CASE WHEN rn_last = 1 THEN snum END) AS snum_last,
-       |  max(CASE WHEN rn_last = 1 THEN subregion END) AS subregion_last,
-       |  max(CASE WHEN rn_last = 1 THEN stormname END) AS name_last,
-       |  max(CASE WHEN rn_first = 1 THEN lat END) AS lat_first,
-       |  max(CASE WHEN rn_first = 1 THEN lon END) AS lon_first,
+       |  ${pickSql(Seq("datetime", "coalesce(rad, 0)"), "basin", "''",
+            largest = false)} AS basin_first,
+       |  ${pickSql(Seq("datetime", "coalesce(rad, 0)"), "snum", "0",
+            largest = true)} AS snum_last,
+       |  ${pickSql(Seq("datetime", "coalesce(rad, 0)"), "subregion", "''",
+            largest = true)} AS subregion_last,
+       |  ${pickSql(Seq("datetime", "coalesce(rad, 0)"), "stormname", "''",
+            largest = true)} AS name_last,
+       |  ${pickSql(Seq("datetime"), "lat", "0", largest = false)} AS lat_first,
+       |  ${pickSql(Seq("datetime"), "lon", "0", largest = false)} AS lon_first,
        |  min(datetime) AS start_date, max(datetime) AS end_date
-       |  FROM ranked GROUP BY file),
+       |  FROM meta GROUP BY file),
        |nc AS (SELECT file, stormname, count(*) AS c FROM meta
        |  WHERE stormname IS NOT NULL GROUP BY file, stormname),
        |md AS (SELECT file, stormname AS name_mode FROM (
@@ -360,9 +360,27 @@ object ParseOps {
   private def radialSql(r: Int, q: String): String =
     s"CAST(max(CASE WHEN rad = $r AND $q >= 0 THEN $q END) AS INT) AS r${r}_$q"
 
+  /** DuckDB replay of [[AtcfParser.pickByKey]]: arg-min/arg-max by the
+    * SAME (key…, null-rank, coalesced value) struct, so key duplicates
+    * and null values order identically on both engines (DuckDB's plain
+    * aggregates ignore nulls and row_number ties are arbitrary — both
+    * diverge from Spark's struct order once the sf1 replica duplicates
+    * (datetime, rad) keys). */
+  private[ops] def pickSql(keys: Seq[String], c: String, sentinel: String,
+      largest: Boolean): String = {
+    val agg = if (largest) "max" else "min"
+    val kFields = keys.zipWithIndex
+      .map { case (k, i) => s"k$i := ($k)" }.mkString(", ")
+    val sp = s"$agg(struct_pack($kFields, " +
+      s"vn := CASE WHEN $c IS NULL THEN 0 ELSE 1 END, " +
+      s"v := coalesce($c, $sentinel)))"
+    s"CASE WHEN ($sp)['vn'] = 0 THEN NULL ELSE ($sp)['v'] END"
+  }
+
   private val observationsOracle = {
     val f34 = Seq("lat", "lon", "vmax", "mslp", "pouter", "roci", "rmw")
-      .map(c => s"max(CASE WHEN rad = 34 THEN $c END) AS $c").mkString(",\n  ")
+      .map(c => pickSql(Seq("coalesce(rad, 0)"), c, "0", largest = false) +
+        s" AS $c").mkString(",\n  ")
     val radials = (for (r <- Seq(34, 50, 64); q <- Seq("ne", "se", "sw", "nw"))
       yield radialSql(r, q)).mkString(",\n  ")
     val radialNames = (for (r <- Seq(34, 50, 64); q <- Seq("ne", "se", "sw", "nw"))
@@ -398,7 +416,8 @@ object ParseOps {
     * and q_ref_track_extraction so the validator replay lives ONCE. */
   private[ops] val adeckStepsCte = {
     val f34 = Seq("lat", "lon", "vmax", "mslp")
-      .map(c => s"max(CASE WHEN rad = 34 THEN $c END) AS $c").mkString(",\n  ")
+      .map(c => pickSql(Seq("coalesce(rad, 0)"), c, "0", largest = false) +
+        s" AS $c").mkString(",\n  ")
     s"""$adeckOraclePrefix,
        |o1 AS (SELECT file,
        |  upper(substr(file, 2, 2)) AS region,

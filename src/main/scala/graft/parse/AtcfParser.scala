@@ -114,24 +114,46 @@ object AtcfParser {
     .withColumn("file_season",
       regexp_extract(col("file"), "^.(..)(..)([0-9]{4})", 3).cast("int"))
 
+  /** Arg-min/arg-max by key with an EXPLICIT total order under key
+    * DUPLICATES and null values: the ordered struct is (key, null-rank,
+    * coalesced value), so tie-break on equal keys is "null value first,
+    * then smallest value" — on BOTH engines (the DuckDB oracles replay
+    * the identical struct). Plain `min(struct(k, v))` relied on Spark's
+    * null-first struct ordering, which DuckDB's aggregates (null-
+    * IGNORING) and row_number replays (arbitrary on ties) don't share;
+    * unique keys masked the difference until the sf1 replica sweep
+    * introduced duplicate (datetime, rad) keys. */
+  private[parse] def pickByKey(k: Column, v: Column, sentinel: Column,
+      largest: Boolean): Column = {
+    val s = struct(k.as("k"),
+      when(v.isNull, 0).otherwise(1).as("vn"),
+      coalesce(v, sentinel).as("v"))
+    val m = if (largest) max(s) else min(s)
+    when(m.getField("vn") === 0, lit(null)).otherwise(m.getField("v"))
+  }
+
   /** Per-file storm summary — the set-based `toStormDict`
     * (tcdb/etl/atcf.py:289-337). One aggregation pass per file; "last row"
     * becomes max-by event time (b-decks are chronologically ordered).
     */
   def stormSummaries(bdeck: DataFrame): DataFrame = {
     val rowKey = struct(col("datetime"), coalesce(col("rad"), lit(0.0)))
+    def firstStr(c: String) = pickByKey(rowKey, col(c), lit(""), largest = false)
+    def lastStr(c: String) = pickByKey(rowKey, col(c), lit(""), largest = true)
     val grouped = fileMeta(bdeck)
       .groupBy("file", "file_basin", "file_nhc_number", "file_season")
       .agg(
         max("vmax").as("vmax_max"),
-        min(struct(rowKey.as("k"), col("basin").as("v"))).getField("v").as("basin_first"),
-        max(struct(rowKey.as("k"), col("snum").as("v"))).getField("v").as("snum_last"),
-        max(struct(rowKey.as("k"), col("subregion").as("v"))).getField("v").as("subregion_last"),
-        max(struct(rowKey.as("k"), col("stormname").as("v"))).getField("v").as("name_last"),
+        firstStr("basin").as("basin_first"),
+        pickByKey(rowKey, col("snum"), lit(0), largest = true).as("snum_last"),
+        lastStr("subregion").as("subregion_last"),
+        lastStr("stormname").as("name_last"),
         // mode of stormname with pandas' tie-break (lexicographic min):
         // max count, then min value — computed distributed-safe below.
-        min(struct(col("datetime").as("k"), col("lat").as("v"))).getField("v").as("lat_first"),
-        min(struct(col("datetime").as("k"), col("lon").as("v"))).getField("v").as("lon_first"),
+        pickByKey(col("datetime"), col("lat"), lit(0.0), largest = false)
+          .as("lat_first"),
+        pickByKey(col("datetime"), col("lon"), lit(0.0), largest = false)
+          .as("lon_first"),
         min("datetime").as("start_date"),
         max("datetime").as("end_date"))
 
@@ -175,8 +197,8 @@ object AtcfParser {
     */
   def observations(bdeck: DataFrame): DataFrame = {
     val first = (c: String) =>
-      min(struct(coalesce(col("rad"), lit(0.0)).as("k"), col(c).as("v")))
-        .getField("v").as(c)
+      pickByKey(coalesce(col("rad"), lit(0.0)), col(c), lit(0.0),
+        largest = false).as(c)
     bdeck.groupBy(col("file"), col("datetime").as("datetime_utc"))
       .agg(
         first("lat"), first("lon"), first("vmax"), first("mslp"),
@@ -202,8 +224,8 @@ object AtcfParser {
     * (tcdb/etl/atcf_forecasts.py:119-131, atcf.py:388-415). */
   def forecastSteps(adeck: DataFrame): DataFrame = {
     val first = (c: String) =>
-      min(struct(coalesce(col("rad"), lit(0.0)).as("k"), col(c).as("v")))
-        .getField("v").as(c)
+      pickByKey(coalesce(col("rad"), lit(0.0)), col(c), lit(0.0),
+        largest = false).as(c)
     fileMeta(adeck)
       .groupBy(col("file"), col("file_basin").as("region"),
         col("file_nhc_number").as("nhc_number"),
