@@ -56,9 +56,11 @@ object MatchOps {
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("canon_id"))
-    val sizes = resolved.groupBy("canon_id")
-      .agg(count(lit(1)).as("cluster_size"))
-    resolved.join(sizes, "canon_id")
+    // cluster size as a count window: one canon_id exchange instead of
+    // an aggregate plus a join back over the same rows
+    resolved
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("canon_id")))
       .select("doc_id", "canon_id", "cluster_size")
       .orderBy("doc_id")
   }
