@@ -101,8 +101,18 @@ object EditJoin {
     // scanned/tokenized once and every downstream consumer reuses one
     // exchange instead of rebuilding a members frame per branch
     // (measured: the per-branch broadcast builds re-ran the scan).
+    // The shuffle is an EXPLICIT-width repartition with the aggregate
+    // running on its partitioning: collect_list gives partial
+    // aggregation nothing to reduce (partial lists carry the same ids
+    // as raw rows), so the bytes moved are identical at any scale —
+    // but the explicit width survives AQE, which otherwise coalesces
+    // the small collapsed frame to ONE partition and serializes every
+    // downstream partition-local window sort on a single task
+    // (measured ~1 s single-threaded at sf0.1).
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val s2 = df.filter(col(strCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
+      .repartition(nParts, col("str"))
       .groupBy("str").agg(min("id").as("id"),
         sort_array(collect_list("id")).as("ids"))
       .withColumn("len", length(col("str")))
@@ -131,7 +141,6 @@ object EditJoin {
     // to one partition and serialize the whole verify on a single task
     // (measured: 52 s -> ~3 s at sf0.1). An explicit-width repartition
     // on the join key is preserved by AQE and spreads the bucket work.
-    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val g = gramsOf(s, floor, q)
     val prefixP = prefixWithFreq(g, gramFreq(g), maxDist, q)
       .repartition(nParts, col("gram"), col("occ"))

@@ -19,9 +19,19 @@ object JobTrace {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val site = j.stageInfos.lastOption.map(_.details.linesIterator
           .filter(_.contains("graft")).take(1).mkString).getOrElse("")
-        val names = j.stageInfos.map(_.name.takeWhile(_ != ' ')).mkString(",")
+        // per stage: task count + the most operator-like RDD scope names
+        // (project/aggregate/exchange/...) so a job is identifiable
+        // without the Spark UI
+        val names = j.stageInfos.map { s =>
+          val ops = s.rddInfos.flatMap(_.scope)
+            .flatMap(_.name.split("\\n")).map(_.takeWhile(_ != ' '))
+            .filterNot(n => n.isEmpty || n == "WholeStageCodegen" ||
+              n == "mapPartitionsInternal")
+            .distinct.take(4).mkString("+")
+          s"${s.numTasks}t:$ops"
+        }.mkString(" | ")
         starts(j.jobId) = (System.nanoTime(),
-          s"${j.stageInfos.size} stages [$names] $site".take(140))
+          s"${j.stageInfos.size} stages [$names] $site".take(240))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { case (t0, d) =>
