@@ -101,18 +101,8 @@ object EditJoin {
     // scanned/tokenized once and every downstream consumer reuses one
     // exchange instead of rebuilding a members frame per branch
     // (measured: the per-branch broadcast builds re-ran the scan).
-    // The shuffle is an EXPLICIT-width repartition with the aggregate
-    // running on its partitioning: collect_list gives partial
-    // aggregation nothing to reduce (partial lists carry the same ids
-    // as raw rows), so the bytes moved are identical at any scale —
-    // but the explicit width survives AQE, which otherwise coalesces
-    // the small collapsed frame to ONE partition and serializes every
-    // downstream partition-local window sort on a single task
-    // (measured ~1 s single-threaded at sf0.1).
-    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val s2 = df.filter(col(strCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(strCol).as("str"))
-      .repartition(nParts, col("str"))
       .groupBy("str").agg(min("id").as("id"),
         sort_array(collect_list("id")).as("ids"))
       .withColumn("len", length(col("str")))
@@ -141,8 +131,8 @@ object EditJoin {
     // to one partition and serialize the whole verify on a single task
     // (measured: 52 s -> ~3 s at sf0.1). An explicit-width repartition
     // on the join key is preserved by AQE and spreads the bucket work.
-    val g = gramsOf(s, floor, q)
-    val prefixP = prefixWithFreq(g, gramFreq(g), maxDist, q)
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val prefixP = prefixSelf(gramsOf(s, floor, q), maxDist, q)
       .repartition(nParts, col("gram"), col("occ"))
 
     val verified = verifiedPairs(prefixP, prefixP,
@@ -202,18 +192,23 @@ object EditJoin {
       "str_l", "str_r", maxDist)
 
     // gram branch over both-long pairs, prefixes under ONE shared order:
-    // the shared element frequency aggregates over the UNION of both
-    // sides' (gram, occ) rows (the prefix-filter theorem needs one total
-    // order across both corpora) and broadcasts back to each side, whose
-    // rank window then runs on its own still-str-partitioned gram frame
-    // — the union itself never shuffles
-    val lg = gramsOf(ls, floor, q)
-    val rg = gramsOf(rs, floor, q)
-    val freq = gramFreq(lg.unionByName(rg))
+    // both sides' grams union into one frame, the shared element
+    // frequency is a count window over (gram, occ) on that union (no
+    // aggregate + join-back), and the per-string rank partitions on
+    // (side, id) — ids may collide across corpora
+    val u = gramsOf(ls, floor, q).withColumn("side", lit("l"))
+      .unionByName(gramsOf(rs, floor, q).withColumn("side", lit("r")))
+    val pfx = u
+      .withColumn("freq",
+        count(lit(1)).over(Window.partitionBy("gram", "occ")))
+      .withColumn("rn", row_number().over(Window.partitionBy("side", "id")
+        .orderBy(col("freq"), col("gram"), col("occ"))))
+      .filter(col("rn") <= maxDist * q + 1)
+      .select("side", "id", "len", "str", "gram", "occ")
     val nParts = left.sparkSession.sessionState.conf.numShufflePartitions
-    val lp = prefixWithFreq(lg, freq, maxDist, q)
+    val lp = pfx.filter(col("side") === "l").drop("side")
       .repartition(nParts, col("gram"), col("occ"))
-    val rp = prefixWithFreq(rg, freq, maxDist, q)
+    val rp = pfx.filter(col("side") === "r").drop("side")
       .repartition(nParts, col("gram"), col("occ"))
 
     val verified = verifiedPairs(lp, rp,
@@ -263,42 +258,35 @@ object EditJoin {
       .groupBy("str").agg(min("id").as("id"))
       .withColumn("len", length(col("str")))
 
-  /** Positional q-grams of each collapsed string, with per-(string,
-    * gram) occurrence indexes. The input is a [[collapse]] output —
-    * hash-partitioned by `str` from its groupBy — and `str` ↔ `id` are
-    * bijective there, so the occurrence window partitions by
-    * (`str`, `gram`): `HashPartitioning(str)` already satisfies that
-    * clustering and the window plans as a partition-local SORT with no
-    * exchange. (The former (`id`, `gram`) spec forced a full shuffle of
-    * the gram rows — the fuzzy family's single biggest data motion.) */
   private def gramsOf(s: DataFrame, floor: Int, q: Int): DataFrame =
     s.filter(col("len") >= floor)
       .select(col("id"), col("len"), col("str"),
         posexplode(transform(sequence(lit(1), col("len") - (q - 1)),
           i => col("str").substr(i, lit(q)))).as(Seq("pos", "gram")))
       .withColumn("occ", row_number().over(
-        Window.partitionBy("str", "gram").orderBy("pos")))
+        Window.partitionBy("id", "gram").orderBy("pos")))
       .select("id", "len", "str", "gram", "occ")
 
-  /** Element frequencies of a gram frame: one partial-aggregated
-    * groupBy — (gram, occ) cardinality is alphabet-bounded, so the
-    * shuffle moves counter rows, never gram rows, and the result is
-    * broadcast back by [[prefixWithFreq]]. */
-  private def gramFreq(g: DataFrame): DataFrame =
-    g.groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
-
-  /** Prefix selection against an explicit frequency relation (frozen at
-    * build time for the persisted-index path, [[gramFreq]] of the frame
-    * itself for the in-plan paths; unseen grams get frequency 0 — any
-    * consistent total order satisfies the prefix-filter theorem). The
-    * frequency side broadcasts and the rank window partitions by `str`,
-    * so the gram rows — still on their collapse partitioning — never
-    * exchange: the whole selection is one in-place sort. */
-  private def prefixWithFreq(g: DataFrame, freq: DataFrame, maxDist: Int,
+  /** Prefix selection against an EXPLICIT frequency relation — the
+    * persisted-index path, where the element order is frozen at build
+    * time (batch grams unseen by the corpus get frequency 0). */
+  private def prefixOf(g: DataFrame, freq: DataFrame, maxDist: Int,
       q: Int): DataFrame =
-    g.join(broadcast(freq), Seq("gram", "occ"), "left")
+    g.join(freq, Seq("gram", "occ"), "left")
       .na.fill(0L, Seq("freq"))
-      .withColumn("rn", row_number().over(Window.partitionBy("str")
+      .withColumn("rn", row_number().over(Window.partitionBy("id")
+        .orderBy(col("freq"), col("gram"), col("occ"))))
+      .filter(col("rn") <= maxDist * q + 1)
+      .select("id", "len", "str", "gram", "occ")
+
+  /** Prefix selection where the frequency IS the gram frame's own
+    * (gram, occ) count — one count window on the existing shuffle
+    * instead of an aggregate plus a join back (same values, two fewer
+    * stages; the in-plan self-join path). */
+  private def prefixSelf(g: DataFrame, maxDist: Int, q: Int): DataFrame =
+    g.withColumn("freq",
+        count(lit(1)).over(Window.partitionBy("gram", "occ")))
+      .withColumn("rn", row_number().over(Window.partitionBy("id")
         .orderBy(col("freq"), col("gram"), col("occ"))))
       .filter(col("rn") <= maxDist * q + 1)
       .select("id", "len", "str", "gram", "occ")
@@ -321,7 +309,7 @@ object EditJoin {
     store.write(s"${name}_members", members)
     store.write(s"${name}_strings", s.select("str", "id", "len"))
     store.write(s"${name}_freq", freq)
-    store.write(s"${name}_prefix", prefixWithFreq(g, freq, maxDist, q))
+    store.write(s"${name}_prefix", prefixOf(g, freq, maxDist, q))
     store.write(s"${name}_meta", Seq((maxDist, q)).toDF("max_dist", "q"))
   }
 
@@ -353,7 +341,7 @@ object EditJoin {
 
     val freq = store.read(s"${name}_freq", freqSchema)
     val nParts = batch.sparkSession.sessionState.conf.numShufflePartitions
-    val bp = prefixWithFreq(gramsOf(bs, floor, q), freq, maxDist, q)
+    val bp = prefixOf(gramsOf(bs, floor, q), freq, maxDist, q)
       .repartition(nParts, col("gram"), col("occ"))
     val cp = store.read(s"${name}_prefix", prefixSchema)
       .repartition(nParts, col("gram"), col("occ"))
@@ -448,7 +436,7 @@ object EditJoin {
     publishBatch(members, store.path(s"${name}_members"), batchTag)
     publishBatch(s.select("str", "id", "len"),
       store.path(s"${name}_strings"), batchTag)
-    publishBatch(prefixWithFreq(gramsOf(s, floor, q), freq, maxDist, q),
+    publishBatch(prefixOf(gramsOf(s, floor, q), freq, maxDist, q),
       store.path(s"${name}_prefix"), batchTag)
     // cross-table commit point, written LAST (IndexCommits contract)
     graft.dedup.IndexCommits.mark(store, name, batchTag)
