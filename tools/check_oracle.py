@@ -36,6 +36,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     import os
+    # Large-replica sweeps: a quadratic oracle (all-pairs edges feeding a
+    # recursive CTE) can balloon past physical RAM — one sf1 run was
+    # OOM-killed at 83 GB RSS. A memory cap + spill dir turns that into
+    # either a spilled (slow but correct) run or a loud per-query DuckDB
+    # error instead of a dead process.
+    mem = os.environ.get("DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET temp_directory='{out_dir}/_duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written replica dirs vs plain files
