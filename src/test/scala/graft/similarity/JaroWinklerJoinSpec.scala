@@ -129,4 +129,98 @@ class JaroWinklerJoinSpec extends AnyFunSuite {
       JaroWinklerJoin.selfJoin(df, "id", "name", 0.7)
     }
   }
+
+  // ---- approximate (sorted-neighborhood) mode
+
+  test("selfJoinApprox is a subset of selfJoin and EQUALS it when the " +
+      "window covers the whole corpus") {
+    val df = names.toDF("id", "name")
+    for (t <- Seq(0.85, 0.9)) {
+      val exact = brute(t)
+      val cover = JaroWinklerJoin.selfJoinApprox(df, "id", "name", t,
+          window = names.size)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(cover == exact, s"full-window approx must equal exact at $t")
+      val narrow = JaroWinklerJoin.selfJoinApprox(df, "id", "name", t,
+          window = 2)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(narrow.subsetOf(exact),
+        s"approx pairs must all be exact pairs at $t (precision 1)")
+      // identical strings always pair regardless of window (exact branch)
+      assert(narrow.contains((9L, 11L, 1.0)))
+    }
+  }
+
+  test("joinApprox and bestMatchApprox equal their exact forms at a " +
+      "covering window, subset below it") {
+    val left = names.filter(_._1 % 2 == 1).toDF("id", "name")
+    val right = names.filter(_._1 % 2 == 0).toDF("id", "name")
+    val t = 0.85
+    val exact = JaroWinklerJoin.join(left, right, "id", "name", t)
+      .as[(Long, Long, Double)].collect().toSet
+    val cover = JaroWinklerJoin.joinApprox(left, right, "id", "name", t,
+        window = 2 * names.size)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cover == exact)
+    val narrow = JaroWinklerJoin.joinApprox(left, right, "id", "name", t,
+        window = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(narrow.subsetOf(exact))
+    val bm = JaroWinklerJoin.bestMatchApprox(left, right, "id", "name", t,
+        window = 2 * names.size)
+      .as[(Long, Long, Double)].collect().toSet
+    val bmExact = JaroWinklerJoin.bestMatch(left, right, "id", "name", t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bm == bmExact)
+  }
+
+  test("pairs budget guard: fails loudly past the budget, invisible " +
+      "when it passes") {
+    val df = names.toDF("id", "name")
+    val e = intercept[IllegalStateException] {
+      JaroWinklerJoin.selfJoin(df, "id", "name", 0.9,
+        maxCandidatePairs = 3)
+    }
+    assert(e.getMessage.contains("maxCandidatePairs=3"))
+    assert(e.getMessage.contains("selfJoinApprox"),
+      "the failure must name the approximate escape hatch")
+    // a generous budget changes nothing
+    val guarded = JaroWinklerJoin.selfJoin(df, "id", "name", 0.9,
+        maxCandidatePairs = 1000000L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(guarded == brute(0.9))
+    // cross form too
+    val left = names.filter(_._1 % 2 == 1).toDF("id", "name")
+    intercept[IllegalStateException] {
+      JaroWinklerJoin.join(left, df, "id", "name", 0.9,
+        maxCandidatePairs = 3)
+    }
+    val crossOk = JaroWinklerJoin.join(left, df, "id", "name", 0.9,
+        maxCandidatePairs = 1000000L)
+      .as[(Long, Long, Double)].collect().toSet
+    val crossExact = JaroWinklerJoin.join(left, df, "id", "name", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(crossOk == crossExact)
+  }
+
+  test("guard estimate tracks the length histogram: a hot length band " +
+      "trips a budget the uniform corpus clears") {
+    // DISTINCT strings (varying char so the exact-collapse keeps all 60):
+    // uniform spreads over 10 log2 length buckets (6 strings each,
+    // estimate ~6*18*10 ~ 1080); hot packs all 60 into ONE bucket
+    // (lengths 32..47, estimate 60*60 = 3600)
+    def mk(c: Int, len: Int) = ('a' + c % 26).toChar.toString * len
+    val uniform = (0 until 60).map(i =>
+      (i.toLong, mk(i, 1 << (i % 10)))).toDF("id", "name")
+    val hot = (0 until 60).map(i =>
+      (i.toLong, mk(i, 32 + i % 16))).toDF("id", "name")
+    // budget sized between the two estimates: uniform passes, hot trips
+    val budget = 2000L
+    JaroWinklerJoin.selfJoin(uniform, "id", "name", 0.9,
+      maxCandidatePairs = budget).collect()
+    intercept[IllegalStateException] {
+      JaroWinklerJoin.selfJoin(hot, "id", "name", 0.9,
+        maxCandidatePairs = budget)
+    }
+  }
 }
