@@ -26,6 +26,25 @@ import org.apache.spark.sql.functions._
   *    registered domain (prevailing-rule semantics for hosts like
   *    `localhost`). A host that IS a public suffix returns itself.
   *
+  * Verified against the canonical checkPublicSuffix test vectors
+  * (publicsuffix.org's public-domain test data, transcribed in
+  * PublicSuffixSpec — every class: mixed case, leading dots, unlisted
+  * TLDs, wildcard-only TLDs, the kyoto/kobe.jp block, ck wildcard +
+  * exception, US K12, and the IDN block in unicode AND punycode), with
+  * two documented convention translations:
+  *  - the official function returns NULL when the registrable part is
+  *    empty (host IS a public suffix / a lone unlisted label); this
+  *    extractor returns the lowercased host itself — a BUCKETING key
+  *    must not pool every suffix host into one null bucket;
+  *  - structurally invalid hosts (empty, leading/trailing dot, empty
+  *    label) return null in both conventions.
+  * IDN handling: matching is string-level on labels by design — no
+  * punycode encode/decode happens here, so hosts and rules must be in
+  * the SAME encoding (the caller's URL canonicalization step decides
+  * which); a full-PSL deployment that serves both spellings simply
+  * loads both rule forms, as the vector spec does for 公司.cn /
+  * xn--55qx5d.cn.
+  *
   * 100 TB shape: the rule table — ~9k rules for the full PSL, the
   * [[builtin]] subset here — is driver-bounded by the PSL contract, so
   * it compiles straight into per-label-count `InSet` membership
@@ -127,10 +146,17 @@ object PublicSuffix {
         (if (lv.plain.nonEmpty) Seq(lv.k) else Nil) ++
         (if (lv.wild.nonEmpty) Seq(lv.k + 1) else Nil)
     }.distinct.filter(_ >= 0).sorted
-    coalesce(possibleLens.map { l =>
-      when(len === l, substring_index(h, ".", -(l + 1)))
-    } :+ when(h.contains("."), regexp_extract(h, "([^.]+\\.[^.]+)$", 1))
-      .otherwise(h): _*)
+    // Malformed hosts (empty, leading/trailing dot, empty label) are
+    // NOT valid hostnames per the PSL test vectors ('.example.com' →
+    // null) — bucketing them as if the empty label were real would
+    // silently pool crawl garbage under ".com". Null, loudly.
+    val malformed = h === "" || h.startsWith(".") || h.endsWith(".") ||
+      h.contains("..")
+    when(!malformed,
+      coalesce(possibleLens.map { l =>
+        when(len === l, substring_index(h, ".", -(l + 1)))
+      } :+ when(h.contains("."), regexp_extract(h, "([^.]+\\.[^.]+)$", 1))
+        .otherwise(h): _*))
   }
 
   /** Append `outCol` = the PSL registered domain of `hostCol`.

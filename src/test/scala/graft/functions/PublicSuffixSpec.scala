@@ -97,6 +97,146 @@ class PublicSuffixSpec extends AnyFunSuite {
     assert(got("plain.zz") == "plain.zz") // zz itself is not a rule → last-two
   }
 
+  test("canonical publicsuffix.org checkPublicSuffix vectors " +
+      "(transcribed), against the official rules they exercise") {
+    // The checkPublicSuffix test data published with the PSL
+    // (publicsuffix.org/list — the test file dedicates any copyright to
+    // the public domain), transcribed: every vector class is here —
+    // null input, mixed case, leading dots, unlisted TLDs, 1-rule and
+    // 2-level TLDs, wildcard-only TLDs (*.mm), the kyoto/kobe.jp
+    // complex block, wildcard+exception (ck), US K12, and the IDN block
+    // in BOTH unicode and punycode forms. The rule set below is the
+    // subset of the official list those vectors exercise (including the
+    // unicode AND punycode spellings of the cn/中国 rules:
+    // registeredDomain does string-level matching by design — IDN
+    // encoding conversion is the caller's canonicalization step, so the
+    // rule table must carry the encodings the hosts use).
+    //
+    // Convention translation, documented in the Scaladoc: where the
+    // official function returns NULL for a structurally VALID host
+    // because the host IS a public suffix (or a lone unlisted label, an
+    // implicit-* suffix), this extractor returns the lowercased host
+    // itself — a bucketing key must not collapse every suffix-host into
+    // one null bucket. Official nulls for INVALID hosts (null, leading
+    // dot) stay null here.
+    val rules = Seq(
+      "ac", "biz", "com", "uk.com", "*.mm",
+      "jp", "ac.jp", "kyoto.jp", "ide.kyoto.jp", "*.kobe.jp",
+      "!city.kobe.jp", "*.ck", "!www.ck",
+      "us", "ak.us", "k12.ak.us",
+      "cn", "com.cn", "公司.cn", "中国",
+      "xn--55qx5d.cn", "xn--fiqs8s").toDF("suffix")
+    // (host, official checkPublicSuffix expectation)
+    val vectors: Seq[(String, Option[String])] = Seq(
+      // null input handled separately below
+      // Mixed case
+      "COM" -> None,
+      "example.COM" -> Some("example.com"),
+      "WwW.example.COM" -> Some("example.com"),
+      // Leading dot (invalid)
+      ".com" -> None, ".example" -> None, ".example.com" -> None,
+      ".example.example" -> None,
+      // Unlisted TLD (implicit * rule)
+      "example" -> None,
+      "example.example" -> Some("example.example"),
+      "b.example.example" -> Some("example.example"),
+      "a.b.example.example" -> Some("example.example"),
+      // TLD with only 1 rule
+      "biz" -> None,
+      "domain.biz" -> Some("domain.biz"),
+      "b.domain.biz" -> Some("domain.biz"),
+      "a.b.domain.biz" -> Some("domain.biz"),
+      // TLD with some 2-level rules
+      "com" -> None,
+      "example.com" -> Some("example.com"),
+      "b.example.com" -> Some("example.com"),
+      "a.b.example.com" -> Some("example.com"),
+      "uk.com" -> None,
+      "example.uk.com" -> Some("example.uk.com"),
+      "b.example.uk.com" -> Some("example.uk.com"),
+      "a.b.example.uk.com" -> Some("example.uk.com"),
+      "test.ac" -> Some("test.ac"),
+      // TLD with only 1 (wildcard) rule
+      "mm" -> None,
+      "c.mm" -> None,
+      "b.c.mm" -> Some("b.c.mm"),
+      "a.b.c.mm" -> Some("b.c.mm"),
+      // More complex TLD
+      "jp" -> None,
+      "test.jp" -> Some("test.jp"),
+      "www.test.jp" -> Some("test.jp"),
+      "ac.jp" -> None,
+      "test.ac.jp" -> Some("test.ac.jp"),
+      "www.test.ac.jp" -> Some("test.ac.jp"),
+      "kyoto.jp" -> None,
+      "test.kyoto.jp" -> Some("test.kyoto.jp"),
+      "ide.kyoto.jp" -> None,
+      "b.ide.kyoto.jp" -> Some("b.ide.kyoto.jp"),
+      "a.b.ide.kyoto.jp" -> Some("b.ide.kyoto.jp"),
+      "c.kobe.jp" -> None,
+      "b.c.kobe.jp" -> Some("b.c.kobe.jp"),
+      "a.b.c.kobe.jp" -> Some("b.c.kobe.jp"),
+      "city.kobe.jp" -> Some("city.kobe.jp"),
+      "www.city.kobe.jp" -> Some("city.kobe.jp"),
+      // TLD with a wildcard rule and exceptions
+      "ck" -> None,
+      "test.ck" -> None,
+      "b.test.ck" -> Some("b.test.ck"),
+      "a.b.test.ck" -> Some("b.test.ck"),
+      "www.ck" -> Some("www.ck"),
+      "www.www.ck" -> Some("www.ck"),
+      // US K12
+      "us" -> None,
+      "test.us" -> Some("test.us"),
+      "www.test.us" -> Some("test.us"),
+      "ak.us" -> None,
+      "test.ak.us" -> Some("test.ak.us"),
+      "www.test.ak.us" -> Some("test.ak.us"),
+      "k12.ak.us" -> None,
+      "test.k12.ak.us" -> Some("test.k12.ak.us"),
+      "www.test.k12.ak.us" -> Some("test.k12.ak.us"),
+      // IDN labels (unicode forms)
+      "食狮.com.cn" -> Some("食狮.com.cn"),
+      "食狮.公司.cn" -> Some("食狮.公司.cn"),
+      "www.食狮.公司.cn" -> Some("食狮.公司.cn"),
+      "shishi.公司.cn" -> Some("shishi.公司.cn"),
+      "公司.cn" -> None,
+      "食狮.中国" -> Some("食狮.中国"),
+      "www.食狮.中国" -> Some("食狮.中国"),
+      "shishi.中国" -> Some("shishi.中国"),
+      "中国" -> None,
+      // Same as above, but punycoded
+      "xn--85x722f.com.cn" -> Some("xn--85x722f.com.cn"),
+      "xn--85x722f.xn--55qx5d.cn" -> Some("xn--85x722f.xn--55qx5d.cn"),
+      "www.xn--85x722f.xn--55qx5d.cn" -> Some("xn--85x722f.xn--55qx5d.cn"),
+      "shishi.xn--55qx5d.cn" -> Some("shishi.xn--55qx5d.cn"),
+      "xn--55qx5d.cn" -> None,
+      "xn--85x722f.xn--fiqs8s" -> Some("xn--85x722f.xn--fiqs8s"),
+      "www.xn--85x722f.xn--fiqs8s" -> Some("xn--85x722f.xn--fiqs8s"),
+      "shishi.xn--fiqs8s" -> Some("shishi.xn--fiqs8s"),
+      "xn--fiqs8s" -> None)
+
+    def oursExpected(host: String, official: Option[String]): Option[String] =
+      if (host.startsWith(".")) None // invalid → null in both conventions
+      else official.orElse(Some(host.toLowerCase)) // suffix = own bucket
+
+    val df = vectors.map(_._1).toDF("host")
+    val got = PublicSuffix.withRegisteredDomain(df, "host", "domain",
+        suffixes = Some(rules))
+      .select("host", "domain").as[(String, String)]
+      .collect().map { case (h, d) => h -> Option(d) }.toMap
+    vectors.foreach { case (h, official) =>
+      assert(got(h) == oursExpected(h, official),
+        s"host $h: got ${got(h)}, official $official, " +
+          s"ours-expected ${oursExpected(h, official)}")
+    }
+    // null input → null output
+    val nullGot = PublicSuffix.withRegisteredDomain(
+        Seq(Option.empty[String]).toDF("host"), "host", "domain")
+      .select("domain").collect()(0)
+    assert(nullGot.isNullAt(0))
+  }
+
   test("the seam never shuffles: PSL matching is one map-side project") {
     // The rule table is driver-bounded by the PSL contract, so it
     // compiles to InSet predicates: no join, no exchange of ANY kind.
