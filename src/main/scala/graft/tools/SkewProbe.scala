@@ -32,12 +32,35 @@ import graft.{Session, SparkEntry, Tables}
   *    one IVF cell, making one hot cell-join key
   *    (probes q_ann_knn_join's cell-partitioned shuffle join).
   *
-  * Only `documents` and `embeddings` are written — the probe queries
-  * read nothing else; do not point other gates at the skew directory. */
+  * Wave 2 (round 16) adds the dedup/stateful hot spots wave 1 skipped:
+  *  - mega user: every replicated EVENT lands on `user_id = 0` — one
+  *    user holds ~97% of events at 32×, the single-partition window
+  *    regime (probes q_sessionize's per-user ordered window and
+  *    q_funnel's per-user conditional aggregation).
+  *  - hot line hash: replicated docs with `doc_id % 11 = 3` get one
+  *    FIXED boilerplate first line — one 64-bit line hash carried by
+  *    ~9% of all docs (probes q_dedup_lines' line-hash shuffle).
+  *  - hot MinHash band, sub-threshold: replicated docs with
+  *    `doc_id % 77 = 5` are rewritten as a FIXED ~32-token boilerplate
+  *    block + the doc's own first ~80 tokens. Distinct hot docs (~20k
+  *    at 32×) share ~30 of ~110 shingles pairwise (J ≈ 0.16, just
+  *    BELOW the 0.2 gate threshold), so banding's t^r S-curve is the
+  *    only thing between them and a 20k² verify
+  *    (probes q_dedup_groups_portable after its exact-collapse).
+  *  Priority when classes overlap: the wave-1 title prepend (% 7) wins,
+  *  then the MinHash block, then the boilerplate line — so wave-1 probe
+  *  rows are byte-identical to the v2 replica's.
+  *
+  * Only `documents`, `embeddings` and `events` are written — the probe
+  * queries read nothing else; do not point other gates at the skew
+  * directory. */
 object SkewProbe {
 
   val DefaultProbes = Seq("q_entity_resolution", "q_join_jw",
     "q_source_cap", "q_ann_knn_join")
+
+  val Wave2Probes = Seq("q_sessionize", "q_funnel", "q_dedup_lines",
+    "q_dedup_groups_portable")
 
   /** Fixed-shape hot title: 5 tokens "zk______ qw____ rt___ uv__
     * xy_____" (34 chars, constant) with md5(doc_id) hex filler. */
@@ -50,17 +73,22 @@ object SkewProbe {
 
   /** Build the skewed replica (same marker contract as
     * [[Replicate.build]]). */
+  /** Fixed ~32-token boilerplate block (every page's shared header in
+    * the below-threshold MinHash regime). */
+  private val boilerBlock: String = (1 to 32).map(i => s"bq$i").mkString(" ")
+
   def buildSkewed(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     val marker = new java.io.File(dst, "_SUCCESS")
-    val stamp = s"src=$src factor=$factor skew=zipf-v2"
+    val stamp = s"src=$src factor=$factor skew=zipf-v3"
     if (marker.exists()) {
       val prev = new String(
         java.nio.file.Files.readAllBytes(marker.toPath), UTF_8).trim
-      require(prev == stamp,
-        s"skew replica at $dst was built as '$prev', requested '$stamp'")
-      return
+      if (prev == stamp) return
+      // stale layout (an older probe wave): rebuild in place
+      println(s"[skew] rebuilding $dst: '$prev' -> '$stamp'")
+      graft.pipeline.FsUtils.deleteRecursively(new java.io.File(dst))
     }
     new java.io.File(dst).mkdirs()
     val copies = spark.range(1, factor.toLong).toDF("__i")
@@ -69,12 +97,27 @@ object SkewProbe {
     val extraDocs = docs.crossJoin(copies)
       .withColumn("doc_id", col("doc_id") + col("__i") * Replicate.Shift)
       .withColumn("source", lit("src0"))
-      .withColumn("text", when(col("doc_id") % 7 === 0,
-        concat(hotTitle(col("doc_id")), col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(hotTitle(col("doc_id")), col("text")))
+        .when(col("doc_id") % 77 === 5,
+          concat(lit(boilerBlock + " "),
+            concat_ws(" ", slice(split(col("text"), " +"), 1, 80))))
+        .when(col("doc_id") % 11 === 3,
+          concat(lit("All content on this page is provided as is " +
+            "without any warranty of any kind.\n"), col("text")))
         .otherwise(col("text")))
       .drop("__i")
     docs.unionByName(extraDocs)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val ev = Tables.load(spark, src, "events")
+    val extraEv = ev.crossJoin(copies)
+      .withColumn("event_id", col("event_id") + col("__i") * Replicate.Shift)
+      .withColumn("user_id", lit(0L)) // the mega user
+      .drop("__i")
+    ev.unionByName(extraEv)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
     val emb = Tables.load(spark, src, "embeddings")
     val extraEmb = emb.crossJoin(copies)

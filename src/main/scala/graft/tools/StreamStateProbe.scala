@@ -74,8 +74,12 @@ object StreamStateProbe {
     val (loMs, hiMs) =
       (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
     val spanDays = (hiMs - loMs) / 86400000L + 1
+    val provider = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      .map(c => if (c.contains("RocksDB")) "rocksdb" else c)
+      .getOrElse("heap")
     println(s"[streamstate] events=${ev.count()} span=${spanDays}d " +
-      s"slices=$slices factor=$factor")
+      s"slices=$slices factor=$factor provider=$provider")
 
     val delays = Seq(
       math.max(1L, spanDays / 16), math.max(2L, spanDays / 4),

@@ -25,6 +25,10 @@ Options / env:
                       written only by the shard that owns it).
   --only p1,p2        Name-prefix filter (same semantics as
                       graft.Verify's 3rd arg).
+  --skip n1,n2        Exact gate names to leave for out-of-band
+                      verification (e.g. q_join_interval at sf1, whose
+                      literal oracle is a ~28.8e9-pair range join --
+                      verify it via the pre-aggregated replay instead).
   DUCKDB_MEM          Memory cap, e.g. 20GB — validated against
                       ^\\d+(\\.\\d+)?(KB|MB|GB|TB)$ before interpolation;
                       enables a PID-suffixed spill dir so parallel
@@ -75,7 +79,7 @@ def stable_hash(s: str) -> int:
 
 def parse_args(argv):
     sf_dir, out_dir = argv[1], argv[2]
-    inc, shard, only = False, None, None
+    inc, shard, only, skip = False, None, None, []
     for a in argv[3:]:
         if a == "--incremental":
             inc = True
@@ -87,13 +91,15 @@ def parse_args(argv):
             shard = (int(i), int(n))
         elif a.startswith("--only"):
             only = a.split("=", 1)[1].split(",")
+        elif a.startswith("--skip"):
+            skip = a.split("=", 1)[1].split(",")
         else:
             raise SystemExit(f"unknown arg {a}")
-    return sf_dir, out_dir, inc, shard, only
+    return sf_dir, out_dir, inc, shard, only, skip
 
 
 def main(argv) -> int:
-    sf_dir, out_dir, incremental, shard, only = parse_args(argv)
+    sf_dir, out_dir, incremental, shard, only, skip = parse_args(argv)
     con = duckdb.connect()
     # Large-replica sweeps: a quadratic oracle (all-pairs edges feeding a
     # recursive CTE) can balloon past physical RAM — one sf1 run was
@@ -130,6 +136,9 @@ def main(argv) -> int:
         if not os.path.isdir(f"{out_dir}/{name}") or name.startswith("_"):
             continue
         if only and not any(name.startswith(p) for p in only):
+            continue
+        if name in skip:
+            print(f"SKIP {name} (--skip: verify out of band)")
             continue
         if shard and stable_hash(name) % shard[1] != shard[0]:
             continue
