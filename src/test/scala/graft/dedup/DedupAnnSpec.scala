@@ -215,5 +215,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(out(12L) == ((12L, "novel")))
     assert(out(13L) == ((12L, "novel"))) // batch-exact collapses onto 12
     assert(out(14L) == ((14L, "novel"))) // isolated novel keeps own id
+
+    // the prepared-relations path (corpusRelations built once, batch
+    // assigned against them) must be decision-identical to the
+    // from-scratch composite — prep is invisible
+    val rel = Dedup.corpusRelations(docs, "text", "doc_id")
+    val prepared = Dedup
+      .incrementalNearDupPrepared(rel, batch, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(prepared == out)
+    // and a SECOND batch against the same prepared relations (the
+    // per-batch production loop) also matches its from-scratch twin
+    val batch2 = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and ever"),
+      (21L, "entirely new content about vector quantization residuals"))
+      .toDF("doc_id", "text")
+    val p2 = Dedup.incrementalNearDupPrepared(rel, batch2, "text",
+        "doc_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    val s2 = Dedup.incrementalNearDup(docs, batch2, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(p2 == s2)
   }
 }
