@@ -502,9 +502,12 @@ object MatchOps {
     * intersection join needed); JaroWinklerJoinSpec pins the subset
     * property. sf0.1 fixture: 0.9856. */
   def jwApproxRecall(spark: SparkSession, dir: String): DataFrame = {
+    // checkpointed once: BOTH joins derive their member frames from it,
+    // so the corpus scan + tokenize runs once, not per side
     val titles = load(spark, dir, "documents")
       .select(col("doc_id"),
         array_join(slice(Text.tokens(col("text")), 1, 5), " ").as("title"))
+      .localCheckpoint()
     val ne = JaroWinklerJoin.selfJoin(titles, "doc_id", "title", 0.9)
       .agg(count(lit(1)).as("n_exact"))
     val na = JaroWinklerJoin.selfJoinApprox(titles, "doc_id", "title",
