@@ -502,17 +502,29 @@ object MatchOps {
     * intersection join needed); JaroWinklerJoinSpec pins the subset
     * property. sf0.1 fixture: 0.9856. */
   def jwApproxRecall(spark: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     // checkpointed once: BOTH joins derive their member frames from it,
     // so the corpus scan + tokenize runs once, not per side
     val titles = load(spark, dir, "documents")
       .select(col("doc_id"),
         array_join(slice(Text.tokens(col("text")), 1, 5), " ").as("title"))
       .localCheckpoint()
-    val ne = JaroWinklerJoin.selfJoin(titles, "doc_id", "title", 0.9)
-      .agg(count(lit(1)).as("n_exact"))
-    val na = JaroWinklerJoin.selfJoinApprox(titles, "doc_id", "title",
-        0.9, window = 100)
-      .agg(count(lit(1)).as("n_approx"))
+    // the two legs' eager checkpoint chains are independent — build
+    // them as concurrent driver jobs (the Dedup wave pattern) instead
+    // of paying exact-then-approx sequentially
+    val neF = Future {
+      JaroWinklerJoin.selfJoin(titles, "doc_id", "title", 0.9)
+        .agg(count(lit(1)).as("n_exact"))
+    }
+    val naF = Future {
+      JaroWinklerJoin.selfJoinApprox(titles, "doc_id", "title",
+          0.9, window = 100)
+        .agg(count(lit(1)).as("n_approx"))
+    }
+    val (ne, na) = (Await.result(neF, Duration.Inf),
+      Await.result(naF, Duration.Inf))
     ne.crossJoin(na)
       .select(col("n_exact"), col("n_approx"),
         round(col("n_approx").cast("double") / col("n_exact"), 6)
