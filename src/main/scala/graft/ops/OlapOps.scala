@@ -209,6 +209,94 @@ object OlapOps {
     sessionizeEvents(load(spark, dir, "events"))
       .orderBy("user_id", "session_id")
 
+  /** Skew-safe sessionization: [[sessionizeEvents]]'s per-user ordered
+    * window puts EVERY event of a user in one task — the wave-2 skew
+    * probe measured a mega-user (97% of events on one key at 32×) at
+    * 1.79×, and at crawl scale a head user makes that task the job.
+    * This form is the structural mitigation the probe row names:
+    *
+    *  1. events partition by (user, coarse TIME CHUNK) — the heavy
+    *     per-event sort/lag runs chunk-parallel, so a user's volume
+    *     spreads over span/chunk tasks;
+    *  2. local sessions reduce to per-(user, chunk) SUMMARY rows
+    *     (count, start, end) — corpus-sized data never crosses the
+    *     second shuffle;
+    *  3. a per-user window over those summaries stitches sessions
+    *     across chunk boundaries (merge iff gap <= 30 min — EXACT: a
+    *     boundary merge is the event-level rule applied to the last
+    *     event before / first event after the cut, and chains merge
+    *     transitively across any number of boundaries), then numbers
+    *     chains in start order, reproducing the plain form's
+    *     session_id bit-for-bit (pinned by OlapOpsSpec and the shared
+    *     differential oracle).
+    *
+    * The stitch window is per-user over SESSIONS, not events — a
+    * mega-user with months of activity contributes rows proportional
+    * to its session count. `chunkHours` trades parallelism (smaller
+    * chunks) against stitch-relation size (more boundary sessions);
+    * it must exceed the 30-minute gap so a session never skips a
+    * whole chunk. */
+  def sessionizeChunkedEvents(events: DataFrame,
+      chunkHours: Int = 24 * 7): DataFrame = {
+    require(chunkHours >= 1, "chunkHours must cover the session gap")
+    val chunkSec = chunkHours * 3600L
+    val byChunk = Window.partitionBy("user_id", "chunk")
+      .orderBy("ts", "event_id")
+    val locals = events
+      .withColumn("chunk",
+        floor(unix_timestamp(col("ts")) / chunkSec).cast("long"))
+      .withColumn("prev_ts", lag("ts", 1).over(byChunk))
+      .withColumn("new_local",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("local_id", sum("new_local").over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "chunk", "local_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+    // the stitch relation is session summaries — per-user row counts
+    // are bounded by session counts, never event counts
+    val byUser = Window.partitionBy("user_id")
+      .orderBy("session_start", "session_end")
+    locals
+      .withColumn("prev_end", lag("session_end", 1).over(byUser))
+      .withColumn("new_chain",
+        when(col("prev_end").isNull ||
+          col("session_start") > col("prev_end") +
+            expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_chain").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(sum("n_events").as("n_events"),
+        min("session_start").as("session_start"),
+        max("session_end").as("session_end"))
+  }
+
+  def sessionizeChunked(spark: SparkSession, dir: String): DataFrame =
+    sessionizeChunkedEvents(load(spark, dir, "events"))
+      .orderBy("user_id", "session_id")
+
+  /** Shared by q_sessionize and its chunk-and-stitch twin — the two
+    * plans must be result-identical by construction. */
+  private val sessionizeOracle: String =
+    """WITH g AS (SELECT user_id, ts, event_id,
+      |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |s AS (SELECT user_id, ts, event_id,
+      |  CASE WHEN prev_ts IS NULL
+      |         OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM g),
+      |i AS (SELECT user_id, ts, CAST(SUM(new_session) OVER (
+      |  PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM s)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |min(ts) AS session_start, max(ts) AS session_end
+      |FROM i GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   /** Ordered funnel analysis (view → click → purchase): per user, the
     * earliest 'view', the earliest 'click' strictly AFTER that view, and
     * the earliest 'purchase' strictly after that click — the product
@@ -512,22 +600,11 @@ object OlapOps {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice DESC, o_orderkey ASC)
         |ORDER BY o_orderpriority, rnk""".stripMargin), "window/ranks"),
-    QuerySpec("q_sessionize", sessionize, Some(
-      """WITH g AS (SELECT user_id, ts, event_id,
-        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
-        |s AS (SELECT user_id, ts, event_id,
-        |  CASE WHEN prev_ts IS NULL
-        |         OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
-        |  FROM g),
-        |i AS (SELECT user_id, ts, CAST(SUM(new_session) OVER (
-        |  PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM s)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |min(ts) AS session_start, max(ts) AS session_end
-        |FROM i GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin), "window/sessionize"),
+    QuerySpec("q_sessionize", sessionize, Some(sessionizeOracle),
+      "window/sessionize"),
+    QuerySpec("q_sessionize_chunked", sessionizeChunked,
+      Some(sessionizeOracle),
+      "window/sessionize-chunk-and-stitch (mega-user skew mitigation)"),
     QuerySpec("q_funnel", funnel, Some(
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |v AS (SELECT user_id, min(ts) AS t_view FROM events

@@ -37,6 +37,43 @@ class OlapOpsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getAs[Long]("n_events") == 2L)
   }
 
+  test("sessionizeChunked == sessionize: boundary-spanning, multi-chunk " +
+      "and exact-gap sessions stitch bit-identically") {
+    // 1-hour chunks so the adversarial fixture crosses many boundaries:
+    // a session spanning one boundary (10-min steps across 01:00), a
+    // session spanning THREE chunks (20-min steps 02:50..05:10), an
+    // exactly-30-min boundary gap (must NOT split), a >30-min boundary
+    // gap (must split), and a second user interleaved throughout
+    val rows = Seq(
+      (1L, 1L, ts("2024-01-01 00:50:00")),
+      (2L, 1L, ts("2024-01-01 01:00:00")),
+      (3L, 1L, ts("2024-01-01 01:10:00")),
+      (4L, 1L, ts("2024-01-01 02:50:00")), // 100min gap -> new session
+      (5L, 1L, ts("2024-01-01 03:10:00")),
+      (6L, 1L, ts("2024-01-01 03:30:00")),
+      (7L, 1L, ts("2024-01-01 03:50:00")),
+      (8L, 1L, ts("2024-01-01 04:10:00")),
+      (9L, 1L, ts("2024-01-01 04:30:00")),
+      (10L, 1L, ts("2024-01-01 04:50:00")),
+      (11L, 1L, ts("2024-01-01 05:10:00")),
+      (12L, 1L, ts("2024-01-01 05:40:00")), // exactly 30min at boundary side
+      (13L, 1L, ts("2024-01-01 06:40:01")), // 30min+1s -> split
+      (14L, 2L, ts("2024-01-01 00:59:59")),
+      (15L, 2L, ts("2024-01-01 01:00:00")), // 1s across the cut
+      (16L, 2L, ts("2024-01-01 09:00:00")))
+    val ev = eventsDf(rows)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "session_id").collect().map(_.toSeq).toSeq
+    val plain = canon(OlapOps.sessionizeEvents(ev))
+    val chunked = canon(OlapOps.sessionizeChunkedEvents(ev, chunkHours = 1))
+    assert(chunked == plain)
+    // and on real data at two chunk widths (incl. the default)
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val p = canon(OlapOps.sessionizeEvents(real))
+    assert(canon(OlapOps.sessionizeChunkedEvents(real)) == p)
+    assert(canon(OlapOps.sessionizeChunkedEvents(real, chunkHours = 6)) == p)
+  }
+
   test("cohortRetention: offset-0 retention is 1.0, within-cohort decay is monotone") {
     val rows = OlapOps.cohortRetention(spark, "/root/testdata/sf0.001")
       .collect()
