@@ -29,6 +29,20 @@ object Tables {
     }
   }
 
+  /** Cheap identity token of ONE table's bytes at `dir` (file names,
+    * sizes, mtimes — recursive for Spark-written directories). Fixture
+    * caches that memoize per-(session, dir) state key on this too, so a
+    * replica rebuilt IN PLACE at the same path (the skew-probe builder
+    * does this) invalidates them instead of serving stale indexes. */
+  def dataToken(dir: String, name: String): String = {
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(sig).mkString(",")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    sig(new java.io.File(dir, s"$name.parquet"))
+  }
+
   /** Register all tables as temp views so `spark.sql` parity queries work. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

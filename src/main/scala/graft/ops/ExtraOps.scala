@@ -271,6 +271,57 @@ object ExtraOps {
         col("msgs").getItem(0).getField("event_id").as("first_event_id"))
       .orderBy("user_id")
 
+  /** The BOUNDED conversation-assembly variant — the mega-key-safe
+    * production form of [[nestedPack]] (round-16 verdict's one `weak`:
+    * the plain op's per-user `collect_list` assembles an unbounded
+    * array in one task, the same single-partition pathology the wave-2
+    * probe measured on q_sessionize, plus array-memory blowup — the
+    * 32× mega-user replica puts ~3.1M events on one key).
+    *
+    * Bound: keep each user's LAST `lastN` events (recency is what a
+    * chat/SFT assembly keeps), then pack those. The `row_number <= k`
+    * filter is rewritten by [[graft.plans.TopKRewrite]] into the
+    * two-phase bounded-heap [[graft.plans.TopKPerGroup]] BELOW the
+    * exchange, so a mega-user's shuffle volume is capped at
+    * (map partitions × lastN) rows and the final task packs ≤ lastN
+    * structs — per-task memory is bounded by contract, independent of
+    * the key histogram. The groupBy reuses the window's hash(user_id)
+    * distribution (one exchange total; plan pinned in PlanShapeSpec).
+    *
+    * Bit-identical to [[nestedPack]] whenever no user exceeds `lastN`
+    * (every differential scale: max events/user is 99 at sf0.1 and
+    * replicas re-key users, so the gate shares nestedPack's oracle);
+    * over-bound behavior is pinned by NestedPackSpec. */
+  def nestedPackCapped(spark: SparkSession, dir: String,
+      lastN: Int = 500): DataFrame =
+    packEventsCapped(load(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type"), lastN)
+
+  /** Core of [[nestedPackCapped]] over any (user_id, ts, event_id,
+    * event_type) frame — separated so the over-bound semantics (keep
+    * the last `lastN` events) are unit-testable on a synthetic mega
+    * user (NestedPackSpec). */
+  def packEventsCapped(events: DataFrame, lastN: Int): DataFrame = {
+    require(lastN > 0 && lastN <= graft.plans.TopKRewriteRule.maxK,
+      s"lastN must be in [1, ${graft.plans.TopKRewriteRule.maxK}] so the " +
+        "bounded-heap TopKPerGroup rewrite applies (the point of the op)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lastN)
+      .drop("rn")
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("msgs"))
+      .select(col("user_id"),
+        size(col("msgs")).as("n_messages"),
+        col("msgs").getItem(0).getField("event_type").as("first_type"),
+        element_at(col("msgs"), -1).getField("event_type").as("last_type"),
+        col("msgs").getItem(0).getField("event_id").as("first_event_id"))
+      .orderBy("user_id")
+  }
+
   private val nestedPackOracle: String =
     """WITH r AS (SELECT user_id, event_type, event_id,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -296,6 +347,11 @@ object ExtraOps {
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_nested_pack", nestedPack, Some(nestedPackOracle),
       "nested types: conversation packing (array<struct> assembly)"),
+    QuerySpec("q_nested_pack_capped",
+      (s, d) => nestedPackCapped(s, d), Some(nestedPackOracle),
+      "nested types: BOUNDED conversation packing (last-N per user via " +
+        "TopKPerGroup below the exchange; same oracle — bit-identical " +
+        "on bounded data)"),
     QuerySpec("q_fn_from_json", fnFromJson, Some(
       """SELECT event_type,
         |CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

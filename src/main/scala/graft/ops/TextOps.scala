@@ -626,12 +626,19 @@ object TextOps {
     * exercised by DedupSpec and the streaming ingest. Differential
     * unchanged — prep must be invisible in the decision. */
   private val crelCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), graft.dedup.Dedup.CorpusRelations]
+    .empty[(SparkSession, String, String), graft.dedup.Dedup.CorpusRelations]
 
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
+    // keyed on the documents table's data token too: a replica rebuilt
+    // in place at the same path must not serve a stale corpus index.
+    // Evicting the superseded entry drops the only strong reference to
+    // its localCheckpoint blocks, so the ContextCleaner reclaims them.
+    val tok = graft.Tables.dataToken(dir, "documents")
     val rel = crelCache.synchronized {
-      crelCache.getOrElseUpdate((spark, dir),
+      crelCache.keys.filter(k => k._1 == spark && k._2 == dir && k._3 != tok)
+        .foreach(crelCache.remove)
+      crelCache.getOrElseUpdate((spark, dir, tok),
         graft.dedup.Dedup.corpusRelations(
           docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id"))
     }
@@ -649,13 +656,17 @@ object TextOps {
     * Diffs against the identical from-scratch oracle: the index hop must
     * be invisible in the decision. */
   private val cidxCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), graft.pipeline.Store]
+    .empty[(SparkSession, String, String), graft.pipeline.Store]
 
   def dedupIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
     // synchronized: the builder writes real index tables; a racing
-    // duplicate build must not interleave with the winner's reads
+    // duplicate build must not interleave with the winner's reads.
+    // Data-token key: see crelCache — a rebuilt replica re-indexes.
+    val tok = graft.Tables.dataToken(dir, "documents")
     val store = cidxCache.synchronized {
-      cidxCache.getOrElseUpdate((spark, dir), {
+      cidxCache.keys.filter(k => k._1 == spark && k._2 == dir && k._3 != tok)
+        .foreach(cidxCache.remove)
+      cidxCache.getOrElseUpdate((spark, dir, tok), {
         val st = new graft.pipeline.Store(spark, SourceSinkOps.tmp("cidx", dir))
         graft.dedup.CorpusIndex.build(st, "corpus",
           load(spark, dir, "documents").filter(col("doc_id") % 5 =!= 0),

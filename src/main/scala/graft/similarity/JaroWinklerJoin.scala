@@ -358,15 +358,34 @@ object JaroWinklerJoin {
       .select(col("sa").as(outL), col("sb").as(outR), jw.as("jw"))
   }
 
+  /** Warn threshold for the always-on pairs estimate (round-17): past
+    * this many estimated banded candidate pairs the exact join logs a
+    * loud warning naming the approximate escape hatch, but proceeds —
+    * results stay bit-identical. Callers that pass an explicit
+    * `maxCandidatePairs` get the hard fail instead. 100M ≈ 40× the
+    * whole-corpus sf0.1 estimate and ~40 s of kernel work on one core;
+    * the 32×-zipf hot band that motivated the guard estimated ~242M. */
+  val DefaultWarnPairs: Long = 100000000L
+
+  /** Effective advisory threshold — the `graft.jw.warnPairs` system
+    * property overrides [[DefaultWarnPairs]] (specs pin the warn path
+    * at toy scale; operators can tighten it fleet-wide). */
+  private def warnPairs: Long =
+    sys.props.get("graft.jw.warnPairs").map(_.toLong)
+      .getOrElse(DefaultWarnPairs)
+
   /** The exact path's pairs-budget circuit breaker: a length-bucket
     * histogram upper bound on the banded candidate pairs the salted
     * blocked join would examine (each (prober, admissible-bucket
     * resident) coincidence is one in-task verify). Driver-bounded —
-    * at most ~64 buckets per side. Fails LOUDLY past the budget; a
-    * passing guard changes nothing. */
+    * at most ~64 buckets per side. Since round 17 the estimate is
+    * computed UNCONDITIONALLY (two ≤64-row aggregate jobs over frames
+    * whose lineage is already checkpointed): with the default unlimited
+    * budget an estimate past [[DefaultWarnPairs]] WARNS loudly (results
+    * unchanged); an explicit caller budget keeps the round-16 hard-fail
+    * contract. A passing guard changes nothing. */
   private def guardCandidatePairs(a: DataFrame, b: DataFrame,
       threshold: Double, budget: Long, site: String): Unit = {
-    if (budget == Long.MaxValue) return
     require(budget > 0, "maxCandidatePairs must be positive")
     val j0 = (threshold - 5e-7 - 0.4) / 0.6
     val rB = math.max(math.max(3 * j0 - 2, 0.0), 1.0 / 65536)
@@ -387,15 +406,22 @@ object JaroWinklerJoin {
       BigInt(na) * hb.iterator.collect {
         case (j, nb) if j >= lo && j <= hi => BigInt(nb) }.sum
     }.sum
-    if (est > budget) throw new IllegalStateException(
-      s"JaroWinklerJoin.$site: estimated $est banded candidate pairs " +
-        s"exceeds maxCandidatePairs=$budget (length-bucket histogram " +
-        s"upper bound at threshold=$threshold). A zipfian hot length " +
-        "band makes the exact join quadratic in that band's distinct " +
-        "strings; raise the budget, or switch to the approximate " +
-        "candidate mode (selfJoinApprox/joinApprox/bestMatchApprox: " +
-        "MinHash-LSH candidates over character bigrams with the exact " +
-        "jw verify — precision 1, recall gated by q_jw_approx_recall).")
+    def advice = "A zipfian hot length band makes the exact join " +
+      "quadratic in that band's distinct strings; raise the budget, " +
+      "or switch to the approximate candidate mode (selfJoinApprox/" +
+      "joinApprox/bestMatchApprox: sorted-neighborhood candidates — " +
+      "prefix + reversed-string rank windows — with the exact jw " +
+      "verify; precision 1, recall gated by q_jw_approx_recall)."
+    if (budget != Long.MaxValue && est > budget)
+      throw new IllegalStateException(
+        s"JaroWinklerJoin.$site: estimated $est banded candidate pairs " +
+          s"exceeds maxCandidatePairs=$budget (length-bucket histogram " +
+          s"upper bound at threshold=$threshold). " + advice)
+    if (budget == Long.MaxValue && est > BigInt(warnPairs))
+      println(s"WARN JaroWinklerJoin.$site: estimated $est banded " +
+        s"candidate pairs exceeds the advisory warn threshold " +
+        s"$warnPairs (no maxCandidatePairs set — proceeding, " +
+        "results are exact). " + advice)
   }
 
   // ---- shared machinery

@@ -60,7 +60,7 @@ object SkewProbe {
     "q_source_cap", "q_ann_knn_join")
 
   val Wave2Probes = Seq("q_sessionize", "q_funnel", "q_dedup_lines",
-    "q_dedup_groups_portable")
+    "q_dedup_groups_portable", "q_nested_pack", "q_nested_pack_capped")
 
   /** Fixed-shape hot title: 5 tokens "zk______ qw____ rt___ uv__
     * xy_____" (34 chars, constant) with md5(doc_id) hex filler. */
@@ -86,7 +86,14 @@ object SkewProbe {
       val prev = new String(
         java.nio.file.Files.readAllBytes(marker.toPath), UTF_8).trim
       if (prev == stamp) return
-      // stale layout (an older probe wave): rebuild in place
+      // Auto-rebuild ONLY over a recognized skew-replica stamp (an older
+      // probe wave). Any other marker content — e.g. the empty _SUCCESS
+      // of a Spark-written parquet directory — means dst is NOT ours to
+      // delete: fail loudly instead of wiping a foreign directory.
+      require(prev.startsWith("src=") && prev.contains(" skew=zipf-v"),
+        s"$dst has a _SUCCESS marker that is not a skew-replica stamp " +
+          s"('$prev') — refusing to delete a directory this probe did " +
+          "not build; remove it manually to reuse the path")
       println(s"[skew] rebuilding $dst: '$prev' -> '$stamp'")
       graft.pipeline.FsUtils.deleteRecursively(new java.io.File(dst))
     }

@@ -58,6 +58,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchangeIdx >= 0 && partialIdx > exchangeIdx, s)
   }
 
+  test("capped conversation pack rank-limits before the user exchange") {
+    val s = plan(ExtraOps.nestedPackCapped(spark, dir, lastN = 500))
+    // the last-N window filter must rewrite to TopKPerGroup with the
+    // partial (final=false) instance BELOW the hash exchange, so a
+    // mega user forwards at most lastN rows per map task instead of
+    // its whole history landing in one task (the round-16 `weak`)
+    assert("TopKPerGroup .*500, false".r.findFirstIn(s).isDefined, s)
+    assert("TopKPerGroup .*500, true".r.findFirstIn(s).isDefined, s)
+    val partialIdx = s.indexOf("500, false")
+    val exchangeIdx = s.indexOf("Exchange hashpartitioning(user_id")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx, s)
+    // the groupBy(user_id) pack reuses the window's distribution: ONE
+    // user_id hash exchange in the final plan (the AQE dump repeats the
+    // tree under "== Initial Plan ==" — count before that marker only)
+    val finalPart = s.split("== Initial Plan ==")(0)
+    assert(finalPart.sliding("Exchange hashpartitioning(user_id".length)
+      .count(_ == "Exchange hashpartitioning(user_id") == 1, s)
+  }
+
   test("dimension joins broadcast; the big side never shuffles for them") {
     val s = plan(RelationalOps.join5Way(spark, dir))
     assert(s.contains("BroadcastHashJoin"), s)

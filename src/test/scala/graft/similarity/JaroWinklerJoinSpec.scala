@@ -203,6 +203,28 @@ class JaroWinklerJoinSpec extends AnyFunSuite {
     assert(crossOk == crossExact)
   }
 
+  test("default-on estimate: no budget set -> loud WARN past the " +
+      "advisory threshold, results bit-identical (round-17 contract)") {
+    def mk(c: Int, len: Int) = ('a' + c % 26).toChar.toString * len
+    val hot = (0 until 60).map(i =>
+      (i.toLong, mk(i, 32 + i % 16))).toDF("id", "name")
+    val out = new java.io.ByteArrayOutputStream()
+    sys.props("graft.jw.warnPairs") = "2000"
+    val got = try Console.withOut(new java.io.PrintStream(out, true)) {
+      // NO maxCandidatePairs: must proceed (warn, not fail)
+      JaroWinklerJoin.selfJoin(hot, "id", "name", 0.9)
+        .as[(Long, Long, Double)].collect().toSet
+    } finally sys.props.remove("graft.jw.warnPairs")
+    val warn = out.toString
+    assert(warn.contains("WARN JaroWinklerJoin.selfJoin"), warn)
+    assert(warn.contains("sorted-neighborhood"),
+      "the warning must name the implemented escape hatch accurately")
+    // unguarded re-run (threshold back at the 100M default): same rows
+    val plain = JaroWinklerJoin.selfJoin(hot, "id", "name", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == plain)
+  }
+
   test("guard estimate tracks the length histogram: a hot length band " +
       "trips a budget the uniform corpus clears") {
     // DISTINCT strings (varying char so the exact-collapse keeps all 60):

@@ -77,6 +77,31 @@ def stable_hash(s: str) -> int:
     return int(hashlib.sha256(s.encode("utf-8")).hexdigest()[:12], 16)
 
 
+def data_fingerprint(sf_dir: str) -> str:
+    """Cheap identity of the DATA at sf_dir: per-table parquet file
+    names, sizes and mtimes (recursive for Spark-written dirs), plus the
+    replica _SUCCESS stamp if present. Guards an --incremental manifest
+    against replaying a stale pass after an in-place rebuild at the same
+    path (the skew-replica builder rewrites tables without moving them;
+    a gate whose Spark result bytes happen to match would otherwise be
+    skipped against different tables)."""
+    parts = []
+    stamp = os.path.join(sf_dir, "_SUCCESS")
+    if os.path.exists(stamp):
+        parts.append("stamp:" + open(stamp).read().strip())
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            for root, _, files in sorted(os.walk(p)):
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    parts.append(f"{t}/{f}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("\n".join(parts).encode("utf-8")).hexdigest()
+
+
 def parse_args(argv):
     sf_dir, out_dir = argv[1], argv[2]
     inc, shard, only, skip = False, None, None, []
@@ -129,9 +154,12 @@ def main(argv) -> int:
     if incremental:
         os.makedirs(man_dir, exist_ok=True)
     # sfDir identity guards a manifest against being replayed on a
-    # different replica (same gate names, different data)
+    # different replica (same gate names, different data); the data
+    # fingerprint additionally guards against an IN-PLACE rebuild at
+    # the same path (same realpath, different table bytes).
     sf_key = os.path.realpath(sf_dir)
-    n_pass = n_fail = n_skip = 0
+    data_key = data_fingerprint(sf_dir) if incremental else None
+    n_pass = n_fail = n_skip = n_oob = 0
     for name in sorted(os.listdir(out_dir)):
         if not os.path.isdir(f"{out_dir}/{name}") or name.startswith("_"):
             continue
@@ -139,6 +167,7 @@ def main(argv) -> int:
             continue
         if name in skip:
             print(f"SKIP {name} (--skip: verify out of band)")
+            n_oob += 1
             continue
         if shard and stable_hash(name) % shard[1] != shard[0]:
             continue
@@ -162,6 +191,7 @@ def main(argv) -> int:
                 rec = {}
             if (rec.get("status") == "pass"
                     and rec.get("sf_dir") == sf_key
+                    and rec.get("data_sha") == data_key
                     and rec.get("oracle_sha") == oracle_sha
                     and rec.get("result_sha") == result_sha):
                 print(f"SKIP {name} (unchanged since {rec.get('when')})")
@@ -192,6 +222,7 @@ def main(argv) -> int:
                 tmp = f"{man_path}.tmp.{os.getpid()}"
                 with open(tmp, "w") as f:
                     json.dump({"status": "pass", "sf_dir": sf_key,
+                               "data_sha": data_key,
                                "oracle_sha": oracle_sha,
                                "result_sha": result_sha,
                                "rows": len(g),
@@ -207,7 +238,8 @@ def main(argv) -> int:
             print(e[bad].head(3))
             n_fail += 1
     skip = f", {n_skip} skipped (unchanged)" if n_skip else ""
-    print(f"\n{n_pass} pass, {n_fail} fail{skip}")
+    oob = f", {n_oob} skipped (out-of-band)" if n_oob else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{skip}{oob}")
     return 1 if n_fail else 0
 
 
