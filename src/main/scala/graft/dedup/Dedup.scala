@@ -101,13 +101,67 @@ object Dedup {
         (col("ni") / (col("sz_a") + col("sz_b") - col("ni"))).as("jaccard"))
   }
 
+  /** Advisory pairs threshold for the LSH verify-stage guard (see
+    * [[guardBucketPairs]]): past this many bucket-coincident candidate
+    * pairs the self-pair generators WARN loudly by default, or fail if
+    * the caller set a budget. Lower than JaroWinklerJoin's 100M because
+    * each LSH verify is a shingle-set join-aggregate (~10-100× a jw
+    * kernel call). Override with `-Dgraft.lsh.warnPairs=`. */
+  val DefaultWarnPairs: Long = 10000000L
+
+  private def lshWarnPairs: Long =
+    sys.props.get("graft.lsh.warnPairs").map(_.toLong)
+      .getOrElse(DefaultWarnPairs)
+
+  /** The LSH verify-stage pairs-budget guard (round-17, the contract
+    * [[graft.similarity.JaroWinklerJoin]] got in round 16): the exact
+    * candidate-pair count the bucket self-join will emit, computed from
+    * the per-(band, bucket) occupancy as Σ n·(n−1)/2 — ONE tiny
+    * aggregate job over the already-checkpointed band rows, no
+    * collect of bucket rows. A boilerplate-heavy crawl whose hot bucket
+    * would launch an unbounded quadratic verify now fails loudly when a
+    * budget is set, and WARNS past [[DefaultWarnPairs]] when not —
+    * results are bit-identical either way. (Pairs here are counted
+    * per-band before the cross-band distinct, so the estimate is an
+    * upper bound on distinct verify pairs and exact per-band work.) */
+  private def guardBucketPairs(banded: DataFrame, keys: Seq[String],
+      budget: Long, site: String): Unit = {
+    require(budget > 0, "maxCandidatePairs must be positive")
+    val est = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) DIV 2")).as("pairs"))
+      .head().get(0) match {
+        case null => 0L
+        case v: Long => v
+      }
+    def advice = "A hot bucket (shared boilerplate shingles landing " +
+      "every doc in one band bucket) makes the verify quadratic in " +
+      "that bucket's docs; raise the budget, raise `bands`' rows-per-" +
+      "band (a sharper S-curve), raise `threshold`, or exact-collapse " +
+      "duplicates first (nearDupGroups already does)."
+    if (budget != Long.MaxValue && est > budget)
+      throw new IllegalStateException(
+        s"Dedup.$site: $est bucket-coincident candidate pairs exceeds " +
+          s"maxCandidatePairs=$budget (exact per-band count from " +
+          "bucket occupancies). " + advice)
+    if (budget == Long.MaxValue && est > lshWarnPairs)
+      println(s"WARN Dedup.$site: $est bucket-coincident candidate " +
+        s"pairs exceeds the advisory warn threshold $lshWarnPairs " +
+        "(no maxCandidatePairs set — proceeding, results are exact). " +
+        advice)
+  }
+
   /** MinHash + LSH near-dup candidate pairs: band the signature, shuffle
     * on (band index, band hash), join within buckets, then verify with
     * exact Jaccard over shingles. Output: (id_a, id_b, jaccard) with
-    * id_a < id_b, deduplicated across bands. */
+    * id_a < id_b, deduplicated across bands.
+    *
+    * `maxCandidatePairs` is the verify-stage circuit breaker (see
+    * [[guardBucketPairs]]): default unlimited = advisory warn only. */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Materialize the shingle rows once: they feed four plan branches
     // (signatures, both verify sides, sizes) whose consumers project
@@ -119,12 +173,20 @@ object Dedup {
 
     // Band only (id, band, bucket) — don't drag shingle sets through the
     // LSH shuffle; dedupe candidate pairs BEFORE the verify join.
+    // localCheckpoint: the band rows feed the guard count AND both
+    // self-join sides (which per-consumer pruning would otherwise
+    // recompute through the whole signature pipeline — the measured
+    // ReuseExchange trap); the checkpoint preserves the (band, bucket)
+    // hash partitioning so the join re-shuffles neither side.
     val banded = minhashSignatures(rows, numHashes)
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .select(col("id"), col("pos").as("band"), hash(col("col")).as("bucket"))
       .repartition(col("band"), col("bucket"))
+      .localCheckpoint()
+    guardBucketPairs(banded, Seq("band", "bucket"), maxCandidatePairs,
+      "minhashLsh")
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
@@ -162,10 +224,16 @@ object Dedup {
 
   /** Verified near-dup pairs from prepared portable (id, h) shingle-hash
     * rows: band, bucket-join, exact-Jaccard verify. Callers that already
-    * hold hashed rows (e.g. the incremental path) skip re-shingling. */
+    * hold hashed rows (e.g. the incremental path) skip re-shingling.
+    * `maxCandidatePairs`: see [[guardBucketPairs]] (default = warn-only). */
   def portablePairsFromRows(rows: DataFrame, numHashes: Int, bands: Int,
-      threshold: Double): DataFrame = {
-    val banded = portableBandRows(rows, numHashes, bands)
+      threshold: Double,
+      maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
+    // localCheckpoint: feeds the guard count and both self-join sides
+    // (see minhashLsh — the same per-consumer recompute trap)
+    val banded = portableBandRows(rows, numHashes, bands).localCheckpoint()
+    guardBucketPairs(banded, Seq("band", "bsig"), maxCandidatePairs,
+      "portablePairsFromRows")
     val cand = banded.toDF("id_a", "band", "bsig")
       .join(banded.toDF("id_b", "band", "bsig"), Seq("band", "bsig"))
       .filter(col("id_a") < col("id_b"))
@@ -179,11 +247,13 @@ object Dedup {
     * reproducible in any SQL engine for differential testing. */
   def minhashLshPortable(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     val rows = shingleStringRows(docs, textCol, idCol, shingleSize)
       .select(col("id"), md5Hash60(col("sh")).as("h"))
       .distinct().localCheckpoint()
-    portablePairsFromRows(rows, numHashes, bands, threshold)
+    portablePairsFromRows(rows, numHashes, bands, threshold,
+      maxCandidatePairs)
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -333,7 +403,8 @@ object Dedup {
   def nearDupGroups(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxIter: Int = 5,
-      portableEdges: Boolean = false): DataFrame = {
+      portableEdges: Boolean = false,
+      maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     val hashed = docs.select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("__h", sha2(col("t"), 256))
     val repOf = hashed
@@ -349,10 +420,10 @@ object Dedup {
     // near-dup edges between distinct representatives
     val edges = (if (portableEdges)
         minhashLshPortable(repDocs, "t", "id", shingleSize, numHashes,
-          bands, threshold)
+          bands, threshold, maxCandidatePairs)
       else
         minhashLsh(repDocs, "t", "id", shingleSize, numHashes,
-          bands, threshold))
+          bands, threshold, maxCandidatePairs))
       .select(col("id_a"), col("id_b"))
 
     // convergence backstopped by the differential gates (true closure

@@ -49,6 +49,46 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(!out.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("LSH pairs budget: hard fail with a budget, loud WARN without, " +
+      "results bit-identical (round-17 verify-stage contract)") {
+    // 20 exact copies of one text (NOT exact-collapsed here — minhashLsh
+    // is called directly) land in one bucket per band: 8 bands ×
+    // C(20,2) = 1520 coincident pairs
+    val hot = (0 until 20).map(i =>
+      (i.toLong, "shared boilerplate header text repeated on every page"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.minhashLsh(hot, "text", "doc_id", maxCandidatePairs = 100)
+    }
+    assert(e.getMessage.contains("maxCandidatePairs=100"), e.getMessage)
+    assert(e.getMessage.contains("exact-collapse"),
+      "the failure must name the mitigations")
+    // same corpus, no budget: warns past a tiny advisory threshold and
+    // proceeds with the exact result
+    val out = new java.io.ByteArrayOutputStream()
+    sys.props("graft.lsh.warnPairs") = "100"
+    val warned = try Console.withOut(new java.io.PrintStream(out, true)) {
+      Dedup.minhashLsh(hot, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally sys.props.remove("graft.lsh.warnPairs")
+    assert(out.toString.contains("WARN Dedup.minhashLsh"), out.toString)
+    val plain = Dedup.minhashLsh(hot, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(warned == plain && plain.size == 190) // C(20,2) distinct pairs
+    // the portable generator carries the same contract
+    intercept[IllegalStateException] {
+      Dedup.minhashLshPortable(hot, "text", "doc_id",
+        maxCandidatePairs = 100).collect()
+    }
+    // a passing budget is invisible
+    val guarded = Dedup.minhashLsh(docs, "text", "doc_id",
+        maxCandidatePairs = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val free = Dedup.minhashLsh(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == free)
+  }
+
   test("simhash: identical docs distance 0, distinct docs far (dedup)") {
     val sigs = Dedup.simhashSignatures(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
