@@ -53,6 +53,29 @@ def main():
     ta = sum(min_of(a_runs, q) for q in common)
     tb = sum(min_of(b_runs, q) for q in common)
     print(f"common-gate totals: A {ta:.1f}s  B {tb:.1f}s  ({tb / ta:.3f}x)")
+    # PAIRED statistics: run i of each arm shared a host window, so the
+    # per-pair ratio B_i/A_i cancels window-level drift the within-arm
+    # band cannot. The paired per-gate band across pairs is the honest
+    # adjudication limit for a single gate; the paired suite totals show
+    # what window drift does to whole runs even when interleaved.
+    n_pairs = min(len(a_runs), len(b_runs))
+    if n_pairs >= 2:
+        paired_bands, paired_meds = [], []
+        for q in common:
+            rs = [b_runs[i][q] / a_runs[i][q] for i in range(n_pairs)
+                  if q in a_runs[i] and q in b_runs[i]]
+            if len(rs) >= 2:
+                paired_bands.append((max(rs) - min(rs)) / min(rs))
+                paired_meds.append(statistics.median(rs))
+        pair_tots = [
+            sum(b_runs[i][q] for q in common) / sum(a_runs[i][q] for q in common)
+            for i in range(n_pairs)]
+        print(f"paired per-gate ratio: median {statistics.median(paired_meds):.3f}; "
+              f"band across pairs: median "
+              f"{statistics.median(paired_bands):.1%}, p90 "
+              f"{sorted(paired_bands)[int(0.9 * len(paired_bands))]:.1%}")
+        print("paired suite totals B/A:",
+              " ".join(f"{t:.3f}" for t in pair_tots))
     movers = {q: r for q, r in ratios.items()
               if r > flag * med or r < med / flag}
     for q, r in sorted(movers.items(), key=lambda kv: -abs(kv[1] - med)):
