@@ -470,6 +470,66 @@ object CurateOps {
       |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS bin_tokens
       |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
 
+  /** Skew-safe sequence packing: [[packSequences]]'s per-language running
+    * sum sorts EVERY document of a language in one task — and language
+    * skew is not an adversarial corner but the guaranteed shape of any
+    * real crawl (English alone is ~half of CommonCrawl; this fixture is
+    * 43% `en`). The round-17 wave-3 skew probe measures the mega-lang
+    * replica against the uniform one; this form is the structural
+    * mitigation, the chunk-and-stitch prefix sum (the same two-pass
+    * decomposition [[OlapOps.sessionizeChunkedEvents]] applies to session
+    * chains):
+    *
+    *  1. documents partition by (lang, doc_id-range CHUNK) — the heavy
+    *     per-row running sum runs chunk-parallel, so a language's volume
+    *     spreads over range/chunkSpan tasks;
+    *  2. each (lang, chunk) reduces to ONE total-token row — corpus-sized
+    *     data never crosses the second shuffle;
+    *  3. a per-language prefix sum over those chunk totals (rows ∝ chunk
+    *     count, never document count) gives each chunk its global token
+    *     offset, broadcast-joined back onto the local running sums.
+    *
+    * `chunk = floor(doc_id / chunkSpan)` is monotone in doc_id, so
+    * (chunk asc, doc_id asc) IS doc_id order and local+offset reproduces
+    * the plain form's cumulative sum exactly — integer addition, no
+    * rounding seam; bit-identical output pinned by CurateOpsSpec and the
+    * shared differential oracle. `chunkSpan` trades parallelism (smaller
+    * chunks) against stitch-relation size (more chunk totals). */
+  def packSequencesChunked(spark: SparkSession, dir: String,
+      chunkSpan: Long = 4096L): DataFrame = {
+    require(chunkSpan >= 1, "chunkSpan must be positive")
+    val byLangChunk = Window.partitionBy("lang", "chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val docs = load(spark, dir, "documents")
+      .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
+      .withColumn("chunk", floor(col("doc_id") / chunkSpan).cast("long"))
+    // the stitch relation is one row per (lang, chunk) — bounded by id
+    // range / chunkSpan, never by corpus size; its per-lang prefix window
+    // is proportionally smaller than the corpus by the same factor
+    val byLang = Window.partitionBy("lang").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("lang", "chunk")
+      .agg(sum("n_tokens").as("chunk_tokens"))
+      .withColumn("offset",
+        coalesce(sum("chunk_tokens").over(byLang), lit(0L)))
+      .select(col("lang").as("o_lang"), col("chunk").as("o_chunk"),
+        col("offset"))
+    docs
+      .withColumn("local_before",
+        coalesce(sum("n_tokens").over(byLangChunk), lit(0L)))
+      // null-safe on lang: the plain form (and the oracle's GROUP BY)
+      // keeps a null language as its own group — an equi-join here
+      // would silently drop it
+      .join(broadcast(offsets), col("lang") <=> col("o_lang") &&
+        col("chunk") === col("o_chunk"))
+      .drop("o_lang", "o_chunk")
+      .withColumn("cum_before", col("local_before") + col("offset"))
+      .withColumn("bin", floor(col("cum_before") / lit(512.0)))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      .orderBy("lang", "bin")
+  }
+
   /** Exact median (and extrema) of order value per priority class, via
     * explicit rank selection rather than an engine percentile primitive —
     * the selection is reproducible in any engine and the only shuffle is
@@ -994,6 +1054,44 @@ object CurateOps {
       |FROM d JOIN t ON t.lang = d.lang
       |WHERE d.n >= t.thr
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  /** Skew-safe exact percentile gate: [[qualityFilter]]'s threshold pass
+    * ranks every document of a language in ONE task (row_number over a
+    * lang-partitioned window) — the same guaranteed-mega-lang shape the
+    * round-17 wave-3 probe measures on [[packSequences]]. This form
+    * computes the IDENTICAL percentile-25 threshold through the
+    * value-group rank trick: ranks 1..cnt in (n ASC NULLS LAST, doc_id)
+    * order assign the target rank ceil(cnt·0.25) a row whose `n` depends
+    * only on the VALUE GROUP containing that rank (the doc_id tie-break
+    * never changes `n`), so the threshold is the first distinct n whose
+    * cumulative count reaches the target. The per-language window then
+    * runs over distinct token COUNTS (bounded by max document length,
+    * thousands), never corpus rows — a mega-language costs one groupBy
+    * partial-aggregate, map-side. Filter side unchanged (broadcast
+    * thresholds, one corpus scan). Bit-identical to [[qualityFilter]];
+    * shares its differential oracle. */
+  def qualityFilterRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
+    val byLang = Window.partitionBy("lang").orderBy(col("n").asc_nulls_last)
+    val thresholds = docs
+      .groupBy("lang", "n").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        byLang.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("target",
+        ceil(sum("c").over(Window.partitionBy("lang")) * 0.25))
+      // the value group CONTAINING the target rank: target ∈ (cum-c, cum]
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("c") < col("target"))
+      .select(col("lang"), col("n").as("thr"))
+    docs.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("n") >= col("thr"))
+      .groupBy("lang")
+      .agg(min("thr").as("thr"), count(lit(1)).as("n_kept"),
+        min("n").as("kept_min"), max("n").as("kept_max"))
+      .orderBy("lang")
+  }
 
   /** Per-source frequency capping — the "domain rebalancing" step of
     * web-corpus curation (cap any one domain/source's share of the
@@ -1868,6 +1966,9 @@ object CurateOps {
       Some(outlierMadOracle), "curate/mad-outlier-screen"),
     QuerySpec("q_quality_filter", qualityFilter,
       Some(qualityFilterOracle), "curate/quality-percentile-gate"),
+    QuerySpec("q_quality_filter_rank", qualityFilterRank,
+      Some(qualityFilterOracle),
+      "curate/quality-percentile-gate (value-group rank, mega-lang-safe)"),
     QuerySpec("q_decontaminate", decontaminate,
       Some(decontaminateOracle), "curate/decontaminate"),
     QuerySpec("q_decontaminate_bloom", decontaminateBloom,
@@ -1890,6 +1991,10 @@ object CurateOps {
       Some(qualityClassifierOracle), "curate/perceptron-quality-classifier"),
     QuerySpec("q_pack_sequences", packSequences,
       Some(packSequencesOracle), "curate/sequence-packing"),
+    QuerySpec("q_pack_sequences_chunked",
+      (s: SparkSession, d: String) => packSequencesChunked(s, d),
+      Some(packSequencesOracle),
+      "curate/sequence-packing (chunk-and-stitch prefix, mega-lang-safe)"),
     QuerySpec("q_agg_median_rank", aggMedianRank,
       Some(aggMedianRankOracle), "olap/exact-median"),
     QuerySpec("q_window_ntile", windowNtile,

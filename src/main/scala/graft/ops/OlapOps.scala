@@ -432,11 +432,10 @@ object OlapOps {
   /** RANGE-frame moving aggregate: events within the trailing hour per
     * user, ordered by exact epoch micros (a RANGE frame over event time —
     * the sliding-window shape streaming jobs aggregate with). */
-  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+  def windowRangeFrameEvents(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"))
       .rangeBetween(-3600000000L, 0L)
-    load(spark, dir, "events")
-      .filter(col("event_id") % 17 === 0)
+    events
       .withColumn("us", unix_micros(col("ts").cast("timestamp")))
       .select(col("event_id"), col("user_id"),
         count(lit(1)).over(w).as("n_trailing_hour"),
@@ -444,6 +443,66 @@ object OlapOps {
           .cast("double").as("v_trailing_hour"))
       .orderBy("event_id")
   }
+
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame =
+    windowRangeFrameEvents(
+      load(spark, dir, "events").filter(col("event_id") % 17 === 0))
+
+  /** Skew-safe trailing-hour aggregate: [[windowRangeFrame]]'s per-user
+    * RANGE frame is the third per-key window pathology under a mega key
+    * (after the running sum and the percentile rank) — one user's whole
+    * event history slides through ONE task. Bounded-lookback frames
+    * parallelize by TIME CHUNK with HALO rows (the overlap trick of
+    * stencil/halo-exchange computations): every event lands in its own
+    * chunk, and events in the last `lookback` of a chunk are COPIED into
+    * the next chunk as context-only rows, so any row's [t−1h, t] frame
+    * is complete within its (user, chunk) partition — frame contents are
+    * IDENTICAL to the plain form's (own rows cover [chunk_start, t],
+    * halo copies cover [t−1h, chunk_start); the two ranges are disjoint,
+    * so nothing double-counts). Context rows contribute to frames but
+    * their own outputs are dropped. A mega-user now costs span/chunk
+    * tasks of bounded size; shuffle volume grows only by the halo
+    * fraction (lookback/chunk ≈ 4% at the defaults). Bit-identical to
+    * [[windowRangeFrame]]; shares its differential oracle. Epoch micros
+    * are assumed non-negative (integer DIV truncation = floor). */
+  def windowRangeFrameChunkedEvents(events: DataFrame,
+      chunkHours: Int = 24): DataFrame = {
+    val lookbackUs = 3600000000L
+    val chunkUs = chunkHours.toLong * 3600000000L
+    require(chunkUs >= lookbackUs, "chunk must cover the lookback")
+    val base = events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("chunk", expr(s"us DIV ${chunkUs}L"))
+    val halo = base
+      .filter(col("us") - col("chunk") * chunkUs >= chunkUs - lookbackUs)
+      .withColumn("chunk", col("chunk") + lit(1L))
+      .withColumn("ctx", lit(true))
+    val w = Window.partitionBy("user_id", "chunk").orderBy(col("us"))
+      .rangeBetween(-lookbackUs, 0L)
+    base.withColumn("ctx", lit(false)).unionByName(halo)
+      .select(col("event_id"), col("user_id"), col("ctx"),
+        count(lit(1)).over(w).as("n_trailing_hour"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("v_trailing_hour"))
+      .filter(!col("ctx")).drop("ctx")
+      .orderBy("event_id")
+  }
+
+  def windowRangeFrameChunked(spark: SparkSession, dir: String,
+      chunkHours: Int = 24): DataFrame =
+    windowRangeFrameChunkedEvents(
+      load(spark, dir, "events").filter(col("event_id") % 17 === 0),
+      chunkHours)
+
+  private val windowRangeFrameOracle: String =
+    """SELECT event_id, user_id,
+      |count(*) OVER w AS n_trailing_hour,
+      |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_trailing_hour
+      |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events
+      |      WHERE event_id % 17 = 0) t
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
 
   /** Ordered distinct string aggregation (deterministic collect):
     * alphabetical comma-join of each user's event types. An all-null
@@ -491,15 +550,12 @@ object OlapOps {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    QuerySpec("q_window_range_frame", windowRangeFrame, Some(
-      """SELECT event_id, user_id,
-        |count(*) OVER w AS n_trailing_hour,
-        |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_trailing_hour
-        |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events
-        |      WHERE event_id % 17 = 0) t
-        |WINDOW w AS (PARTITION BY user_id ORDER BY us
-        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin), "window/range-frame"),
+    QuerySpec("q_window_range_frame", windowRangeFrame,
+      Some(windowRangeFrameOracle), "window/range-frame"),
+    QuerySpec("q_window_range_frame_chunked",
+      (s: SparkSession, d: String) => windowRangeFrameChunked(s, d),
+      Some(windowRangeFrameOracle),
+      "window/range-frame (time-chunk halo rows, mega-user-safe)"),
     QuerySpec("q_agg_string_agg", aggStringAgg, Some(
       """SELECT user_id,
         |string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,

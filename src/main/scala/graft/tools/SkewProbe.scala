@@ -51,6 +51,17 @@ import graft.{Session, SparkEntry, Tables}
   *  then the MinHash block, then the boilerplate line — so wave-1 probe
   *  rows are byte-identical to the v2 replica's.
   *
+  * Wave 3 (round 17) adds the guaranteed-skew dimension of any real
+  * crawl: every replicated doc is the mega LANGUAGE (`lang = 'en'`,
+  * ~98% of docs at 32× — English alone is ~half of CommonCrawl, so this
+  * is the realistic regime, not an adversarial corner). Probes the
+  * lang-partitioned corpus windows — q_pack_sequences' running sum and
+  * q_quality_filter's percentile rank — against their chunk-and-stitch /
+  * value-group-rank mitigations, plus the wave-2 mega-user against the
+  * third per-key window pathology, q_window_range_frame's sliding RANGE
+  * frame vs its time-chunk/halo form. Text rewrites are unchanged from
+  * v3, so wave-1/2 probe rows are byte-identical to the v3 replica's.
+  *
   * Only `documents`, `embeddings` and `events` are written — the probe
   * queries read nothing else; do not point other gates at the skew
   * directory. */
@@ -61,6 +72,10 @@ object SkewProbe {
 
   val Wave2Probes = Seq("q_sessionize", "q_funnel", "q_dedup_lines",
     "q_dedup_groups_portable", "q_nested_pack", "q_nested_pack_capped")
+
+  val Wave3Probes = Seq("q_pack_sequences", "q_pack_sequences_chunked",
+    "q_quality_filter", "q_quality_filter_rank",
+    "q_window_range_frame", "q_window_range_frame_chunked")
 
   /** Fixed-shape hot title: 5 tokens "zk______ qw____ rt___ uv__
     * xy_____" (34 chars, constant) with md5(doc_id) hex filler. */
@@ -81,7 +96,7 @@ object SkewProbe {
       factor: Int): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     val marker = new java.io.File(dst, "_SUCCESS")
-    val stamp = s"src=$src factor=$factor skew=zipf-v3"
+    val stamp = s"src=$src factor=$factor skew=zipf-v4"
     if (marker.exists()) {
       val prev = new String(
         java.nio.file.Files.readAllBytes(marker.toPath), UTF_8).trim
@@ -104,6 +119,10 @@ object SkewProbe {
     val extraDocs = docs.crossJoin(copies)
       .withColumn("doc_id", col("doc_id") + col("__i") * Replicate.Shift)
       .withColumn("source", lit("src0"))
+      // wave 3 (zipf-v4): every replicated doc is ALSO the mega language
+      // (~98% `en` at 32×) — the guaranteed shape of a real crawl, probing
+      // the lang-partitioned windows (q_pack_sequences, q_quality_filter)
+      .withColumn("lang", lit("en"))
       .withColumn("text",
         when(col("doc_id") % 7 === 0,
           concat(hotTitle(col("doc_id")), col("text")))

@@ -133,6 +133,32 @@ class CurateOpsSpec extends AnyFunSuite {
     assert(total == direct)
   }
 
+  test("packSequencesChunked == packSequences: default span, one-doc " +
+      "chunks, and a span that straddles every boundary") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("bin"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"))).toSeq
+    val plain = canon(CurateOps.packSequences(spark, dir))
+    assert(plain.nonEmpty)
+    // chunkSpan=1 puts EVERY document in its own chunk (maximum stitch
+    // pressure: each offset is the full prefix), span=7 forces uneven
+    // mid-bin boundaries, default must match too
+    for (span <- Seq(1L, 7L, 4096L))
+      assert(canon(CurateOps.packSequencesChunked(spark, dir, span))
+        == plain, s"chunkSpan=$span diverged from the plain running sum")
+  }
+
+  test("qualityFilterRank == qualityFilter: value-group rank reproduces " +
+      "the row_number threshold exactly") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("thr"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("kept_min"),
+        r.getAs[Long]("kept_max"))).toSeq
+    val plain = canon(CurateOps.qualityFilter(spark, dir))
+    assert(plain.nonEmpty)
+    assert(canon(CurateOps.qualityFilterRank(spark, dir)) == plain)
+  }
+
   test("aggMedianRank median lies between group min and max") {
     import org.apache.spark.sql.functions._
     val med = CurateOps.aggMedianRank(spark, dir).collect()

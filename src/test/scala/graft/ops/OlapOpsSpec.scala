@@ -74,6 +74,44 @@ class OlapOpsSpec extends AnyFunSuite {
     assert(canon(OlapOps.sessionizeChunkedEvents(real, chunkHours = 6)) == p)
   }
 
+  test("windowRangeFrameChunked == windowRangeFrame: halo rows complete " +
+      "boundary-crossing, exactly-1h, tied-timestamp and boundary-exact " +
+      "frames at 1h and default chunk widths") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("event_id"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_trailing_hour"),
+        r.getAs[Double]("v_trailing_hour"))).toSeq
+    // adversarial fixture vs 1h chunks: a frame crossing one cut
+    // (00:30→01:10), an exactly-1h-lookback pair (00:10→01:10, RANGE
+    // inclusive), an event AT a chunk boundary (02:00:00 — its halo
+    // copy must not double-count), same-us ties straddling a cut, a
+    // frame spanning the lookback from the last second of a chunk, and
+    // a second user interleaved
+    val rows = Seq(
+      (1L, 1L, ts("2024-01-01 00:10:00"), 1.0),
+      (2L, 1L, ts("2024-01-01 00:30:00"), 2.0),
+      (3L, 1L, ts("2024-01-01 01:10:00"), 4.0),   // frame: 1,2,3
+      (4L, 1L, ts("2024-01-01 02:00:00"), 8.0),   // exactly at the cut
+      (5L, 1L, ts("2024-01-01 02:59:59"), 16.0),  // last second of chunk
+      (6L, 1L, ts("2024-01-01 03:30:00"), 32.0),  // frame: 5,6 across cut
+      (7L, 2L, ts("2024-01-01 00:59:59"), 64.0),
+      (8L, 2L, ts("2024-01-01 00:59:59"), 128.0), // tie at the last us
+      (9L, 2L, ts("2024-01-01 01:00:00"), 256.0), // frame: 7,8,9
+      (10L, 2L, ts("2024-01-01 09:00:00"), 512.0))
+    val ev = rows.toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val plain = canon(OlapOps.windowRangeFrameEvents(ev))
+    assert(plain.exists(_._3 > 2L), "fixture has no multi-event frames")
+    for (h <- Seq(1, 24))
+      assert(canon(OlapOps.windowRangeFrameChunkedEvents(ev, h)) == plain,
+        s"chunkHours=$h diverged from the plain range frame")
+    // and the dir-level gate pair on real data (sf0.01 has >1-row frames)
+    val dir = "/root/testdata/sf0.01"
+    val realPlain = canon(OlapOps.windowRangeFrame(spark, dir))
+    assert(realPlain.exists(_._3 > 1L))
+    assert(canon(OlapOps.windowRangeFrameChunked(spark, dir)) == realPlain)
+  }
+
   test("cohortRetention: offset-0 retention is 1.0, within-cohort decay is monotone") {
     val rows = OlapOps.cohortRetention(spark, "/root/testdata/sf0.001")
       .collect()

@@ -77,6 +77,56 @@ class PlanShapeSpec extends AnyFunSuite {
       .count(_ == "Exchange hashpartitioning(user_id") == 1, s)
   }
 
+  test("chunked sequence packing: corpus window partitions by (lang, chunk), " +
+      "offsets broadcast back") {
+    val s = plan(CurateOps.packSequencesChunked(spark, dir))
+    // the heavy running sum runs chunk-parallel — its exchange hashes on
+    // BOTH keys, so a mega-language spreads over idRange/chunkSpan tasks
+    assert("Exchange hashpartitioning\\(lang#\\d+, chunk#\\d+"
+      .r.findFirstIn(s).isDefined, s)
+    // the stitch relation (one row per (lang, chunk)) joins back as a
+    // broadcast — no second corpus-wide shuffle for the offsets
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the wave-3 hazard pinned away: the only lang-ALONE exchange (the
+    // offsets' per-lang prefix window) takes chunk TOTALS as input — its
+    // (lang, chunk) aggregate sits below it in the tree, so corpus rows
+    // never cross a lang-only boundary
+    val finalPart = s.split("== Initial Plan ==")(0)
+    val langOnly = "Exchange hashpartitioning\\(lang#\\d+, \\d+\\)"
+      .r.findFirstMatchIn(finalPart)
+    assert(langOnly.isDefined, s)
+    val aggBelow = "HashAggregate\\(keys=\\[lang#\\d+, chunk#\\d+"
+      .r.findAllMatchIn(finalPart).map(_.start).toSeq
+    assert(aggBelow.exists(_ > langOnly.get.start),
+      s"lang-only exchange has no (lang, chunk) aggregate below it:\n$s")
+  }
+
+  test("halo range frame: the sliding window partitions by (user_id, chunk)") {
+    val s = plan(OlapOps.windowRangeFrameChunked(spark, dir))
+    // the mega-user hazard pinned away: the RANGE frame's exchange
+    // hashes on BOTH keys, so one user's history spreads over
+    // span/chunkHours tasks (halo rows complete the boundary frames)
+    assert("Exchange hashpartitioning\\(user_id#\\d+L?, chunk#\\d+"
+      .r.findFirstIn(s).isDefined, s)
+  }
+
+  test("rank-trick quality filter: the percentile window runs over " +
+      "(lang, n) value groups, never corpus rows") {
+    val s = plan(CurateOps.qualityFilterRank(spark, dir))
+    // the window's input is the value-group aggregate — partial count
+    // below its exchange, so a mega-language reduces map-side to its
+    // distinct token counts before anything shuffles
+    assert("HashAggregate\\(keys=\\[lang#\\d+, n#\\d+"
+      .r.findFirstIn(s).isDefined, s)
+    val aggIdx = "HashAggregate\\(keys=\\[lang#\\d+, n#\\d+"
+      .r.findFirstMatchIn(s).map(_.start).get
+    val winIdx = s.indexOf("Window ")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"value-group aggregate is not the window's input:\n$s")
+    // thresholds (one row per lang) broadcast into the corpus filter
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
   test("dimension joins broadcast; the big side never shuffles for them") {
     val s = plan(RelationalOps.join5Way(spark, dir))
     assert(s.contains("BroadcastHashJoin"), s)
