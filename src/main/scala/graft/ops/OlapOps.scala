@@ -494,6 +494,102 @@ object OlapOps {
       load(spark, dir, "events").filter(col("event_id") % 17 === 0),
       chunkHours)
 
+  /** WORK-OPTIMAL trailing-hour aggregate: the halo form parallelizes
+    * the mega-user but still pays Spark's sliding-frame recompute —
+    * `SlidingWindowFunctionFrame` does not retract, so a RANGE frame
+    * costs O(Σ frame sizes), and the wave-3 probe adjudicated a 246×
+    * frame-mass blowup on the dense mega-user. Count/sum are
+    * subtractable, so the frame aggregate is a DIFFERENCE OF PREFIX
+    * sums — an O(n) computation:
+    *
+    *  1. every event emits TWO tagged rows: itself (`at = us`) and a
+    *     PROBE at `at = us − lookback − 1` (one microsecond left of the
+    *     inclusive frame edge, so "events strictly before t−1h" is
+    *     exactly what the probe's prefix sees);
+    *  2. one ordered pass per (user, chunk) — ORDER BY (at, is_probe)
+    *     with the DEFAULT window frame (range-unbounded-preceding):
+    *     incremental in Spark, peers share a value, so tied event
+    *     times get the tie-inclusive count RANGE semantics require,
+    *     and a probe tied with a real row sorts AFTER it (`is_probe`
+    *     last) because us = t−1h−1 is inside the exclusion;
+    *  3. chunk totals (real rows only) prefix per user over the tiny
+    *     chunk relation and broadcast back as offsets — the same
+    *     stitch as [[CurateOps.packSequencesChunked]], built over the
+    *     union's own (user, chunk) key set so a probe landing in a
+    *     chunk with no real rows still finds its offset;
+    *  4. the per-event difference comes from one (event, user) hash
+    *     aggregate: +global-prefix on the real row, − on the probe.
+    *
+    * All-null frames reproduce SQL semantics through a third prefix
+    * (non-null value count): diff 0 → NULL, matching the frame sum.
+    * Decimal prefixes subtract exactly — bit-identical to the plain
+    * RANGE frame (shared differential oracle + OlapOpsSpec). Work is
+    * O(n) regardless of frame density AND spread over span/chunkHours
+    * tasks — both knives into the 4.90× probe finding at once. */
+  def windowRangeFramePrefixEvents(events: DataFrame,
+      chunkHours: Int = 24): DataFrame = {
+    val lookbackUs = 3600000000L
+    val chunkUs = chunkHours.toLong * 3600000000L
+    val e = events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("v", col("value").cast(DecimalType(18, 2)))
+      .select(col("event_id"), col("user_id"), col("us"), col("v"))
+    val real = e.withColumn("at", col("us")).withColumn("is_probe", lit(0))
+    val probe = e
+      .withColumn("at", col("us") - lit(lookbackUs + 1L))
+      .withColumn("is_probe", lit(1))
+    val tagged = real.unionByName(probe)
+      .withColumn("chunk", expr(s"at DIV ${chunkUs}L"))
+      .withColumn("cn", when(col("is_probe") === 0, lit(1L)).otherwise(lit(0L)))
+      .withColumn("cv", when(col("is_probe") === 0, col("v")))
+      .withColumn("cnn", when(col("is_probe") === 0 && col("v").isNotNull,
+        lit(1L)).otherwise(lit(0L)))
+    // default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW with PEERS:
+    // incremental (no sliding recompute) and tie-inclusive
+    val wLocal = Window.partitionBy("user_id", "chunk")
+      .orderBy(col("at"), col("is_probe"))
+    val local = tagged
+      .withColumn("ln", sum("cn").over(wLocal))
+      .withColumn("lv", sum("cv").over(wLocal))
+      .withColumn("lnn", sum("cnn").over(wLocal))
+    // chunk-total stitch over the union's OWN key set (a probe chunk
+    // with no real rows still needs its prefix offset)
+    val wChunks = Window.partitionBy("o_user").orderBy("o_chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tagged.groupBy(
+        col("user_id").as("o_user"), col("chunk").as("o_chunk"))
+      .agg(sum("cn").as("tn"), sum("cv").as("tv"), sum("cnn").as("tnn"))
+      .select(col("o_user"), col("o_chunk"),
+        coalesce(sum("tn").over(wChunks), lit(0L)).as("on"),
+        sum("tv").over(wChunks).as("ov"),
+        coalesce(sum("tnn").over(wChunks), lit(0L)).as("onn"))
+    // conditional negation, not sign multiplication: a bigint × wide
+    // decimal product would exceed Spark's 38-digit precision cap
+    def signed(c: org.apache.spark.sql.Column) =
+      when(col("is_probe") === 0, c).otherwise(-c)
+    local
+      .join(broadcast(offsets), col("user_id") === col("o_user") &&
+        col("chunk") === col("o_chunk"))
+      .withColumn("gn", col("ln") + col("on"))
+      .withColumn("gv", coalesce(col("lv"), lit(0).cast(DecimalType(18, 2)))
+        + coalesce(col("ov"), lit(0).cast(DecimalType(18, 2))))
+      .withColumn("gnn", col("lnn") + col("onn"))
+      .groupBy("event_id", "user_id")
+      .agg(sum(signed(col("gn"))).as("n_trailing_hour"),
+        sum(signed(col("gv"))).as("dv"),
+        sum(signed(col("gnn"))).as("dnn"))
+      .select(col("event_id"), col("user_id"), col("n_trailing_hour"),
+        when(col("dnn") > 0, col("dv")).cast("double")
+          .as("v_trailing_hour"))
+      .orderBy("event_id")
+  }
+
+  def windowRangeFramePrefix(spark: SparkSession, dir: String,
+      chunkHours: Int = 24): DataFrame =
+    windowRangeFramePrefixEvents(
+      load(spark, dir, "events").filter(col("event_id") % 17 === 0),
+      chunkHours)
+
   private val windowRangeFrameOracle: String =
     """SELECT event_id, user_id,
       |count(*) OVER w AS n_trailing_hour,
@@ -556,6 +652,10 @@ object OlapOps {
       (s: SparkSession, d: String) => windowRangeFrameChunked(s, d),
       Some(windowRangeFrameOracle),
       "window/range-frame (time-chunk halo rows, mega-user-safe)"),
+    QuerySpec("q_window_range_frame_prefix",
+      (s: SparkSession, d: String) => windowRangeFramePrefix(s, d),
+      Some(windowRangeFrameOracle),
+      "window/range-frame (prefix-difference, O(n) work-optimal)"),
     QuerySpec("q_agg_string_agg", aggStringAgg, Some(
       """SELECT user_id,
         |string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,

@@ -75,7 +75,8 @@ object SkewProbe {
 
   val Wave3Probes = Seq("q_pack_sequences", "q_pack_sequences_chunked",
     "q_quality_filter", "q_quality_filter_rank",
-    "q_window_range_frame", "q_window_range_frame_chunked")
+    "q_window_range_frame", "q_window_range_frame_chunked",
+    "q_window_range_frame_prefix")
 
   /** Fixed-shape hot title: 5 tokens "zk______ qw____ rt___ uv__
     * xy_____" (34 chars, constant) with md5(doc_id) hex filler. */

@@ -102,14 +102,40 @@ class OlapOpsSpec extends AnyFunSuite {
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
     val plain = canon(OlapOps.windowRangeFrameEvents(ev))
     assert(plain.exists(_._3 > 2L), "fixture has no multi-event frames")
-    for (h <- Seq(1, 24))
+    for (h <- Seq(1, 24)) {
       assert(canon(OlapOps.windowRangeFrameChunkedEvents(ev, h)) == plain,
         s"chunkHours=$h diverged from the plain range frame")
+      assert(canon(OlapOps.windowRangeFramePrefixEvents(ev, h)) == plain,
+        s"chunkHours=$h prefix form diverged from the plain range frame")
+    }
     // and the dir-level gate pair on real data (sf0.01 has >1-row frames)
     val dir = "/root/testdata/sf0.01"
     val realPlain = canon(OlapOps.windowRangeFrame(spark, dir))
     assert(realPlain.exists(_._3 > 1L))
     assert(canon(OlapOps.windowRangeFrameChunked(spark, dir)) == realPlain)
+    assert(canon(OlapOps.windowRangeFramePrefix(spark, dir)) == realPlain)
+  }
+
+  test("windowRangeFramePrefix: all-null and mixed-null frames reproduce " +
+      "the frame-sum NULL semantics") {
+    // user 1: an all-null frame (event 1 alone, null value), then a
+    // frame whose non-nulls come only from the PRIOR chunk at 1h chunks
+    val rows = Seq(
+      (1L, 1L, ts("2024-01-01 00:10:00"), Option.empty[Double]),
+      (2L, 1L, ts("2024-01-01 00:50:00"), Some(3.5)),
+      (3L, 1L, ts("2024-01-01 01:10:00"), Option.empty[Double]), // frame: 1(null),2,3 -> 3.5
+      (4L, 1L, ts("2024-01-01 05:00:00"), Option.empty[Double])) // all-null frame -> NULL
+    val ev = rows.toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("event_id"),
+        r.getAs[Long]("n_trailing_hour"),
+        Option(r.getAs[java.lang.Double]("v_trailing_hour")))).toSeq
+    val plain = canon(OlapOps.windowRangeFrameEvents(ev))
+    assert(plain.map(t => (t._1, t._3)) == Seq(
+      1L -> None, 2L -> Some(3.5), 3L -> Some(3.5), 4L -> None))
+    assert(canon(OlapOps.windowRangeFramePrefixEvents(ev, 1)) == plain)
+    assert(canon(OlapOps.windowRangeFrameChunkedEvents(ev, 1)) == plain)
   }
 
   test("cohortRetention: offset-0 retention is 1.0, within-cohort decay is monotone") {
