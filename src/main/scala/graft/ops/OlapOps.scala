@@ -431,8 +431,32 @@ object OlapOps {
 
   /** RANGE-frame moving aggregate: events within the trailing hour per
     * user, ordered by exact epoch micros (a RANGE frame over event time —
-    * the sliding-window shape streaming jobs aggregate with). */
-  def windowRangeFrameEvents(events: DataFrame): DataFrame = {
+    * the sliding-window shape streaming jobs aggregate with).
+    *
+    * DEFAULT PATH = the O(n) prefix-difference form
+    * ([[windowRangeFramePrefixEvents]]): count/sum are subtractable, so
+    * the naive sliding frame's O(Σ frame sizes) recompute is pure waste —
+    * the wave-3 skew probe measured the naive plan at 4.90× under the
+    * 32× dense mega-user (246× frame-mass concentration through one
+    * task) while the prefix form ran 0.63× at the same replica,
+    * bit-identical. A user reaching for the obvious name now gets the
+    * scale-safe plan; the naive frame survives as
+    * [[windowRangeFramePlainEvents]] (its own differential gate) for
+    * cross-checking and as the probe baseline. */
+  def windowRangeFrameEvents(events: DataFrame): DataFrame =
+    windowRangeFramePrefixEvents(events)
+
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame =
+    windowRangeFrameEvents(
+      load(spark, dir, "events").filter(col("event_id") % 17 === 0))
+
+  /** The NAIVE sliding-frame form — Spark's `SlidingWindowFunctionFrame`
+    * does not retract, so this pays O(Σ frame sizes) and funnels each
+    * user through one task (the wave-3 4.90×/32× mega-user finding).
+    * Retained, differential-gated, as the semantic baseline the three
+    * scale-safe forms are probed and spec-checked against; not the
+    * path [[windowRangeFrame]] routes to. */
+  def windowRangeFramePlainEvents(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us"))
       .rangeBetween(-3600000000L, 0L)
     events
@@ -444,8 +468,8 @@ object OlapOps {
       .orderBy("event_id")
   }
 
-  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame =
-    windowRangeFrameEvents(
+  def windowRangeFramePlain(spark: SparkSession, dir: String): DataFrame =
+    windowRangeFramePlainEvents(
       load(spark, dir, "events").filter(col("event_id") % 17 === 0))
 
   /** Skew-safe trailing-hour aggregate: [[windowRangeFrame]]'s per-user
@@ -525,15 +549,35 @@ object OlapOps {
     * Decimal prefixes subtract exactly — bit-identical to the plain
     * RANGE frame (shared differential oracle + OlapOpsSpec). Work is
     * O(n) regardless of frame density AND spread over span/chunkHours
-    * tasks — both knives into the 4.90× probe finding at once. */
+    * tasks — both knives into the 4.90× probe finding at once.
+    *
+    * Null-ts rows take a separate exact branch: a RANGE frame makes all
+    * of a user's null-ordered rows PEERS (the frame is the null peer
+    * group), so their aggregate is one per-user hash aggregate joined
+    * back — never a per-user window, so even a mega-user of null
+    * timestamps stays parallel. The final (event_id, user_id) hash
+    * aggregate assumes event_id is unique per user (the events table
+    * key): duplicate (event_id, user_id) rows would collapse into one
+    * summed row where the plain frame emits one row each. Epoch micros
+    * are assumed non-negative (integer DIV truncation = floor). */
   def windowRangeFramePrefixEvents(events: DataFrame,
       chunkHours: Int = 24): DataFrame = {
+    require(chunkHours >= 1, "chunkHours must be positive")
     val lookbackUs = 3600000000L
     val chunkUs = chunkHours.toLong * 3600000000L
-    val e = events
+    val e0 = events
       .withColumn("us", unix_micros(col("ts").cast("timestamp")))
       .withColumn("v", col("value").cast(DecimalType(18, 2)))
       .select(col("event_id"), col("user_id"), col("us"), col("v"))
+    val nullRows = e0.filter(col("us").isNull)
+    val nullOut = nullRows
+      .join(broadcast(nullRows.groupBy(col("user_id").as("nu"))
+          .agg(count(lit(1)).as("n_peers"), sum("v").as("v_peers"))),
+        col("user_id") <=> col("nu"))
+      .select(col("event_id"), col("user_id"),
+        col("n_peers").as("n_trailing_hour"),
+        col("v_peers").cast("double").as("v_trailing_hour"))
+    val e = e0.filter(col("us").isNotNull)
     val real = e.withColumn("at", col("us")).withColumn("is_probe", lit(0))
     val probe = e
       .withColumn("at", col("us") - lit(lookbackUs + 1L))
@@ -568,7 +612,9 @@ object OlapOps {
     def signed(c: org.apache.spark.sql.Column) =
       when(col("is_probe") === 0, c).otherwise(-c)
     local
-      .join(broadcast(offsets), col("user_id") === col("o_user") &&
+      // user_id is null-safe (a null user is a real window partition);
+      // chunk is non-null by the us-split above
+      .join(broadcast(offsets), col("user_id") <=> col("o_user") &&
         col("chunk") === col("o_chunk"))
       .withColumn("gn", col("ln") + col("on"))
       .withColumn("gv", coalesce(col("lv"), lit(0).cast(DecimalType(18, 2)))
@@ -581,6 +627,7 @@ object OlapOps {
       .select(col("event_id"), col("user_id"), col("n_trailing_hour"),
         when(col("dnn") > 0, col("dv")).cast("double")
           .as("v_trailing_hour"))
+      .unionByName(nullOut)
       .orderBy("event_id")
   }
 
@@ -647,7 +694,11 @@ object OlapOps {
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q_window_range_frame", windowRangeFrame,
-      Some(windowRangeFrameOracle), "window/range-frame"),
+      Some(windowRangeFrameOracle),
+      "window/range-frame (DEFAULT = prefix-difference O(n) path)"),
+    QuerySpec("q_window_range_frame_plain", windowRangeFramePlain,
+      Some(windowRangeFrameOracle),
+      "window/range-frame (naive sliding frame, retained baseline)"),
     QuerySpec("q_window_range_frame_chunked",
       (s: SparkSession, d: String) => windowRangeFrameChunked(s, d),
       Some(windowRangeFrameOracle),

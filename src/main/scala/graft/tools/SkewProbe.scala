@@ -75,8 +75,10 @@ object SkewProbe {
 
   val Wave3Probes = Seq("q_pack_sequences", "q_pack_sequences_chunked",
     "q_quality_filter", "q_quality_filter_rank",
-    "q_window_range_frame", "q_window_range_frame_chunked",
-    "q_window_range_frame_prefix")
+    // since round 18 q_window_range_frame IS the prefix path (the
+    // default routes there); _plain is the retained naive baseline
+    "q_window_range_frame_plain", "q_window_range_frame_chunked",
+    "q_window_range_frame")
 
   /** Fixed-shape hot title: 5 tokens "zk______ qw____ rt___ uv__
     * xy_____" (34 chars, constant) with md5(doc_id) hex filler. */

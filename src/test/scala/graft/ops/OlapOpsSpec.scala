@@ -100,7 +100,7 @@ class OlapOpsSpec extends AnyFunSuite {
       (10L, 2L, ts("2024-01-01 09:00:00"), 512.0))
     val ev = rows.toDF("event_id", "user_id", "ts", "value")
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
-    val plain = canon(OlapOps.windowRangeFrameEvents(ev))
+    val plain = canon(OlapOps.windowRangeFramePlainEvents(ev))
     assert(plain.exists(_._3 > 2L), "fixture has no multi-event frames")
     for (h <- Seq(1, 24)) {
       assert(canon(OlapOps.windowRangeFrameChunkedEvents(ev, h)) == plain,
@@ -110,10 +110,12 @@ class OlapOpsSpec extends AnyFunSuite {
     }
     // and the dir-level gate pair on real data (sf0.01 has >1-row frames)
     val dir = "/root/testdata/sf0.01"
-    val realPlain = canon(OlapOps.windowRangeFrame(spark, dir))
+    val realPlain = canon(OlapOps.windowRangeFramePlain(spark, dir))
     assert(realPlain.exists(_._3 > 1L))
     assert(canon(OlapOps.windowRangeFrameChunked(spark, dir)) == realPlain)
     assert(canon(OlapOps.windowRangeFramePrefix(spark, dir)) == realPlain)
+    // and the DEFAULT gate path (delegates to the prefix form)
+    assert(canon(OlapOps.windowRangeFrame(spark, dir)) == realPlain)
   }
 
   test("windowRangeFramePrefix: all-null and mixed-null frames reproduce " +
@@ -131,11 +133,44 @@ class OlapOpsSpec extends AnyFunSuite {
       df.collect().map(r => (r.getAs[Long]("event_id"),
         r.getAs[Long]("n_trailing_hour"),
         Option(r.getAs[java.lang.Double]("v_trailing_hour")))).toSeq
-    val plain = canon(OlapOps.windowRangeFrameEvents(ev))
+    val plain = canon(OlapOps.windowRangeFramePlainEvents(ev))
     assert(plain.map(t => (t._1, t._3)) == Seq(
       1L -> None, 2L -> Some(3.5), 3L -> Some(3.5), 4L -> None))
     assert(canon(OlapOps.windowRangeFramePrefixEvents(ev, 1)) == plain)
     assert(canon(OlapOps.windowRangeFrameChunkedEvents(ev, 1)) == plain)
+  }
+
+  test("windowRangeFramePrefix: null timestamps and a null user form the " +
+      "null-peer groups the plain RANGE frame defines; chunkHours <= 0 " +
+      "fails loudly") {
+    // null ts rows are PEERS (frame = the whole null group per user);
+    // a null user_id is itself a real window partition. Both hit the
+    // prefix form's dedicated branches (us-split + null-safe user key).
+    val rows = Seq(
+      (1L, Some(1L), Some(ts("2024-01-01 00:10:00")), Some(2.0)),
+      (2L, Some(1L), Option.empty[java.sql.Timestamp], Some(8.0)),
+      (3L, Some(1L), Option.empty[java.sql.Timestamp], Option.empty[Double]),
+      (4L, Some(1L), Some(ts("2024-01-01 00:40:00")), Some(4.0)),
+      (5L, Some(2L), Option.empty[java.sql.Timestamp], Option.empty[Double]),
+      (6L, Option.empty[Long], Some(ts("2024-01-01 00:20:00")), Some(1.0)),
+      (7L, Option.empty[Long], Some(ts("2024-01-01 00:50:00")), Some(16.0)),
+      (8L, Option.empty[Long], Option.empty[java.sql.Timestamp], Some(32.0)))
+    val ev = rows.toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("user_id")),
+        r.getAs[Long]("n_trailing_hour"),
+        Option(r.getAs[java.lang.Double]("v_trailing_hour")))).toSeq
+    val plain = canon(OlapOps.windowRangeFramePlainEvents(ev))
+    // sanity: user 1's null-ts pair are peers of each other only
+    assert(plain.find(_._1 == 2L).get._3 == 2L)
+    assert(plain.find(_._1 == 5L).get._4.isEmpty) // all-null null-peer frame
+    assert(canon(OlapOps.windowRangeFramePrefixEvents(ev, 1)) == plain)
+    assert(canon(OlapOps.windowRangeFrameEvents(ev)) == plain) // default path
+    intercept[IllegalArgumentException] {
+      OlapOps.windowRangeFramePrefixEvents(ev, 0)
+    }
   }
 
   test("cohortRetention: offset-0 retention is 1.0, within-cohort decay is monotone") {

@@ -110,22 +110,25 @@ class PlanShapeSpec extends AnyFunSuite {
       .r.findFirstIn(s).isDefined, s)
   }
 
-  test("prefix range frame: no bounded sliding frame anywhere in the " +
-      "plan — only incremental unbounded-preceding windows") {
+  test("DEFAULT range frame is the prefix form: no bounded sliding frame " +
+      "anywhere in the plan — only incremental unbounded-preceding windows") {
     // the plain/halo forms carry the O(n*w) sliding frame Spark cannot
     // retract; the work-optimality of the prefix form IS the absence of
-    // that frame shape
+    // that frame shape. Since round 18 the DEFAULT gate routes there —
+    // pin the plan a user reaching for windowRangeFrame actually gets.
     val sliding = "RangeFrame, -3600000000"
-    val plainPlan = plan(OlapOps.windowRangeFrame(spark, dir))
+    val plainPlan = plan(OlapOps.windowRangeFramePlain(spark, dir))
     assert(plainPlan.contains(sliding), plainPlan) // the hazard, present
-    val s = plan(OlapOps.windowRangeFramePrefix(spark, dir))
-    assert(!s.contains(sliding), s)                // and gone
-    assert(s.contains("unboundedpreceding"), s)
-    // the heavy pass still parallelizes by (user, chunk), and the
-    // chunk-offset stitch broadcasts
-    assert("Exchange hashpartitioning\\(user_id#\\d+L?, chunk#\\d+"
-      .r.findFirstIn(s).isDefined, s)
-    assert(s.contains("BroadcastHashJoin"), s)
+    for (s <- Seq(plan(OlapOps.windowRangeFramePrefix(spark, dir)),
+        plan(OlapOps.windowRangeFrame(spark, dir)))) {
+      assert(!s.contains(sliding), s)              // and gone
+      assert(s.contains("unboundedpreceding"), s)
+      // the heavy pass still parallelizes by (user, chunk), and the
+      // chunk-offset stitch broadcasts
+      assert("Exchange hashpartitioning\\(user_id#\\d+L?, chunk#\\d+"
+        .r.findFirstIn(s).isDefined, s)
+      assert(s.contains("BroadcastHashJoin"), s)
+    }
   }
 
   test("rank-trick quality filter: the percentile window runs over " +

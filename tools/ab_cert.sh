@@ -25,7 +25,11 @@ OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.la
 run_arm() { # $1 tree, $2 outfile
   local cp="$1/target/scala-2.13/classes:$JARS"
   local d; d=$(mktemp -d "$OUT/run.XXXX")
+  # SPARK_GRAFT_BENCH_ONLY / _REPEATS pass through for pinned-gate
+  # adjudications (high repeats over a few movers instead of the suite)
   (cd "$d" && SPARK_GRAFT_BENCH_STRICT=1 SPARK_GRAFT_SF_DIR="$SF" \
+    SPARK_GRAFT_BENCH_ONLY="${SPARK_GRAFT_BENCH_ONLY:-}" \
+    SPARK_GRAFT_BENCH_REPEATS="${SPARK_GRAFT_BENCH_REPEATS:-}" \
     java $OPENS -Xmx48g -cp "$cp" graft.Bench > stdout.log 2> stderr.log) \
     || { echo "ARM FAILED ($1): see $d"; exit 1; }
   grep -m1 '^{"metric"' "$d/stdout.log" > "$2"

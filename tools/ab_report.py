@@ -67,9 +67,13 @@ def main():
             if len(rs) >= 2:
                 paired_bands.append((max(rs) - min(rs)) / min(rs))
                 paired_meds.append(statistics.median(rs))
+        # guard membership per pair: a partial run (crashed mid-suite)
+        # that still parses must not KeyError the whole report
         pair_tots = [
-            sum(b_runs[i][q] for q in common) / sum(a_runs[i][q] for q in common)
-            for i in range(n_pairs)]
+            sum(b_runs[i][q] for q in qs) / sum(a_runs[i][q] for q in qs)
+            for i in range(n_pairs)
+            if (qs := [q for q in common
+                       if q in a_runs[i] and q in b_runs[i]])]
         print(f"paired per-gate ratio: median {statistics.median(paired_meds):.3f}; "
               f"band across pairs: median "
               f"{statistics.median(paired_bands):.1%}, p90 "
