@@ -124,8 +124,14 @@ object Dedup {
     * results are bit-identical either way. (Pairs here are counted
     * per-band before the cross-band distinct, so the estimate is an
     * upper bound on distinct verify pairs and exact per-band work.) */
-  private def guardBucketPairs(banded: DataFrame, keys: Seq[String],
-      budget: Long, site: String): Unit = {
+  private[dedup] def guardBucketPairs(banded: DataFrame, keys: Seq[String],
+      budget: Long, site: String,
+      advice: String = "A hot bucket (shared boilerplate shingles " +
+        "landing every doc in one band bucket) makes the verify " +
+        "quadratic in that bucket's docs; raise the budget, raise " +
+        "`bands`' rows-per-band (a sharper S-curve), raise `threshold`, " +
+        "or exact-collapse duplicates first (nearDupGroups already " +
+        "does)."): Unit = {
     require(budget > 0, "maxCandidatePairs must be positive")
     val est = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
@@ -134,11 +140,6 @@ object Dedup {
         case null => 0L
         case v: Long => v
       }
-    def advice = "A hot bucket (shared boilerplate shingles landing " +
-      "every doc in one band bucket) makes the verify quadratic in " +
-      "that bucket's docs; raise the budget, raise `bands`' rows-per-" +
-      "band (a sharper S-curve), raise `threshold`, or exact-collapse " +
-      "duplicates first (nearDupGroups already does)."
     if (budget != Long.MaxValue && est > budget)
       throw new IllegalStateException(
         s"Dedup.$site: $est bucket-coincident candidate pairs exceeds " +
@@ -820,6 +821,16 @@ object Dedup {
     embeddingNearDup(emb, vecCol, idCol, threshold, dim, bits, tables, 42L)
   }
 
+  /** Auto-geometry entry with a verify-stage pairs budget (see
+    * [[guardBucketPairs]] — the same circuit-breaker contract as
+    * [[minhashLsh]], extended to the vector modality in round 18). */
+  def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, dim: Int, maxCandidatePairs: Long): DataFrame = {
+    val (bits, tables) = lshParamsFor(emb.count(), threshold)
+    embeddingNearDup(emb, vecCol, idCol, threshold, dim, bits, tables, 42L,
+      maxCandidatePairs)
+  }
+
   /** Embedding near-dup with INTERNAL hyperplane-LSH blocking — the
     * default entry point: callers supply no blocking key and get
     * banded-LSH candidate generation instead of an all-pairs join.
@@ -841,16 +852,28 @@ object Dedup {
     * domain key (URL host, shard, label) already bounds the pair space. */
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double, dim: Int, bitsPerTable: Int, tables: Int,
-      seed: Long): DataFrame = {
+      seed: Long, maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     import graft.functions.expressions.CosineSimilarity.cosineNative
     import graft.functions.expressions.HyperplaneBuckets.bucketsNative
     val planes = hyperplaneTables(tables, bitsPerTable, dim, seed)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     // all table buckets in ONE fused codegen'd loop per row (the composed
     // hyperplaneBit form costs tables*bits interpreted HOF folds per row)
+    // localCheckpoint: the bucket rows feed the pairs guard AND both
+    // self-join sides (the minhashLsh per-consumer recompute trap); the
+    // repartition preserves (tbl, bkt) partitioning into the self-join
     val bucketRows = base
       .select(col("id"), bucketsNative(col("v"), planes).as("bkts"))
       .select(col("id"), posexplode(col("bkts")).as(Seq("tbl", "bkt")))
+      .repartition(col("tbl"), col("bkt"))
+      .localCheckpoint()
+    guardBucketPairs(bucketRows, Seq("tbl", "bkt"), maxCandidatePairs,
+      "embeddingNearDup", advice = "A hot hyperplane bucket (a dominant " +
+        "direction — boilerplate embeddings — landing a corpus fraction " +
+        "in one table bucket) makes the cosine verify quadratic in that " +
+        "bucket's vectors; raise the budget, raise `bitsPerTable` " +
+        "(smaller buckets; raise `tables` to buy recall back), or " +
+        "pre-collapse byte-identical vectors.")
     val pairs = bucketRows.as("a")
       .join(bucketRows.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt")
@@ -953,12 +976,27 @@ object Dedup {
     * scale). Prefer the internal-LSH overload above when no such domain
     * key exists. */
   def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double): DataFrame =
+    embeddingNearDup(emb, vecCol, idCol, blockCol, threshold, Long.MaxValue)
+
+  /** Caller-block near-dup with a pairs budget: the block sizes ARE the
+    * pair space (Σ n·(n−1)/2 over blocks), so the guard measures the
+    * exact quadratic the key admits — the loud check that the "key is
+    * known to bound block sizes" contract above actually holds. */
+  def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
+      blockCol: String, threshold: Double,
+      maxCandidatePairs: Long): DataFrame = {
     // cosine via the fused native expression (codegen'd single loop per
     // pair — bit-identical to the composed-Column fold, ~10x faster)
     import graft.functions.expressions.CosineSimilarity.cosineNative
     val base = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(vecCol).as("v"))
+    guardBucketPairs(base, Seq("blk"), maxCandidatePairs,
+      "embeddingNearDup(block)", advice = "A hot block makes the " +
+        "all-pairs cosine quadratic in that block's vectors; raise the " +
+        "budget, choose a finer blocking key, or switch to the " +
+        "internal-LSH overload (no blocking key), which bounds buckets " +
+        "by `bitsPerTable`.")
     val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("blk"))

@@ -45,7 +45,18 @@ object SemDedup {
     * `assigned`: (id, v: array&lt;double&gt;, cell); `centroids`: (cell,
     * cent: array&lt;double&gt;) — at most one row per cell, broadcast. */
   private[dedup] def decide(assigned: DataFrame, centroids: DataFrame,
-      threshold: Double, maxIter: Int): DataFrame = {
+      threshold: Double, maxIter: Int,
+      maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
+    // within-cell pairs ARE the SemDedup bargain's fine print: the guard
+    // measures the exact quadratic the quantizer admits (Σ n·(n−1)/2
+    // over cell occupancies — one tiny aggregate), the same round-17
+    // circuit-breaker contract as Dedup.guardBucketPairs' LSH sites
+    Dedup.guardBucketPairs(assigned, Seq("cell"), maxCandidatePairs,
+      "semDedup", advice = "A hot cell (k too small for the corpus, or " +
+        "a degenerate quantizer direction) makes the within-cell pair " +
+        "phase quadratic in that cell's members; raise the budget, " +
+        "raise k (the paper's k ~ sqrt(N)), or raise `bits` on the " +
+        "portable quantizer.")
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
     val edges = a.join(b, Seq("cell"))
@@ -87,10 +98,11 @@ object SemDedup {
     * (id, cell, group_id, cent_cos, keep). */
   def semDedup(emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double, k: Int, seed: Long = 42L,
-      maxIter: Int = 20): DataFrame =
+      maxIter: Int = 20,
+      maxCandidatePairs: Long = Long.MaxValue): DataFrame =
     semDedupWithIndex(
       graft.similarity.Ivf.build(emb, k, idCol, vecCol, seed),
-      threshold, maxIter)
+      threshold, maxIter, maxCandidatePairs)
 
   /** SemDedup over an already-built (or persisted-and-loaded) IVF index
     * — the serving form: a nightly dedup pass reads the
@@ -99,13 +111,14 @@ object SemDedup {
     * double is exact for float-source embeddings, so served decisions
     * match the refit path bit-for-bit — pinned in SemDedupSpec). */
   def semDedupWithIndex(index: graft.similarity.Ivf.Index,
-      threshold: Double, maxIter: Int = 20): DataFrame = {
+      threshold: Double, maxIter: Int = 20,
+      maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     val assigned = index.assigned.select(col("id"),
       transform(col("emb"), x => x.cast("double")).as("v"), col("cell"))
     val spark = assigned.sparkSession
     import spark.implicits._
     val centroids = index.centroids.toSeq.toDF("cell", "cent")
-    decide(assigned, centroids, threshold, maxIter)
+    decide(assigned, centroids, threshold, maxIter, maxCandidatePairs)
   }
 
   /** SemDedup with a seeded-hyperplane quantizer (`bits` sign bits of
@@ -113,12 +126,14 @@ object SemDedup {
     * stage replayable in a SQL oracle. */
   def semDedupPortable(emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double, bits: Int, dim: Int, seed: Long = 42L,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     val planes = Dedup.hyperplaneTables(1, bits, dim, seed)
     val assigned = emb.select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .select(col("id"), col("v"),
         bucketsNative(col("v"), planes).getItem(0).as("cell"))
-    decide(assigned, quantizedCentroids(assigned), threshold, maxIter)
+    decide(assigned, quantizedCentroids(assigned), threshold, maxIter,
+      maxCandidatePairs)
   }
 }

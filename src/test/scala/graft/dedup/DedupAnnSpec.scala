@@ -89,6 +89,62 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(guarded == free)
   }
 
+  test("vector pairs budget: embeddingNearDup (LSH and block) and " +
+      "SemDedup hard-fail with a budget, warn without, results " +
+      "bit-identical (round-18 extension of the round-17 contract)") {
+    // 20 byte-identical vectors: every hyperplane table buckets them
+    // together (2 tables x C(20,2) = 380 coincident pairs), one block
+    // holds them all, and one SemDedup cell holds them all
+    val hot = (0 until 20).map(i =>
+      (i.toLong, 0, Seq(1.0f, 0.5f, -0.25f, 0.125f)))
+      .toDF("vec_id", "label", "embedding")
+    val eLsh = intercept[IllegalStateException] {
+      Dedup.embeddingNearDup(hot, "embedding", "vec_id", 0.9, 4,
+        bitsPerTable = 4, tables = 2, seed = 42L, maxCandidatePairs = 100)
+    }
+    assert(eLsh.getMessage.contains("maxCandidatePairs=100"), eLsh.getMessage)
+    assert(eLsh.getMessage.contains("bitsPerTable"),
+      "the failure must name the mitigations")
+    val eBlk = intercept[IllegalStateException] {
+      Dedup.embeddingNearDup(hot, "embedding", "vec_id", "label", 0.9,
+        maxCandidatePairs = 100)
+    }
+    assert(eBlk.getMessage.contains("blocking key"), eBlk.getMessage)
+    val eSem = intercept[IllegalStateException] {
+      SemDedup.semDedupPortable(hot, "embedding", "vec_id", 0.9,
+        bits = 4, dim = 4, maxCandidatePairs = 100)
+    }
+    assert(eSem.getMessage.contains("sqrt(N)"), eSem.getMessage)
+    // no budget: warns past a tiny advisory threshold and proceeds with
+    // the exact result on all three paths
+    val out = new java.io.ByteArrayOutputStream()
+    sys.props("graft.lsh.warnPairs") = "100"
+    val warned = try Console.withOut(new java.io.PrintStream(out, true)) {
+      (Dedup.embeddingNearDup(hot, "embedding", "vec_id", 0.9, 4,
+          bitsPerTable = 4, tables = 2, seed = 42L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+       SemDedup.semDedupPortable(hot, "embedding", "vec_id", 0.9,
+          bits = 4, dim = 4)
+        .collect().map(r => (r.getLong(0), r.getBoolean(4))).toSet)
+    } finally sys.props.remove("graft.lsh.warnPairs")
+    assert(out.toString.contains("WARN Dedup.embeddingNearDup"), out.toString)
+    assert(out.toString.contains("WARN Dedup.semDedup"), out.toString)
+    val plainPairs = Dedup.embeddingNearDup(hot, "embedding", "vec_id",
+        0.9, 4, bitsPerTable = 4, tables = 2, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(warned._1 == plainPairs && plainPairs.size == 190) // C(20,2)
+    val plainSem = SemDedup.semDedupPortable(hot, "embedding", "vec_id",
+        0.9, bits = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).toSet
+    assert(warned._2 == plainSem
+      && plainSem.count(_._2) == 1) // one kept representative
+    // a passing budget is invisible
+    val guarded = Dedup.embeddingNearDup(hot, "embedding", "vec_id",
+        "label", 0.9, maxCandidatePairs = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == plainPairs)
+  }
+
   test("simhash: identical docs distance 0, distinct docs far (dedup)") {
     val sigs = Dedup.simhashSignatures(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
