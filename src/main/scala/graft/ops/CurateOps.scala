@@ -449,7 +449,8 @@ object CurateOps {
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    load(spark, dir, "documents")
+    HotKeyAdvisor.advise(load(spark, dir, "documents"), Seq("lang"),
+        "CurateOps.packSequences", "packSequencesChunked")
       .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("bin", floor(col("cum_before") / lit(512.0)))
@@ -1016,7 +1017,8 @@ object CurateOps {
     * shuffle is the per-language sort for ranks, which at 100 TB would
     * come from a sampled sketch instead — the filter side is unchanged. */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val docs = load(spark, dir, "documents")
+    val docs = HotKeyAdvisor.advise(load(spark, dir, "documents"),
+        Seq("lang"), "CurateOps.qualityFilter", "qualityFilterRank")
       .select(col("doc_id"), col("lang"),
         graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
     val ranked = docs

@@ -260,7 +260,8 @@ object ExtraOps {
     * exceeds task memory — the production guard is the source-cap /
     * per-key truncation machinery (q_source_cap) upstream. */
   def nestedPack(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
+    HotKeyAdvisor.advise(load(spark, dir, "events"), Seq("user_id"),
+        "ExtraOps.nestedPack", "nestedPackCapped")
       .groupBy("user_id")
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("event_type")))).as("msgs"))

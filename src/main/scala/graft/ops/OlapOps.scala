@@ -195,6 +195,8 @@ object OlapOps {
     * user_id serves both window passes AND the final rollup — the
     * partitioning is reused, exactly the plan wanted at 100 TB. */
   def sessionizeEvents(events: DataFrame): DataFrame = {
+    HotKeyAdvisor.advise(events, Seq("user_id"),
+      "OlapOps.sessionize", "sessionizeChunkedEvents")
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     // gap test compares full-precision timestamps (interval arithmetic),
     // never truncated epoch seconds — ts carries microseconds.
@@ -457,6 +459,9 @@ object OlapOps {
     * scale-safe forms are probed and spec-checked against; not the
     * path [[windowRangeFrame]] routes to. */
   def windowRangeFramePlainEvents(events: DataFrame): DataFrame = {
+    HotKeyAdvisor.advise(events, Seq("user_id"),
+      "OlapOps.windowRangeFramePlain",
+      "windowRangeFrame (the default prefix-difference path)")
     val w = Window.partitionBy("user_id").orderBy(col("us"))
       .rangeBetween(-3600000000L, 0L)
     events
