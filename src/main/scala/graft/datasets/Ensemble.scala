@@ -163,13 +163,61 @@ object Ensemble {
     * between [[denseGrid]] alignment (missing steps surface as nulls)
     * and any consumer that needs a dense numeric grid.
     *
-    * Scale shape: two window passes per value column over ONE
-    * partitioning (the track key) — the running last-non-null before
-    * and first-non-null after each row; no joins, no explode, state
-    * bounded per partition. The lerp is pure IEEE double arithmetic in
-    * a fixed operation order, so an external engine replays it
-    * exactly. */
+    * Scale shape: two window passes over ONE partitioning (the track
+    * key) — the running last-non-null BEFORE each row in ascending
+    * order, and the same running frame in DESCENDING order for the
+    * first-non-null AFTER. Both are unbounded-preceding running frames,
+    * which Spark evaluates incrementally (O(n) per partition). The
+    * naive encoding of the forward neighbor — `first(...ignoreNulls)
+    * OVER (ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)` — goes
+    * through `UnboundedFollowingWindowFunctionFrame`, which RECOMPUTES
+    * the aggregate from scratch for every row: O(n²) per partition, the
+    * wave-4 mega-track pathology (measured in the round-18 probe;
+    * retained as [[interpolateFollowingFrame]] for the differential).
+    * All value columns share the two sorts (one Window node per
+    * direction). The lerp is pure IEEE double arithmetic in a fixed
+    * operation order, so an external engine replays it exactly. */
   def interpolate(tracks: DataFrame, keys: Seq[String], ordCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val wAsc = Window.partitionBy(keys.map(col): _*).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDesc = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ordCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def mark(v: String) = when(col(v).isNotNull,
+      struct(col(ordCol).as("o"), col(v).as("x")))
+    // both neighbor passes for ALL columns first (each direction's
+    // projections collapse into one Window node = one sort), then the
+    // per-column lerp
+    val withNbrs = valueCols.foldLeft(tracks) { (df, v) =>
+      df.withColumn(s"__pv_$v",
+          last(mark(v), ignoreNulls = true).over(wAsc))
+        .withColumn(s"__nv_$v",
+          last(mark(v), ignoreNulls = true).over(wDesc))
+    }
+    valueCols.foldLeft(withNbrs) { (df, v) =>
+      val pv = col(s"__pv_$v")
+      val nv = col(s"__nv_$v")
+      // the nv.o > pv.o guard keeps a malformed series (duplicate
+      // ordinates around a gap) at null instead of silently producing
+      // NaN/Infinity from a zero-width interval
+      df.withColumn(v,
+          when(col(v).isNotNull, col(v)).otherwise(
+            when(nv.getField("o") > pv.getField("o"),
+              pv.getField("x") + (nv.getField("x") - pv.getField("x")) *
+                ((col(ordCol) - pv.getField("o")) /
+                  (nv.getField("o") - pv.getField("o"))))))
+        .drop(s"__pv_$v", s"__nv_$v")
+    }
+  }
+
+  /** The naive forward-neighbor encoding — an `unboundedFollowing`
+    * frame per value column. Spark recomputes that frame per ROW
+    * (O(n²) per partition): the round-18 wave-4 probe baseline, kept
+    * only so the probe and EnsembleSpec can pin [[interpolate]]
+    * bit-identical to it. Do not use on real tracks. */
+  private[graft] def interpolateFollowingFrame(tracks: DataFrame,
+      keys: Seq[String], ordCol: String,
       valueCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ordCol))
     valueCols.foldLeft(tracks) { (df, v) =>
@@ -179,9 +227,6 @@ object Ensemble {
         .over(w.rowsBetween(Window.unboundedPreceding, -1))
       val nv = first(mark, ignoreNulls = true)
         .over(w.rowsBetween(1, Window.unboundedFollowing))
-      // the nv.o > pv.o guard keeps a malformed series (duplicate
-      // ordinates around a gap) at null instead of silently producing
-      // NaN/Infinity from a zero-width interval
       df.withColumn(v,
         when(col(v).isNotNull, col(v)).otherwise(
           when(nv.getField("o") > pv.getField("o"),

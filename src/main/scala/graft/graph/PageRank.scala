@@ -83,8 +83,16 @@ object PageRank {
     }
     var i = 0
     while (i < iterations) {
+      // (rank*85) DIV 100 rewritten exactly as
+      // (rank DIV 100)*85 + ((rank%100)*85) DIV 100 — identical for all
+      // non-negative ranks (8500q+85r with 85r<8500), but the naive
+      // product overflows ANSI longs once a mega-hub accumulates
+      // > Long.Max/85 ≈ 1.08e17 pico-units (the wave-4 32× in-degree
+      // probe hit it); the split form is safe up to Long.Max, i.e. the
+      // representable-mass bound itself. The DuckDB oracle keeps the
+      // literal (rank*85)//100 (HUGEINT intermediates) — same values.
       val damped = ranks.select(col("id"),
-        expr("(rank * 85L) DIV 100").as("m"))
+        expr("(rank DIV 100) * 85L + ((rank % 100) * 85L) DIV 100").as("m"))
       // one shuffle: edges x damped on src (outd shares the edge
       // frame's src partitioning), partial-summed into dst
       val contrib = e

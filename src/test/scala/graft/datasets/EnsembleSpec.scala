@@ -162,4 +162,19 @@ class EnsembleSpec extends AnyFunSuite {
     assert(!k2.exists(_.exists(v =>
       v.asInstanceOf[Double].isNaN || v.asInstanceOf[Double].isInfinite)))
   }
+
+  test("interpolate (descending running frame) is bit-identical to the " +
+      "O(n^2) unboundedFollowing baseline, incl. multi-column fill") {
+    // denser fixture: runs of nulls, all-null series, two value columns
+    val rows = for (k <- 1L to 3L; h <- 0L to 40L) yield (k, h * 3,
+      if ((h + k) % 4 == 0) Some(k * 100.0 + h) else Option.empty[Double],
+      if (k == 3L) Option.empty[Double]
+      else if (h % 5 == 0) Some(h * 1.5) else Option.empty[Double])
+    val df = rows.toDF("k", "hour", "v", "w")
+    def canon(d: org.apache.spark.sql.DataFrame) = d
+      .orderBy("k", "hour").collect().map(_.toSeq).toSeq
+    assert(canon(Ensemble.interpolate(df, Seq("k"), "hour", Seq("v", "w")))
+      == canon(Ensemble.interpolateFollowingFrame(
+           df, Seq("k"), "hour", Seq("v", "w"))))
+  }
 }
