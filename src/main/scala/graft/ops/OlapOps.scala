@@ -642,6 +642,31 @@ object OlapOps {
       load(spark, dir, "events").filter(col("event_id") % 17 === 0),
       chunkHours)
 
+  /** The SQL-TEXT sliding RANGE frame: the exact `RANGE BETWEEN n
+    * PRECEDING AND CURRENT ROW` idiom a SQL user writes, run through
+    * `spark.sql` — which [[graft.plans.PrefixFrameRewriteRule]]
+    * rewrites into the prefix-difference shape (the `WHERE us IS NOT
+    * NULL` inside the query is what licenses the rewrite: the rule
+    * requires the order key provably non-null). Differentially gated
+    * against the same-text DuckDB oracle, so the rewrite's
+    * bit-identity claim is load-bearing, not spec-only. */
+  def windowRangeFrameSql(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.synchronized {
+      graft.Tables.registerAll(spark, dir)
+      spark.sql(
+        """SELECT event_id, user_id,
+          |count(*) OVER w AS n_trailing_hour,
+          |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          |  AS v_trailing_hour
+          |FROM (SELECT event_id, user_id, value,
+          |        unix_micros(CAST(ts AS TIMESTAMP)) AS us
+          |      FROM events WHERE event_id % 17 = 0) t
+          |WHERE us IS NOT NULL
+          |WINDOW w AS (PARTITION BY user_id ORDER BY us
+          |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)
+    }
+
   private val windowRangeFrameOracle: String =
     """SELECT event_id, user_id,
       |count(*) OVER w AS n_trailing_hour,
@@ -704,6 +729,18 @@ object OlapOps {
     QuerySpec("q_window_range_frame_plain", windowRangeFramePlain,
       Some(windowRangeFrameOracle),
       "window/range-frame (naive sliding frame, retained baseline)"),
+    QuerySpec("q_window_range_frame_sql", windowRangeFrameSql, Some(
+      """SELECT event_id, user_id,
+        |count(*) OVER w AS n_trailing_hour,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |  AS v_trailing_hour
+        |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us
+        |      FROM events WHERE event_id % 17 = 0) t
+        |WHERE us IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+      "window/range-frame (SQL text -> PrefixFrameRewriteRule)"),
     QuerySpec("q_window_range_frame_chunked",
       (s: SparkSession, d: String) => windowRangeFrameChunked(s, d),
       Some(windowRangeFrameOracle),

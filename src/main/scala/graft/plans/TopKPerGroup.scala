@@ -279,6 +279,7 @@ object TopK {
   val extensions: SparkSessionExtensions => Unit = { e =>
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(_ => TopKRewriteRule)
+    e.injectOptimizerRule(_ => PrefixFrameRewriteRule)
     sqlFunctions.foreach { case (name, cls, builder) =>
       e.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -299,6 +300,9 @@ object TopK {
     }
     if (!exp.extraOptimizations.contains(TopKRewriteRule))
       exp.extraOptimizations = TopKRewriteRule +: exp.extraOptimizations
+    if (!exp.extraOptimizations.contains(PrefixFrameRewriteRule))
+      exp.extraOptimizations =
+        PrefixFrameRewriteRule +: exp.extraOptimizations
   }
 
   /** Top `k` rows of `df` per `groupCols` group under `orderCols` (use

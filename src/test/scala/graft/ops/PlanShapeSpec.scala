@@ -129,6 +129,12 @@ class PlanShapeSpec extends AnyFunSuite {
         .r.findFirstIn(s).isDefined, s)
       assert(s.contains("BroadcastHashJoin"), s)
     }
+    // and the SQL-text gate: PrefixFrameRewriteRule rewrites the
+    // RANGE-PRECEDING idiom a spark.sql user writes into the same
+    // frame-free shape (round 18)
+    val sqlPlan = plan(OlapOps.windowRangeFrameSql(spark, dir))
+    assert(!sqlPlan.contains(sliding), sqlPlan)
+    assert(sqlPlan.contains("unboundedpreceding"), sqlPlan)
   }
 
   test("rank-trick quality filter: the percentile window runs over " +
