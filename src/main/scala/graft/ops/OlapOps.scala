@@ -652,7 +652,9 @@ object OlapOps {
     * bit-identity claim is load-bearing, not spec-only. */
   def windowRangeFrameSql(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.synchronized {
-      graft.Tables.registerAll(spark, dir)
+      // only the events view: partial replicas (skew probes) carry no
+      // TPC-H tables, and the query reads nothing else
+      load(spark, dir, "events").createOrReplaceTempView("events")
       spark.sql(
         """SELECT event_id, user_id,
           |count(*) OVER w AS n_trailing_hour,
