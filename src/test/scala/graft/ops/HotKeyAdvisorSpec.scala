@@ -32,6 +32,23 @@ class HotKeyAdvisorSpec extends AnyFunSuite {
     assert(HotKeyAdvisor.DefaultWarnMinRows == 100000L)
   }
 
+  test("the probe memoizes per (plan, keys): a repeated invocation " +
+      "pays no second aggregate and warns once") {
+    sys.props("graft.skew.warnMinRows") = "1"
+    try {
+      val first = captured {
+        HotKeyAdvisor.advise(skewed, Seq("user_id"), "memo.site", "x")
+          .collect()
+      }
+      val second = captured {
+        HotKeyAdvisor.advise(skewed, Seq("user_id"), "memo.site", "x")
+          .collect()
+      }
+      assert(first.contains("WARN memo.site"), first)
+      assert(!second.contains("WARN"), second)
+    } finally sys.props.remove("graft.skew.warnMinRows")
+  }
+
   test("warn fires past the share threshold, names the sibling, and " +
       "results are bit-identical; uniform keys stay silent; the row " +
       "floor keeps small corpora silent by default") {
