@@ -1,13 +1,14 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, First, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, First, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Union, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
 /** Optimizer rewrite: a trailing sliding RANGE frame computing ONLY
-  * subtractable aggregates (count / integral·decimal sum) becomes the
+  * subtractable aggregates (count, integral/decimal sum, decimal avg)
+  * becomes the
   * PREFIX-DIFFERENCE shape — so `spark.sql` text written with the
   * standard `RANGE BETWEEN n PRECEDING AND CURRENT ROW` idiom gets the
   * O(n) plan without knowing [[graft.ops.OlapOps
@@ -43,11 +44,13 @@ import org.apache.spark.sql.types._
   *    filters `ord IS NOT NULL` (or derives ord from a non-null
   *    column) gets the rewrite; anything else is left alone rather
   *    than silently wrong;
-  *  - every window expression in the node is a sliding count / sum of
-  *    an integral or decimal column with the SAME constant negative
-  *    lower bound and CURRENT ROW upper (double sums are NOT rewritten:
-  *    a prefix difference reorders float arithmetic — not
-  *    bit-identical, so not eligible);
+  *  - every window expression in the node is a sliding count, a sum of
+  *    an integral or decimal column, or an avg of a DECIMAL column,
+  *    with the SAME constant negative lower bound and CURRENT ROW
+  *    upper (double sums/avgs are NOT rewritten: a prefix difference
+  *    reorders float arithmetic — not bit-identical; decimal avg IS,
+  *    because its finish formula is reused verbatim with exact diffs
+  *    substituted for the buffer attributes);
   *  - aggregates only — no distinct, no filter clauses.
   *
   * The rewrite keeps the original (part) partitioning — work becomes
@@ -99,6 +102,12 @@ object PrefixFrameRewriteRule extends Rule[LogicalPlan] {
         f match {
           case Sum(e, _) if summable(e.dataType) => Some(Sliding(a, f, l))
           case c: Count if c.children.size <= 1 => Some(Sliding(a, f, l))
+          // avg only over DECIMAL input: its buffer sum is then exact
+          // decimal (an integral/double input averages through a DOUBLE
+          // buffer, whose incremental rounding a prefix difference does
+          // not replay bit-for-bit)
+          case Average(e, _) if e.dataType.isInstanceOf[DecimalType] =>
+            Some(Sliding(a, f, l))
           case _ => None
         }
       }
@@ -172,6 +181,10 @@ object PrefixFrameRewriteRule extends Rule[LogicalPlan] {
             val v = If(isReal, e, Literal(null, e.dataType))
             val nn = If(And(isReal, IsNotNull(e)), Literal(1L), Literal(0L))
             (s, running(v, s"__pfx_v$i"), Some(running(nn, s"__pfx_n$i")))
+          case Average(e, _) => // decimal-gated in slidingOf
+            val v = If(isReal, e, Literal(null, e.dataType))
+            val nn = If(And(isReal, IsNotNull(e)), Literal(1L), Literal(0L))
+            (s, running(v, s"__pfx_v$i"), Some(running(nn, s"__pfx_n$i")))
           case Count(Seq(e)) if !e.nullable =>
             (s, running(If(isReal, Literal(1L), Literal(0L)),
               s"__pfx_v$i"), None)
@@ -213,6 +226,19 @@ object PrefixFrameRewriteRule extends Rule[LogicalPlan] {
             case None => diff
           }
         case _: Count => Cast(raw, LongType)
+        case avg @ Average(_, _) =>
+          // reuse Spark's OWN finish formula with the exact diffs
+          // substituted for its buffer attributes — bit-identity (incl.
+          // the empty/all-null -> NULL path and decimal division
+          // precision) by construction, not by reimplementation
+          val sumDiff = Cast(raw, avg.sum.dataType)
+          val cntDiff = signedSum(nOpt.get.toAttribute)
+          avg.evaluateExpression.transform {
+            case a: AttributeReference if a.semanticEquals(avg.sum) =>
+              sumDiff
+            case a: AttributeReference if a.semanticEquals(avg.count) =>
+              cntDiff
+          }
       }
       Alias(typed, s.alias.name)(exprId = s.alias.exprId)
     }

@@ -54,7 +54,8 @@ class PrefixFrameRewriteSpec extends AnyFunSuite {
     """SELECT user_id, us,
       |count(*) OVER w AS n,
       |count(value) OVER w AS nv,
-      |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v
+      |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v,
+      |CAST(AVG(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS a
       |FROM pfx_fixture WHERE us IS NOT NULL
       |WINDOW w AS (PARTITION BY user_id ORDER BY us
       |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin
@@ -87,12 +88,16 @@ class PrefixFrameRewriteSpec extends AnyFunSuite {
     assert(plan(spark.sql(nullable)).contains(sliding))
     // ...and its results still match the reference semantics
     assert(canon(spark.sql(nullable)) == without(canon(spark.sql(nullable))))
-    // 2. double sums -> NOT rewritten (prefix difference reorders
-    // float arithmetic; only exact integral/decimal sums are eligible)
+    // 2. double sums/avgs -> NOT rewritten (prefix difference reorders
+    // float arithmetic; only exact integral/decimal buffers are eligible)
     val dbl = fixtureSql.replace(
       "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)",
       "SUM(value) OVER w")
     assert(plan(spark.sql(dbl)).contains(sliding))
+    val dblAvg = fixtureSql.replace(
+      "CAST(AVG(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)",
+      "AVG(value) OVER w")
+    assert(plan(spark.sql(dblAvg)).contains(sliding))
     // 3. descending order -> NOT rewritten (the -1 gap argument is
     // ascending-integral only)
     val desc = fixtureSql.replace("ORDER BY us", "ORDER BY us DESC")
