@@ -262,11 +262,93 @@ object StreamOps {
         val bs = spark.readStream.schema(buys.schema)
           .parquet(s"$base/buys")
           .withWatermark("p_ts", "3650 days")
-        val q = cs.join(bs,
-            col("user_id") === col("b_user")
-              && col("p_ts") >= col("c_ts")
-              && col("p_ts") <= col("c_ts") + expr("interval 7 days"))
-          .select("click_id", "purchase_id", "user_id")
+        val q = intervalJoinPairs(cs, bs)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s"$base/out"
+      })
+    }
+    spark.read.parquet(out).orderBy("click_id", "purchase_id")
+  }
+
+  /** The gate's join expression, shared with the chunked sibling and
+    * its equality spec: purchases within 7 days AFTER the click, keyed
+    * by user. */
+  private[ops] def intervalJoinPairs(cs: DataFrame,
+      bs: DataFrame): DataFrame =
+    cs.join(bs,
+        col("user_id") === col("b_user")
+          && col("p_ts") >= col("c_ts")
+          && col("p_ts") <= col("c_ts") + expr("interval 7 days"))
+      .select("click_id", "purchase_id", "user_id")
+
+  /** CHUNK-KEYED form of [[intervalJoinPairs]] — identical pairs, but
+    * the equi-key gains a coarse time chunk (width = the 7-day range):
+    * clicks explode to their chunk and the next (a purchase inside
+    * [c_ts, c_ts+7d] lands in exactly ONE of the two, so no pair is
+    * duplicated or lost), purchases carry their own chunk. Spark keys
+    * stream-stream join state by the equality keys, so a mega user's
+    * state rows spread over (user, chunk) groups and each input row
+    * scans only its two chunks' occupancy — instead of the symmetric
+    * hash join's per-key full-state scan, which the round-18 wave-5b
+    * probe measured QUADRATIC in the hot key's share (420 s vs 13 s
+    * uniform at identical 100k-row volume, µs/output-row 2.44× when
+    * the mega shape doubles). Epochs are assumed non-negative (integer
+    * DIV truncation = floor; the events fixture is 2024+). */
+  private[ops] def intervalJoinPairsChunked(cs: DataFrame,
+      bs: DataFrame): DataFrame = {
+    val c = cs.withColumn("k",
+      explode(array(expr("unix_seconds(c_ts) DIV 604800"),
+        expr("unix_seconds(c_ts) DIV 604800 + 1L"))))
+    val b = bs.withColumn("bk", expr("unix_seconds(p_ts) DIV 604800"))
+    c.join(b,
+        col("user_id") === col("b_user") && col("k") === col("bk")
+          && col("p_ts") >= col("c_ts")
+          && col("p_ts") <= col("c_ts") + expr("interval 7 days"))
+      .select("click_id", "purchase_id", "user_id")
+  }
+
+  /** STREAM-STREAM interval join with CHUNK-KEYED state — the
+    * mega-key-safe sibling of [[streamStreamJoin]] (same oracle, same
+    * rows). Wave-5b (round 18, `graft.tools.StreamJoinSkewProbe`)
+    * measured the plain form's per-key state scan quadratic in the hot
+    * key's share: each input row of a key scans ALL of that key's
+    * state rows (Spark's symmetric hash join keeps an unindexed list
+    * per key), so one mega user concentrating both sides makes every
+    * micro-batch O(input_k × state_k) in ONE task. Adding the time
+    * chunk to the join key bounds each scan by two chunks' occupancy —
+    * the keyed-streaming analogue of the batch chunk-and-stitch
+    * taxonomy (sessionizeChunkedEvents, windowRangeFramePrefixEvents). */
+  private val ssjcCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  def streamStreamJoinChunked(spark: SparkSession, dir: String): DataFrame = {
+    val out = ssjcCache.synchronized {
+      ssjcCache.getOrElseUpdate((spark, dir), {
+        val base = SourceSinkOps.tmp("ssjc", dir)
+        graft.pipeline.FsUtils.deleteRecursively(new java.io.File(base))
+        val ev = graft.Tables.load(spark, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"), col("event_type"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("c_ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("b_user"), col("ts").as("p_ts"))
+        clicks.coalesce(1).write.parquet(s"$base/clicks")
+        buys.coalesce(1).write.parquet(s"$base/buys")
+        val cs = spark.readStream.schema(clicks.schema)
+          .parquet(s"$base/clicks")
+          .withWatermark("c_ts", "3650 days")
+        val bs = spark.readStream.schema(buys.schema)
+          .parquet(s"$base/buys")
+          .withWatermark("p_ts", "3650 days")
+        val q = intervalJoinPairsChunked(cs, bs)
           .writeStream.format("parquet")
           .option("path", s"$base/out")
           .option("checkpointLocation", s"$base/ck")
@@ -571,5 +653,8 @@ object StreamOps {
       Some(streamSessionAppendOracle), "stream/session-append-watermark"),
     QuerySpec("q_stream_join_outer", streamStreamJoinOuter,
       Some(streamStreamJoinOuterOracle), "stream/stream-stream-outer-join"),
+    QuerySpec("q_stream_join_chunked", streamStreamJoinChunked,
+      Some(streamStreamJoinOracle),
+      "stream/stream-stream-join (chunk-keyed state, mega-key-safe)"),
   )
 }
